@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Designed for cluster deployment (the same settings hold at
+  * 1000 executors); local[32] is only the test harness shape.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to a builder. AQE stays on so skewed
+    * shuffles re-plan at runtime; ANSI is off because the engine's
+    * coercion semantics (SURVEY.md §2.3) are lenient null-on-fail like
+    * the reference, and its expressions are regex-guarded anyway. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]"), cores)
+      .appName("idhubspark").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

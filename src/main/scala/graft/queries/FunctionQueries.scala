@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Coercions, Gsid, IdValidation}
+
+/** Scalar-function queries (SURVEY.md §2.3): drive the coercion /
+  * validation / GSID functions through the driver's oracle gate on a
+  * synthetic mixed-quality column derived deterministically from the
+  * testdata (the parquet tables are clean, so we manufacture the dirty
+  * values the reference's transformer sees — null tokens, garbage,
+  * scientific notation — from row attributes). */
+object FunctionQueries {
+
+  // Spark side: raw mixed-quality string from lineitem attrs
+  private val rawCase =
+    """CASE CAST(l_orderkey * 7 + l_linenumber AS INT) % 8
+      |  WHEN 0 THEN 'NA'
+      |  WHEN 1 THEN CAST(l_quantity AS STRING)
+      |  WHEN 2 THEN 'abc'
+      |  WHEN 3 THEN ''
+      |  WHEN 4 THEN '1e2'
+      |  WHEN 5 THEN CAST(l_extendedprice AS STRING)
+      |  WHEN 6 THEN ' 42 '
+      |  ELSE 'N/A'
+      |END""".stripMargin
+
+  // DuckDB side: same expression (CAST double AS VARCHAR prints
+  // identically for these magnitudes in both engines)
+  private val rawCaseDuck = rawCase.replace("AS STRING", "AS VARCHAR")
+
+  // DuckDB re-expressions of the Coercions column functions
+  private val nullNormDuck =
+    "CASE WHEN raw IS NULL OR upper(trim(raw)) IN ('','NULL','NA','N/A') THEN NULL ELSE trim(raw) END"
+  private val numRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_fn_coercions",
+      s"""WITH raws AS (
+         |  SELECT l_orderkey, l_linenumber, $rawCaseDuck AS raw
+         |  FROM lineitem
+         |), norm AS (
+         |  SELECT l_orderkey, l_linenumber, raw, $nullNormDuck AS s
+         |  FROM raws
+         |)
+         |SELECT l_orderkey, l_linenumber, raw,
+         |  s AS cleaned,
+         |  CASE WHEN s IS NOT NULL AND regexp_matches(s, '$numRe')
+         |         AND CAST(s AS DOUBLE) BETWEEN -2147483648 AND 2147483647
+         |       THEN CAST(TRUNC(CAST(s AS DOUBLE)) AS INTEGER) END AS as_int,
+         |  CASE WHEN s IS NOT NULL AND regexp_matches(s, '$numRe')
+         |       THEN CAST(s AS DOUBLE) END AS as_double,
+         |  CASE WHEN s IS NULL THEN NULL
+         |       ELSE lower(s) IN ('true','t','yes','y','1') END AS as_bool
+         |FROM norm
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("raw", expr(rawCase))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("raw"),
+          Coercions.normalizeNullTokens(col("raw")).as("cleaned"),
+          Coercions.toIntLenient(col("raw")).as("as_int"),
+          Coercions.toDoubleLenient(col("raw")).as("as_double"),
+          Coercions.toBooleanLenient(col("raw")).as("as_bool"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef.sql(
+      "q_fn_id_validation",
+      """WITH ids AS (
+        |  SELECT c_custkey,
+        |    CASE c_custkey % 7
+        |      WHEN 0 THEN 'test' || CAST(c_custkey AS VARCHAR)
+        |      WHEN 1 THEN '000'
+        |      WHEN 2 THEN 'ab'
+        |      WHEN 3 THEN c_name
+        |      WHEN 4 THEN '12'
+        |      WHEN 5 THEN 'id ' || CAST(c_custkey AS VARCHAR)
+        |      ELSE 'GAP-' || CAST(c_custkey AS VARCHAR)
+        |    END AS local_id
+        |  FROM customer
+        |)
+        |SELECT c_custkey, local_id,
+        |  CASE WHEN trim(local_id) = '' THEN FALSE
+        |       WHEN regexp_matches(trim(local_id), '(?i)^test') OR regexp_matches(trim(local_id), '(?i)^demo')
+        |         OR regexp_matches(trim(local_id), '(?i)^example') OR regexp_matches(trim(local_id), '^0+$')
+        |         OR regexp_matches(trim(local_id), '^9+$') OR regexp_matches(trim(local_id), '(?i)^x+$')
+        |       THEN FALSE ELSE TRUE END AS valid,
+        |  CASE WHEN trim(local_id) = '' THEN 'error'
+        |       WHEN regexp_matches(trim(local_id), '(?i)^test') OR regexp_matches(trim(local_id), '(?i)^demo')
+        |         OR regexp_matches(trim(local_id), '(?i)^example') OR regexp_matches(trim(local_id), '^0+$')
+        |         OR regexp_matches(trim(local_id), '^9+$') OR regexp_matches(trim(local_id), '(?i)^x+$')
+        |       THEN 'error'
+        |       WHEN regexp_matches(trim(local_id), '^[0-9]{1,3}$') OR regexp_matches(trim(local_id), '^[a-z]{1,2}$')
+        |         OR regexp_matches(trim(local_id), '\s') OR regexp_matches(trim(local_id), '[^a-zA-Z0-9_-]')
+        |         OR regexp_matches(trim(local_id), '^[0-9]+$')
+        |         OR length(trim(local_id)) < 3
+        |       THEN 'warning'
+        |       ELSE 'info' END AS severity
+        |FROM ids
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("local_id", expr(
+          """CASE c_custkey % 7
+            |  WHEN 0 THEN concat('test', CAST(c_custkey AS STRING))
+            |  WHEN 1 THEN '000'
+            |  WHEN 2 THEN 'ab'
+            |  WHEN 3 THEN c_name
+            |  WHEN 4 THEN '12'
+            |  WHEN 5 THEN concat('id ', CAST(c_custkey AS STRING))
+            |  ELSE concat('GAP-', CAST(c_custkey AS STRING))
+            |END""".stripMargin))
+        .withColumn("v", IdValidation.validate(col("local_id"), lit("primary")))
+        .select(col("c_custkey"), col("local_id"),
+          col("v.valid").as("valid"), col("v.severity").as("severity"))
+        .orderBy("c_custkey")
+    },
+
+    // F11 deterministic mint + F13 format validation. The md5-derived
+    // variant is the oracle-reproducible GSID (hex ⊂ GSID alphabet).
+    QueryDef.sql(
+      "q_fn_gsid_deterministic",
+      """SELECT c_custkey,
+        |  'GSID-' || upper(substr(md5(c_name), 1, 16)) AS gsid,
+        |  regexp_matches('GSID-' || upper(substr(md5(c_name), 1, 16)),
+        |                 '^GSID-[0-9A-HJKMNP-TV-Z]{16}$') AS format_valid
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          Gsid.deterministic(col("c_name")).as("gsid"),
+          Gsid.isValid(Gsid.deterministic(col("c_name"))).as("format_valid"))
+        .orderBy("c_custkey")
+    })
+}
