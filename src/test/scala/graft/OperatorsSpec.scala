@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.types.MappingConfig
+
+class FieldMapperSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = MappingConfig.fromJson(
+    """{"field_mapping": {"sample_id": "sample_id", "stype": "sample_type", "gone": "missing_src"},
+      | "static_fields": {"batch": "v1"},
+      | "subject_id_candidates": {"consortium_id": "consortium_id"},
+      | "center_id_field": "center",
+      | "default_center_id": 1,
+      | "exclude_from_load": ["consortium_id"]}""".stripMargin)
+
+  test("mapping projection: renames, statics, auto-includes, missing-source warning") {
+    val raw = Seq(("BS-1", "Blood", "IBDGC001", "MSSM"))
+      .toDF("sample_id", "sample_type", "consortium_id", "center")
+    val r = FieldMapper.applyMapping(raw, cfg)
+    assert(r.df.columns.toSeq == Seq("sample_id", "stype", "batch", "consortium_id", "center"))
+    val row = r.df.collect()(0)
+    assert(row.getString(1) == "Blood" && row.getString(2) == "v1")
+    assert(r.warnings.exists(_.contains("missing_src")))
+  }
+
+  test("static field overwrites mapped column; candidate not duplicated") {
+    val cfg2 = MappingConfig.fromJson(
+      """{"field_mapping": {"a": "x"}, "static_fields": {"a": "S"},
+        | "subject_id_candidates": ["x"]}""".stripMargin)
+    val r = FieldMapper.applyMapping(Seq(("v")).toDF("x"), cfg2)
+    assert(r.df.columns.toSeq == Seq("a", "x"))
+    assert(r.df.collect()(0).getString(0) == "S")
+  }
+
+  test("dropExcluded and projectToSchema") {
+    val df = Seq((1, "a", "b")).toDF("k", "x", "y")
+    assert(FieldMapper.dropExcluded(df, Seq("x", "zz")).columns.toSeq == Seq("k", "y"))
+    assert(FieldMapper.projectToSchema(df, Seq("y", "k")).columns.toSeq == Seq("k", "y"))
+  }
+}
+
+class SchemaValidatorSpec extends SparkSpec {
+  import spark.implicits._
+  import SchemaValidator._
+
+  test("missing required column and null counts in one pass") {
+    val df = Seq((Some("a"), None: Option[String]), (Some("b"), Some("x")), (None, Some("y")))
+      .toDF("gsid", "stype")
+    val specs = Seq(
+      ColumnSpec("gsid", required = true),
+      ColumnSpec("stype", required = true),
+      ColumnSpec("absent_req", required = true),
+      ColumnSpec("absent_opt"),
+      ColumnSpec("Id", required = true),              // skip-listed
+      ColumnSpec("pkcol", required = true, primaryKey = true))
+    val r = validate(df, specs)
+    assert(!r.isValid)
+    assert(r.errors.map(e => (e.errorType, e.column, e.nullCount)).toSet == Set(
+      ("missing_required_column", "absent_req", 0L),
+      ("null_in_required_column", "gsid", 1L),
+      ("null_in_required_column", "stype", 1L)))
+  }
+
+  test("empty spec list → valid with warning") {
+    val r = validate(Seq(("x")).toDF("a"), Seq.empty)
+    assert(r.isValid && r.warnings.nonEmpty)
+  }
+}
+
+class ChangeDetectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classify new/orphaned/updated/unchanged with change map") {
+    val incoming = Seq(
+      ("k1", "v1", 1.0),   // unchanged
+      ("k2", "v2b", 2.0),  // updated (s)
+      ("k4", "v4", 4.0))   // new
+      .toDF("k", "s", "x")
+    val existing = Seq(
+      ("k1", "v1", 1.0),
+      ("k2", "v2", 2.0),
+      ("k3", "v3", 3.0))   // orphaned
+      .toDF("k", "s", "x")
+    val out = ChangeDetector.compare(incoming, existing, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("k1", "unchanged"), ("k2", "updated"), ("k3", "orphaned"), ("k4", "new")))
+    val k2 = out(1)
+    assert(k2.getSeq[String](2) == Seq("s"))
+    val changes = k2.getMap[String, org.apache.spark.sql.Row](3)
+    assert(changes("s").getString(0) == "v2" && changes("s").getString(1) == "v2b")
+  }
+
+  test("'' and null compare equal; ignore fields skipped") {
+    val incoming = Seq(("k1", "", "keepme")).toDF("k", "s", "created_at")
+    val existing = Seq(("k1", null: String, "other")).toDF("k", "s", "created_at")
+    val out = ChangeDetector.compare(incoming, existing, Seq("k")).collect()(0)
+    assert(out.getString(1) == "unchanged")
+  }
+
+  test("summary counts") {
+    val incoming = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val existing = Seq(("b", 3), ("c", 4)).toDF("k", "v")
+    val m = ChangeDetector.summary(ChangeDetector.compare(incoming, existing, Seq("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("new" -> 1L, "updated" -> 1L, "orphaned" -> 1L))
+  }
+}
+
+class ConflictDetectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("center mismatch wins over gsid mismatch (elif); matches emit nothing") {
+    val incoming = Seq(
+      ("L1", "primary", 1, "G1"),   // exact match → no conflict
+      ("L2", "primary", 2, "G2"),   // center differs → center_mismatch
+      ("L3", "primary", 3, "G3a"),  // gsid differs → multi_gsid
+      ("L4", "primary", 4, "G4a"))  // both differ → center_mismatch only
+      .toDF("local_subject_id", "identifier_type", "center_id", "global_subject_id")
+    val existing = Seq(
+      ("L1", "primary", 1, "G1"),
+      ("L2", "primary", 9, "G2"),
+      ("L3", "primary", 3, "G3b"),
+      ("L4", "primary", 9, "G4b"),
+      ("L5", "primary", 5, "G5"))
+      .toDF("local_subject_id", "identifier_type", "center_id", "global_subject_id")
+    val out = ConflictDetector.detect(incoming, existing, "b1")
+      .orderBy("local_subject_id").collect()
+    assert(out.map(r => (r.getString(2), r.getString(1))).toSeq == Seq(
+      ("L2", "center_mismatch"), ("L3", "multi_gsid"), ("L4", "center_mismatch")))
+    assert(out.forall(_.getString(0) == "b1"))
+  }
+
+  test("duplicate incoming rows are deduped before the join") {
+    val incoming = Seq(
+      ("L1", "primary", 1, "G1"), ("L1", "primary", 1, "G1"))
+      .toDF("local_subject_id", "identifier_type", "center_id", "global_subject_id")
+    val existing = Seq(("L1", "primary", 2, "G1"))
+      .toDF("local_subject_id", "identifier_type", "center_id", "global_subject_id")
+    assert(ConflictDetector.detect(incoming, existing, "b").count() == 1)
+  }
+}
