@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Gsid
+
+/** Set-based identity resolution (SURVEY.md §2.9) — the reference's
+  * centerpiece "query".
+  *
+  * Re-expresses `gsid-service/services/identity_resolution.py:12-354`
+  * (a per-request REST/SQL loop, ~2k IDs/s) as ONE Spark job over the
+  * whole batch: case-insensitive registry join → per-request aggregation
+  * → action triage (create/link/conflict+oldest-wins) → deterministic
+  * intra-batch grouping for new subjects. On a cluster the registry
+  * join shuffles both sides on the normalized identifier — no
+  * driver-side loops, no point lookups.
+  *
+  * Semantics preserved:
+  *  - matching is center-agnostic and case-insensitive (`:55-71`);
+  *  - 0 matches → `create_new` + mint; 1 → `link_existing`;
+  *    ≥2 → `conflict_resolved`, matched GSIDs sorted by
+  *    `(created_at, gsid)`, oldest wins (`:107-211`);
+  *  - center-conflict ladder: both centers real and different →
+  *    conflict; unknown (0) never conflicts (`:84-105`);
+  *  - strategy no_match / center_agnostic_match / multiple_gsid_conflict
+  *    and confidence 1.0 / 0.7 / 0.5 exactly as the reference's
+  *    conditional (center conflicts take the 0.7 branch even for
+  *    multi-GSID, `:299-308`).
+  *
+  * Batch-vs-sequential caveat (SURVEY.md §7.5.1): the reference sees
+  * its own inserts because requests run sequentially. Here, unmatched
+  * requests sharing an identifier are grouped (identifier → min
+  * request leader, one iteration) and mint ONE GSID per group. Chained
+  * sharing (A~B via id1, B~C via id2) converges per-iteration, which
+  * covers everything the reference's own tests exercise.
+  */
+object IdentityResolver {
+
+  final case class Registry(subjects: DataFrame, localIds: DataFrame)
+
+  /** Resolve a batch.
+    *
+    * `candidates` columns: request_id, center_id, local_subject_id,
+    * identifier_type. `registry.localIds`: center_id, local_subject_id,
+    * identifier_type, global_subject_id. `registry.subjects`:
+    * global_subject_id, center_id, created_at.
+    *
+    * `deterministicMint = true` derives new GSIDs from the group's
+    * minimum normalized identifier (`GSID-` + md5 — reproducible for
+    * differential tests); `false` mints random format-valid GSIDs
+    * (production semantics, one per group).
+    */
+  def resolve(
+      candidates: DataFrame,
+      registry: Registry,
+      deterministicMint: Boolean = true): DataFrame = {
+
+    val cand = candidates.select(
+      col("request_id"), col("center_id"),
+      col("local_subject_id"), col("identifier_type"),
+      lower(col("local_subject_id")).as("_nid"))
+
+    val li = registry.localIds.select(
+      lower(col("local_subject_id")).as("_nid"),
+      col("center_id").as("_id_center"),
+      col("global_subject_id").as("_gsid"))
+
+    val subj = registry.subjects.select(
+      col("global_subject_id").as("_gsid"),
+      col("created_at").as("_created_at"))
+
+    // J1: center-agnostic, case-insensitive registry match
+    val matches = cand.select(col("request_id"), col("center_id").as("_req_center"), col("_nid"))
+      .join(li, "_nid")
+      .join(subj, "_gsid")
+
+    val agg = matches.groupBy("request_id").agg(
+      countDistinct("_gsid").cast("int").as("_n_matches"),
+      transform(
+        sort_array(collect_set(struct(col("_created_at").as("c"), col("_gsid").as("g")))),
+        x => x("g")).as("_matched"),
+      sum(when(col("_id_center") =!= col("_req_center") &&
+               col("_id_center") =!= 0 && col("_req_center") =!= 0, 1L).otherwise(0L))
+        .as("_n_center_conflicts"))
+
+    val requests = cand.groupBy("request_id").agg(max(col("center_id")).as("center_id"))
+
+    val reqs = requests.join(agg, Seq("request_id"), "left")
+      .withColumn("_n", coalesce(col("_n_matches"), lit(0)))
+
+    // intra-batch grouping of unmatched requests (see scaladoc)
+    val unmatchedCand = cand
+      .join(reqs.filter(col("_n") === 0).select("request_id"), Seq("request_id"), "left_semi")
+    val idLeader = unmatchedCand.groupBy("_nid")
+      .agg(min("request_id").as("_leader"))
+    val reqLeader = unmatchedCand.join(idLeader, "_nid")
+      .groupBy("request_id").agg(min("_leader").as("_leader"))
+    val groupMint = unmatchedCand.join(reqLeader, "request_id")
+      .groupBy("_leader").agg(min("_nid").as("_mint_key"))
+    val mintBase = reqLeader.join(groupMint, "_leader")
+    val minted =
+      if (deterministicMint)
+        mintBase.select(col("request_id"),
+          Gsid.deterministic(concat(lit("NEW:"), col("_mint_key"))).as("_new_gsid"))
+      else {
+        val perGroup = mintBase.select("_leader").distinct()
+          .withColumn("_new_gsid", Gsid.generate())
+        mintBase.join(perGroup, "_leader").select("request_id", "_new_gsid")
+      }
+
+    val n = col("_n")
+    reqs.join(minted, Seq("request_id"), "left")
+      .select(
+        col("request_id"), col("center_id"),
+        when(n === 0, lit("create_new"))
+          .when(n === 1, lit("link_existing"))
+          .otherwise(lit("conflict_resolved")).as("action"),
+        when(n === 0, col("_new_gsid")).otherwise(element_at(col("_matched"), 1)).as("gsid"),
+        when(n > 1, lit("multiple_gsid_conflict"))
+          .when(n === 1, lit("center_agnostic_match"))
+          .otherwise(lit("no_match")).as("match_strategy"),
+        when(n <= 1 && coalesce(col("_n_center_conflicts"), lit(0L)) === 0, lit(1.0))
+          .when(coalesce(col("_n_center_conflicts"), lit(0L)) > 0, lit(0.7))
+          .otherwise(lit(0.5)).as("confidence"),
+        when(n > 1, col("_matched")).otherwise(lit(null).cast("array<string>"))
+          .as("matched_gsids"),
+        when(n > 1, lit("used_oldest"))
+          .when(n === 1 && coalesce(col("_n_center_conflicts"), lit(0L)) > 0,
+            lit("center_mismatch")).as("conflict_resolution"),
+        (n > 1 || coalesce(col("_n_center_conflicts"), lit(0L)) > 0).as("requires_review"))
+  }
+
+  /** Step 3 of the reference (`identity_resolution.py:213-268`): link
+    * every candidate identifier to its request's chosen GSID, with the
+    * center-preference ladder against the existing registry row.
+    * The reference's `LIMIT 1` (no ORDER BY) existing-row pick is made
+    * deterministic here as min(center_id, gsid). Link lookup is
+    * case-SENSITIVE like the reference (only matching is folded).
+    */
+  def links(candidates: DataFrame, resolutions: DataFrame, localIds: DataFrame,
+      createdBy: String = "graft"): DataFrame = {
+    val existing = localIds.groupBy("local_subject_id", "identifier_type")
+      .agg(min(struct(col("center_id"), col("global_subject_id"))).as("_ex"))
+      .select(col("local_subject_id"), col("identifier_type"),
+        col("_ex.center_id").as("_ex_center"))
+    val chosen = resolutions.select(col("request_id"), col("gsid"))
+
+    candidates
+      .join(chosen, "request_id")
+      .join(existing, Seq("local_subject_id", "identifier_type"), "left")
+      .withColumn("link_center_id",
+        when(col("_ex_center").isNotNull && col("_ex_center") =!= 0 && col("center_id") === 0,
+          col("_ex_center"))
+          .otherwise(col("center_id")))
+      .select(
+        col("link_center_id").as("center_id"),
+        col("local_subject_id"), col("identifier_type"),
+        col("gsid").as("global_subject_id"),
+        lit(createdBy).as("created_by"))
+      .dropDuplicates("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Gsid
+import graft.operators.IdentityResolver
+
+/** The centerpiece: batch identity resolution (SURVEY.md §2.9) driven
+  * through the oracle gate.
+  *
+  * A synthetic registry is derived deterministically from `supplier`
+  * (every supplier name registered once; every 10th registered twice
+  * under a second, older GSID → multi-GSID conflicts), and a request
+  * batch from `customer` (every 4th request matches a supplier name —
+  * every 8th in UPPER case to exercise case-folding; the rest carry
+  * never-seen identifiers → create_new; every 10th request has
+  * center 0 = unknown). The DuckDB oracle re-derives the reference's
+  * triage rules (`gsid-service/services/identity_resolution.py`)
+  * independently in ANSI SQL.
+  */
+object IdentityQueries {
+
+  private[queries] def registry(s: SparkSession, d: String): IdentityResolver.Registry = {
+    val sup = Tables.supplier(s, d)
+    val gS = Gsid.deterministic(concat(lit("S"), col("s_suppkey").cast("string")))
+    val gX = Gsid.deterministic(concat(lit("X"), col("s_suppkey").cast("string")))
+    val localIds = sup.select(
+        col("s_name").as("local_subject_id"), lit("primary").as("identifier_type"),
+        col("s_nationkey").cast("int").as("center_id"), gS.as("global_subject_id"))
+      .unionByName(sup.filter(col("s_suppkey") % 10 === 0).select(
+        col("s_name").as("local_subject_id"), lit("primary").as("identifier_type"),
+        ((col("s_nationkey") + 1) % 25).cast("int").as("center_id"), gX.as("global_subject_id")))
+    val subjects = sup.select(
+        gS.as("global_subject_id"), col("s_nationkey").cast("int").as("center_id"),
+        date_add(lit("2020-01-01").cast("date"), col("s_suppkey").cast("int")).as("created_at"))
+      .unionByName(sup.filter(col("s_suppkey") % 10 === 0).select(
+        gX.as("global_subject_id"), ((col("s_nationkey") + 1) % 25).cast("int").as("center_id"),
+        date_add(lit("2019-01-01").cast("date"), col("s_suppkey").cast("int")).as("created_at")))
+    IdentityResolver.Registry(subjects, localIds)
+  }
+
+  private[queries] def candidates(s: SparkSession, d: String): DataFrame = {
+    val nsupp = Tables.supplier(s, d).count() // tiny dim; driver-side count is fine
+    val requests = Tables.customer(s, d).select(
+      col("c_custkey").as("request_id"),
+      when(col("c_custkey") % 10 === 0, 0).otherwise(col("c_nationkey").cast("int"))
+        .as("center_id"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    val matchedCands = requests.filter(col("request_id") % 4 === 1)
+      .join(broadcast(sup), col("s_suppkey") === (col("request_id") % nsupp))
+      .select(col("request_id"), col("center_id"),
+        when(col("request_id") % 8 === 5, upper(col("s_name"))).otherwise(col("s_name"))
+          .as("local_subject_id"),
+        lit("primary").as("identifier_type"))
+    val newCands = requests.filter(col("request_id") % 4 =!= 1)
+      .select(col("request_id"), col("center_id"),
+        concat(lit("A-"), col("request_id").cast("string")).as("local_subject_id"),
+        lit("primary").as("identifier_type"))
+    val secondCands = requests
+      .select(col("request_id"), col("center_id"),
+        concat(lit("C-"), col("request_id").cast("string")).as("local_subject_id"),
+        lit("secondary").as("identifier_type"))
+    matchedCands.unionByName(newCands).unionByName(secondCands)
+  }
+
+  private val oracleCtes =
+    """WITH localids AS (
+      |  SELECT s_name AS local_subject_id, CAST(s_nationkey AS INT) AS center_id,
+      |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT s_name, CAST((s_nationkey + 1) % 25 AS INT),
+      |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+      |  FROM supplier WHERE s_suppkey % 10 = 0),
+      |subjects AS (
+      |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+      |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+      |         DATE '2019-01-01' + CAST(s_suppkey AS INT)
+      |  FROM supplier WHERE s_suppkey % 10 = 0),
+      |requests AS (
+      |  SELECT c_custkey AS request_id,
+      |         CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE CAST(c_nationkey AS INT) END AS center_id
+      |  FROM customer),
+      |cands AS (
+      |  SELECT r.request_id, r.center_id,
+      |         CASE WHEN r.request_id % 8 = 5 THEN upper(s.s_name) ELSE s.s_name END AS local_subject_id
+      |  FROM requests r JOIN supplier s
+      |    ON s.s_suppkey = r.request_id % (SELECT COUNT(*) FROM supplier)
+      |  WHERE r.request_id % 4 = 1
+      |  UNION ALL
+      |  SELECT request_id, center_id, 'A-' || CAST(request_id AS VARCHAR)
+      |  FROM requests WHERE request_id % 4 <> 1
+      |  UNION ALL
+      |  SELECT request_id, center_id, 'C-' || CAST(request_id AS VARCHAR) FROM requests),
+      |matches AS (
+      |  SELECT c.request_id, c.center_id AS req_center, l.gsid,
+      |         l.center_id AS id_center, s.created_at
+      |  FROM cands c
+      |  JOIN localids l ON lower(l.local_subject_id) = lower(c.local_subject_id)
+      |  JOIN subjects s ON s.gsid = l.gsid),
+      |agg AS (
+      |  SELECT request_id,
+      |         CAST(COUNT(DISTINCT gsid) AS INT) AS n_matches,
+      |         list_transform(list_sort(list(DISTINCT [CAST(created_at AS VARCHAR), gsid])),
+      |                        x -> x[2]) AS matched,
+      |         SUM(CASE WHEN id_center <> req_center AND id_center <> 0 AND req_center <> 0
+      |                  THEN 1 ELSE 0 END) AS n_cc
+      |  FROM matches GROUP BY request_id),
+      |mintkeys AS (
+      |  SELECT request_id, min(lower(local_subject_id)) AS mint_key
+      |  FROM cands GROUP BY request_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_identity_resolve",
+      s"""$oracleCtes
+         |SELECT r.request_id, r.center_id,
+         |  CASE WHEN coalesce(a.n_matches, 0) = 0 THEN 'create_new'
+         |       WHEN a.n_matches = 1 THEN 'link_existing'
+         |       ELSE 'conflict_resolved' END AS action,
+         |  CASE WHEN coalesce(a.n_matches, 0) = 0
+         |       THEN 'GSID-' || upper(substr(md5('NEW:' || m.mint_key), 1, 16))
+         |       ELSE a.matched[1] END AS gsid,
+         |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN 'multiple_gsid_conflict'
+         |       WHEN a.n_matches = 1 THEN 'center_agnostic_match'
+         |       ELSE 'no_match' END AS match_strategy,
+         |  CAST(CASE WHEN coalesce(a.n_matches, 0) <= 1 AND coalesce(a.n_cc, 0) = 0 THEN 1.0
+         |            WHEN coalesce(a.n_cc, 0) > 0 THEN 0.7 ELSE 0.5 END AS DOUBLE) AS confidence,
+         |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN a.matched
+         |       ELSE CAST(NULL AS VARCHAR[]) END AS matched_gsids,
+         |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN 'used_oldest'
+         |       WHEN a.n_matches = 1 AND coalesce(a.n_cc, 0) > 0 THEN 'center_mismatch'
+         |       END AS conflict_resolution,
+         |  (coalesce(a.n_matches, 0) > 1 OR coalesce(a.n_cc, 0) > 0) AS requires_review
+         |FROM requests r
+         |LEFT JOIN agg a USING (request_id)
+         |JOIN mintkeys m USING (request_id)
+         |ORDER BY r.request_id""".stripMargin) { (s, d) =>
+      IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true)
+        .orderBy("request_id")
+    },
+
+    // A1-shape resolution summary over the same batch.
+    QueryDef.sql(
+      "q_identity_summary",
+      s"""$oracleCtes,
+         |res AS (
+         |  SELECT r.request_id,
+         |    CASE WHEN coalesce(a.n_matches, 0) = 0 THEN 'create_new'
+         |         WHEN a.n_matches = 1 THEN 'link_existing'
+         |         ELSE 'conflict_resolved' END AS action,
+         |    CASE WHEN coalesce(a.n_matches, 0) = 0
+         |         THEN 'GSID-' || upper(substr(md5('NEW:' || m.mint_key), 1, 16))
+         |         ELSE a.matched[1] END AS gsid,
+         |    (coalesce(a.n_matches, 0) > 1 OR coalesce(a.n_cc, 0) > 0) AS requires_review
+         |  FROM requests r LEFT JOIN agg a USING (request_id) JOIN mintkeys m USING (request_id))
+         |SELECT action, COUNT(*) AS n, CAST(COUNT(DISTINCT gsid) AS BIGINT) AS n_distinct_gsids,
+         |       SUM(CASE WHEN requires_review THEN 1 ELSE 0 END) AS n_review
+         |FROM res GROUP BY action ORDER BY action""".stripMargin) { (s, d) =>
+      IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true)
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("gsid").as("n_distinct_gsids"),
+          sum(when(col("requires_review"), 1L).otherwise(0L)).as("n_review"))
+        .orderBy("action")
+    })
+}

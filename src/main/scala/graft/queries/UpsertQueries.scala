@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.UpsertWriter
+import graft.types.TableConfig
+
+/** Upsert/MERGE queries (SURVEY.md §2.8 U1/U2/U6/U7): current state is
+  * one subset of `orders`, the incoming batch another subset with
+  * perturbed values; the oracle re-derives the post-merge snapshot,
+  * audit rows and dry-run counts with a FULL JOIN. `o_orderdate` is
+  * immutable (U2): updates must keep the current value, inserts take
+  * the incoming one (shifted a day to make violations visible). */
+object UpsertQueries {
+
+  private val cfg = TableConfig("orders", Seq("o_orderkey"), Seq("o_orderdate"))
+
+  private def mergeInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    val incoming = base.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 11 === 0, concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+    val current = base.filter(col("o_orderkey") % 7 =!= 0)
+    (current, incoming)
+  }
+
+  private val oracleCtes =
+    """WITH incoming AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+      |    o_orderdate + INTERVAL 1 DAY AS o_orderdate
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |cur AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority, o_orderdate
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |j AS (
+      |  SELECT coalesce(i.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |    i.o_orderkey IS NOT NULL AS in_p, c.o_orderkey IS NOT NULL AS ex_p,
+      |    i.o_totalprice AS i_tp, c.o_totalprice AS c_tp,
+      |    i.o_orderstatus AS i_os, c.o_orderstatus AS c_os,
+      |    i.o_orderpriority AS i_op, c.o_orderpriority AS c_op,
+      |    i.o_orderdate AS i_od, c.o_orderdate AS c_od
+      |  FROM incoming i FULL JOIN cur c ON i.o_orderkey = c.o_orderkey),
+      |cls AS (
+      |  SELECT *,
+      |    CASE WHEN NOT ex_p THEN 'insert' WHEN NOT in_p THEN 'orphaned'
+      |         WHEN (i_tp IS DISTINCT FROM c_tp) OR (i_os IS DISTINCT FROM c_os)
+      |              OR (i_op IS DISTINCT FROM c_op) THEN 'update'
+      |         ELSE 'unchanged' END AS status
+      |  FROM j)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_upsert_merged",
+      s"""$oracleCtes
+         |SELECT o_orderkey,
+         |  CASE WHEN status IN ('insert','update') THEN i_tp ELSE c_tp END AS o_totalprice,
+         |  CASE WHEN status IN ('insert','update') THEN i_os ELSE c_os END AS o_orderstatus,
+         |  CASE WHEN status IN ('insert','update') THEN i_op ELSE c_op END AS o_orderpriority,
+         |  CASE WHEN status = 'insert' THEN i_od ELSE c_od END AS o_orderdate
+         |FROM cls
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val (current, incoming) = mergeInputs(s, d)
+      UpsertWriter.merge(current, incoming, cfg).merged.orderBy("o_orderkey")
+    },
+
+    QueryDef.sql(
+      "q_upsert_audit",
+      s"""$oracleCtes
+         |SELECT * FROM (
+         |  SELECT 'orders' AS table_name,
+         |    '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || '}' AS record_key,
+         |    'o_totalprice' AS field,
+         |    CAST(c_tp AS VARCHAR) AS old_value, CAST(i_tp AS VARCHAR) AS new_value
+         |  FROM cls WHERE status = 'update' AND i_tp IS DISTINCT FROM c_tp
+         |  UNION ALL
+         |  SELECT 'orders', '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || '}',
+         |    'o_orderpriority', c_op, i_op
+         |  FROM cls WHERE status = 'update' AND i_op IS DISTINCT FROM c_op
+         |  UNION ALL
+         |  SELECT 'orders', '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || '}',
+         |    'o_orderstatus', c_os, i_os
+         |  FROM cls WHERE status = 'update' AND i_os IS DISTINCT FROM c_os)
+         |ORDER BY record_key, field""".stripMargin) { (s, d) =>
+      val (current, incoming) = mergeInputs(s, d)
+      UpsertWriter.merge(current, incoming, cfg).audit
+        .select("table_name", "record_key", "field", "old_value", "new_value")
+        .orderBy("record_key", "field")
+    },
+
+    QueryDef.sql(
+      "q_upsert_preview",
+      s"""$oracleCtes
+         |SELECT SUM(CASE WHEN status = 'insert' THEN 1 ELSE 0 END) AS inserted,
+         |       SUM(CASE WHEN status = 'update' THEN 1 ELSE 0 END) AS updated,
+         |       SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS unchanged,
+         |       SUM(CASE WHEN status = 'orphaned' THEN 1 ELSE 0 END) AS orphaned
+         |FROM cls""".stripMargin) { (s, d) =>
+      val (current, incoming) = mergeInputs(s, d)
+      UpsertWriter.merge(current, incoming, cfg).preview
+    })
+}

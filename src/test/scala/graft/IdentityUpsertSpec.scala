@@ -1,0 +1,172 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IdentityResolver, UpsertWriter}
+import graft.types.TableConfig
+
+class IdentityResolverSpec extends SparkSpec {
+  import spark.implicits._
+  import IdentityResolver._
+
+  private def reg(
+      subjects: Seq[(String, Int, String)],
+      localIds: Seq[(Int, String, String, String)]) = Registry(
+    subjects.map { case (g, c, d) => (g, c, Date.valueOf(d)) }
+      .toDF("global_subject_id", "center_id", "created_at"),
+    localIds.toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id"))
+
+  private val registry = reg(
+    subjects = Seq(("G-OLD", 5, "2019-01-01"), ("G-NEW", 6, "2021-01-01"), ("G-SOLO", 7, "2020-06-01")),
+    localIds = Seq(
+      (5, "DUP-1", "primary", "G-OLD"),
+      (6, "DUP-1", "primary", "G-NEW"),
+      (7, "Solo-1", "primary", "G-SOLO")))
+
+  private def resolveMap(cands: Seq[(Long, Int, String, String)]): Map[Long, Row] =
+    resolve(cands.toDF("request_id", "center_id", "local_subject_id", "identifier_type"),
+      registry).collect().map(r => r.getLong(0) -> r).toMap
+
+  test("create / link / multi-gsid-oldest triage") {
+    val out = resolveMap(Seq(
+      (1L, 7, "never-seen", "primary"),          // create_new
+      (2L, 7, "SOLO-1", "primary"),              // link (case-folded), same center
+      (3L, 9, "Solo-1", "primary"),              // link with center conflict
+      (4L, 5, "DUP-1", "primary")))              // multi-gsid → oldest G-OLD
+    assert(out(1L).getAs[String]("action") == "create_new")
+    assert(out(1L).getAs[String]("gsid").matches("^GSID-[0-9A-F]{16}$"))
+    assert(out(1L).getAs[String]("match_strategy") == "no_match")
+    assert(out(1L).getAs[Double]("confidence") == 1.0)
+
+    assert(out(2L).getAs[String]("action") == "link_existing")
+    assert(out(2L).getAs[String]("gsid") == "G-SOLO")
+    assert(out(2L).getAs[Double]("confidence") == 1.0)
+    assert(!out(2L).getAs[Boolean]("requires_review"))
+
+    assert(out(3L).getAs[String]("action") == "link_existing")
+    assert(out(3L).getAs[Double]("confidence") == 0.7)
+    assert(out(3L).getAs[String]("conflict_resolution") == "center_mismatch")
+    assert(out(3L).getAs[Boolean]("requires_review"))
+
+    assert(out(4L).getAs[String]("action") == "conflict_resolved")
+    assert(out(4L).getAs[String]("gsid") == "G-OLD")
+    assert(out(4L).getAs[scala.collection.Seq[String]]("matched_gsids").toSeq == Seq("G-OLD", "G-NEW"))
+    assert(out(4L).getAs[String]("conflict_resolution") == "used_oldest")
+  }
+
+  test("center 0 never conflicts (unknown-center ladder)") {
+    val out = resolveMap(Seq(
+      (1L, 0, "Solo-1", "primary"),   // incoming unknown vs real 7 → no conflict
+      (2L, 7, "Solo-1", "primary")))
+    assert(out(1L).getAs[Double]("confidence") == 1.0)
+    assert(out(1L).getAs[String]("conflict_resolution") == null)
+  }
+
+  test("multi-gsid with center conflict takes the 0.7 branch (reference conditional)") {
+    val out = resolveMap(Seq((1L, 9, "DUP-1", "primary")))
+    assert(out(1L).getAs[String]("action") == "conflict_resolved")
+    assert(out(1L).getAs[Double]("confidence") == 0.7)
+    assert(out(1L).getAs[String]("conflict_resolution") == "used_oldest")
+  }
+
+  test("intra-batch convergence: unmatched requests sharing an identifier share a GSID") {
+    val out = resolveMap(Seq(
+      (1L, 5, "shared-new", "primary"),
+      (1L, 5, "extra-1", "alias"),
+      (2L, 5, "SHARED-NEW", "primary"),   // shares (case-folded) with request 1
+      (3L, 5, "unrelated", "primary")))
+    assert(out(1L).getAs[String]("gsid") == out(2L).getAs[String]("gsid"))
+    assert(out(1L).getAs[String]("gsid") != out(3L).getAs[String]("gsid"))
+  }
+
+  test("links: every identifier linked to chosen gsid with center ladder") {
+    val cands = Seq(
+      (1L, 0, "Solo-1", "primary"),       // existing center 7, incoming 0 → keep 7
+      (1L, 0, "new-id", "alias"))         // no existing → incoming 0
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val res = resolve(cands, registry)
+    val l = links(cands, res, registry.localIds).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    assert(l("Solo-1") == 7)
+    assert(l("new-id") == 0)
+  }
+}
+
+class UpsertWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = TableConfig("t", Seq("k"), Seq("created_at"))
+
+  test("merge: insert/update/unchanged/orphaned + immutable protection") {
+    val current = Seq(
+      ("k1", "v1", "2020-01-01"),
+      ("k2", "v2", "2020-01-02"),
+      ("k3", "v3", "2020-01-03")).toDF("k", "v", "created_at")
+    val incoming = Seq(
+      ("k1", "v1", "2021-01-01"),    // unchanged (created_at immutable, ignored in diff)
+      ("k2", "v2b", "2021-01-02"),   // update
+      ("k4", "v4", "2021-01-04"))    // insert
+      .toDF("k", "v", "created_at")
+    val r = UpsertWriter.merge(current, incoming, cfg, "tester", "b1")
+
+    val merged = r.merged.collect().map(x => x.getString(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(merged("k1") == ("v1", "2020-01-01"))   // immutable kept
+    assert(merged("k2") == ("v2b", "2020-01-02"))  // updated value, immutable kept
+    assert(merged("k3") == ("v3", "2020-01-03"))   // orphan survives
+    assert(merged("k4") == ("v4", "2021-01-04"))   // insert takes incoming
+
+    val audit = r.audit.collect()
+    assert(audit.length == 1)
+    assert(audit(0).getAs[String]("record_key") == """{"k":"k2"}""")
+    assert(audit(0).getAs[String]("field") == "v")
+    assert(audit(0).getAs[String]("old_value") == "v2" && audit(0).getAs[String]("new_value") == "v2b")
+    assert(audit(0).getAs[String]("changed_by") == "tester")
+
+    val p = r.preview.collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("update_only strategy drops inserts (subjects semantics)") {
+    val cfg2 = TableConfig("subjects", Seq("k"), Seq("created_at"), strategy = "update_only")
+    val current = Seq(("k1", "v1")).toDF("k", "v")
+    val incoming = Seq(("k1", "v1b"), ("k9", "v9")).toDF("k", "v")
+    val merged = UpsertWriter.merge(current, incoming, cfg2).merged.collect()
+    assert(merged.map(_.getString(0)).toSet == Set("k1"))
+    assert(merged(0).getString(1) == "v1b")
+  }
+
+  test("'' == null in diff (no spurious update)") {
+    val current = Seq(("k1", null: String)).toDF("k", "v")
+    val incoming = Seq(("k1", "")).toDF("k", "v")
+    val p = UpsertWriter.merge(current, incoming, cfg).preview.collect()(0)
+    assert(p.getLong(2) == 1L) // unchanged
+  }
+
+  test("local_subject_ids center change = delete+insert with audit; dedup repair") {
+    val current = Seq(
+      (1, "L1", "primary", "G1"),
+      (2, "L2", "primary", "G2"),
+      (3, "L2", "primary", "G2b"),   // duplicate key → collapse
+      (4, "L3", "primary", "G3"))
+      .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+    val incoming = Seq(
+      (9, "L1", "primary", "G1"),    // center change
+      (2, "L2", "primary", "G2"),    // dedup repair to single row
+      (4, "L3", "primary", "G3x"))   // gsid update
+      .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+    val r = UpsertWriter.mergeLocalSubjectIds(current, incoming, "t", "b")
+
+    val merged = r.merged.collect().map(x => (x.getString(1), x.getInt(0), x.getString(3))).toSet
+    assert(merged == Set(("L1", 9, "G1"), ("L2", 2, "G2"), ("L3", 4, "G3x")))
+
+    val audit = r.audit.collect().map(a => (a.getAs[String]("record_key"), a.getAs[String]("field"),
+      a.getAs[String]("old_value"), a.getAs[String]("new_value"))).toSet
+    assert(audit.contains(("""{"local_subject_id":"L1","identifier_type":"primary"}""",
+      "center_id", "1", "9")))
+    assert(audit.contains(("""{"local_subject_id":"L3","identifier_type":"primary"}""",
+      "global_subject_id", "G3", "G3x")))
+  }
+}
