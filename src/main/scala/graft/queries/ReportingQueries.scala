@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Similarity
+import graft.operators.CenterResolver
+
+/** Reporting / window / set-op queries (SURVEY.md §2.5 A4-A12, §2.6
+  * W1-W3, §2.7) plus the fuzzy center-resolution ladder J7. */
+object ReportingQueries {
+
+  private def dsum(c: String, scale: Int = 2) =
+    sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J7/W3: alias→exact→fuzzy ladder over corrupted nation names,
+    // levenshtein-ratio scorer (ANSI-reproducible; RO-UDF covered in
+    // unit tests).
+    QueryDef.sql(
+      "q_fuzzy_center_resolve",
+      """WITH inputs AS (
+        |  SELECT c_custkey AS input_id,
+        |    CASE c_custkey % 4
+        |      WHEN 0 THEN n.n_name
+        |      WHEN 1 THEN lower(n.n_name)
+        |      WHEN 2 THEN substr(n.n_name, 1, length(n.n_name) - 1)
+        |      ELSE 'ZZ-' || CAST(c_custkey AS VARCHAR)
+        |    END AS center_name
+        |  FROM customer JOIN nation n ON n.n_nationkey = c_nationkey),
+        |norm AS (
+        |  SELECT input_id, center_name,
+        |         lower(trim(replace(center_name, '_', ' '))) AS n_in
+        |  FROM inputs),
+        |exact AS (
+        |  SELECT input_id, min(n_nationkey) AS exact_id
+        |  FROM norm JOIN nation ON n_in = lower(n_name) OR lower(center_name) = lower(n_name)
+        |  GROUP BY input_id),
+        |scored AS (
+        |  SELECT input_id, n_nationkey,
+        |    CASE WHEN greatest(length(n_in), length(lower(n_name))) = 0 THEN 1.0
+        |         ELSE 1.0 - CAST(levenshtein(n_in, lower(n_name)) AS DOUBLE)
+        |                    / greatest(length(n_in), length(lower(n_name))) END AS score
+        |  FROM (SELECT * FROM norm WHERE input_id NOT IN (SELECT input_id FROM exact))
+        |  CROSS JOIN nation),
+        |best AS (
+        |  SELECT input_id, n_nationkey, score,
+        |         row_number() OVER (PARTITION BY input_id ORDER BY score DESC, n_nationkey) AS rn
+        |  FROM scored)
+        |SELECT i.input_id, i.center_name,
+        |  CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+        |       WHEN b.score >= 0.7 THEN b.n_nationkey END AS center_id,
+        |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+        |       WHEN b.score >= 0.7 THEN 'fuzzy'
+        |       ELSE 'unresolved' END AS method
+        |FROM inputs i
+        |LEFT JOIN exact e USING (input_id)
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (input_id)
+        |ORDER BY input_id""".stripMargin) { (s, d) =>
+      val inputs = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey").as("input_id"),
+          expr("""CASE CAST(c_custkey % 4 AS INT)
+                 |  WHEN 0 THEN n_name
+                 |  WHEN 1 THEN lower(n_name)
+                 |  WHEN 2 THEN substring(n_name, 1, length(n_name) - 1)
+                 |  ELSE concat('ZZ-', CAST(c_custkey AS STRING))
+                 |END""".stripMargin).as("center_name"))
+      val centers = Tables.nation(s, d)
+        .select(col("n_nationkey").as("center_id"), col("n_name").as("name"))
+      CenterResolver.resolve(inputs, "input_id", "center_name", centers,
+          threshold = 0.7, scorer = Similarity.levenshteinRatio)
+        .orderBy("input_id")
+    },
+
+    // A4: stats by group with avg over exact decimals.
+    QueryDef.sql(
+      "q_rep_stats_by_action",
+      """SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM events
+        |GROUP BY event_type, date_trunc('day', ts)
+        |ORDER BY n DESC, event_type, day
+        |LIMIT 200""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_value"))
+        .orderBy(col("n").desc, col("event_type"), col("day"))
+        .limit(200)
+    },
+
+    // A5: multi-status customers (ARRAY_AGG DISTINCT + HAVING > 1).
+    QueryDef.sql(
+      "q_rep_multi_status",
+      """SELECT o_custkey, list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT o_orderstatus) > 1
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          countDistinct("o_orderstatus").cast("int").as("n_statuses"))
+        .filter(col("n_statuses") > 1)
+        .orderBy("o_custkey")
+    },
+
+    // A7: audit-stats shape (count, countDistinct, min/max) by group.
+    QueryDef.sql(
+      "q_rep_event_stats",
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"),
+          dsum("value").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // A9: subjects-by-source shape over documents.
+    QueryDef.sql(
+      "q_rep_docs_by_source",
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("lang").as("n_langs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source")
+    },
+
+    // A10: UNION ALL of per-table counts.
+    QueryDef.sql(
+      "q_rep_union_counts",
+      """SELECT 'orders' AS data_type, COUNT(*) AS n FROM orders
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |ORDER BY data_type""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).agg(count(lit(1)).as("n")).select(lit("orders").as("data_type"), col("n"))
+        .unionByName(Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+          .select(lit("lineitem").as("data_type"), col("n")))
+        .unionByName(Tables.customer(s, d).agg(count(lit(1)).as("n"))
+          .select(lit("customer").as("data_type"), col("n")))
+        .orderBy("data_type")
+    },
+
+    // A8: conditional aggregation (SUM CASE WHEN) by group.
+    QueryDef.sql(
+      "q_rep_conditional_agg",
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_big"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A12: collect-to-document (grouped sorted lists).
+    QueryDef.sql(
+      "q_rep_collect_lists",
+      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS user_ids
+        |FROM events WHERE event_id < 500
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 500)
+        .groupBy("event_type")
+        .agg(sort_array(collect_set(col("user_id"))).as("user_ids"))
+        .orderBy("event_type")
+    },
+
+    // W1: global distinct-count window — expressed as a broadcast of a
+    // one-row aggregate (scales where COUNT(DISTINCT) OVER () cannot).
+    QueryDef.sql(
+      "q_w1_global_distinct",
+      """SELECT doc_id, lang,
+        |  (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+        |  (SELECT COUNT(DISTINCT lang) FROM documents) > 1 AS conflict_detected
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val agg = docs.agg(countDistinct("lang").as("n_langs"))
+      docs.select("doc_id", "lang")
+        .crossJoin(broadcast(agg))
+        .withColumn("conflict_detected", col("n_langs") > 1)
+        .orderBy("doc_id")
+    },
+
+    // W2: oldest-record selection per group ((created_at, key) order).
+    QueryDef.sql(
+      "q_w2_oldest_order_per_customer",
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    },
+
+    // §2.7 set difference: customers with F orders but no O orders.
+    QueryDef.sql(
+      "q_set_except",
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    },
+
+    // F15/F16-shape: JSON field extraction from the events props payload.
+    QueryDef.sql(
+      "q_fn_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // J9-shape: explode + aggregate (word frequencies).
+    QueryDef.sql(
+      "q_explode_word_freq",
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                    x -> x <> '')) AS word
+        |      FROM documents)
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    })
+}
