@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, in registration order. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ FunctionQueries.defs ++ OperatorQueries.defs ++
-      IdentityQueries.defs ++ UpsertQueries.defs ++ ReportingQueries.defs
+      IdentityQueries.defs ++ UpsertQueries.defs ++ ReportingQueries.defs ++
+      TextQueries.defs ++ VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, word-n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is a hash-groupBy on a 128-bit fingerprint — one
+  *    shuffle of (fingerprint, id), never the text;
+  *  - n-gram Jaccard joins on shingles, so pair candidates are bounded
+  *    by posting-list sizes, not |docs|²;
+  *  - MinHash+LSH shuffles only (band_idx, band_hash, id) tuples —
+  *    constant bytes per doc regardless of doc length — and verifies
+  *    candidates with an exact Jaccard join;
+  *  - SimHash reduces each doc to 64 bits per row (no shuffle), then
+  *    finds near pairs by banding the fingerprint into 16-bit chunks
+  *    (any pair within Hamming ≤ 3 shares at least one intact chunk).
+  */
+object Dedup {
+
+  import TextAnalysis.{fingerprint, tokens}
+
+  /** Exact-duplicate groups: fingerprint, surviving (min) id, count. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** First-wins keyed dedup (reference semantics made deterministic:
+    * min id survives — `subject_id_resolver.py:150-161` note in
+    * SURVEY.md §2.7). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("_fp").orderBy(col(idCol))
+    df.withColumn("_fp", fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol).as("_id"), t.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("_t"), i + o)): _*))))
+          .as("shingle"))
+  }
+
+  /** Pairwise n-gram Jaccard over shingle-sharing candidates:
+    * (id_a, id_b, n_common, n_a, n_b, jaccard) with jaccard ≥ threshold
+    * and id_a < id_b. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val a = sh.select(col("_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("_id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature: array of `numHashes` minima of seeded 64-bit
+    * shingle hashes — computed per row with higher-order functions, no
+    * shuffle, no UDF. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val sh = array_distinct(transform(
+      sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+    df.select(col(idCol).as("_id"), sh.as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("signature",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => array_min(transform(col("_sh"),
+            s => xxhash64(concat(s, lit("#"), seed.cast("string")))))))
+      .select(col("_id"), col("signature"))
+  }
+
+  /** LSH banding: candidate pairs whose signatures agree on at least
+    * one band of `rowsPerBand` consecutive hashes. Shuffle payload is
+    * (band_idx, band_hash, id) only. */
+  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band_idx", "band_hash")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection, candidates verified with exact
+    * n-gram Jaccard. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+    val cands = minhashCandidates(sig, bands, numHashes / bands)
+    val verified = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    cands.join(verified, Seq("id_a", "id_b")).select("id_a", "id_b", "jaccard")
+  }
+
+  /** Bit masks 1L << 0..63 as an array literal (so lambdas can index
+    * them instead of shifting by a non-literal amount). */
+  private val bitMasks: Column = array((0 until 64).map(j => lit(1L << j)): _*)
+
+  /** 64-bit SimHash per row: token hashes vote per bit position.
+    * Pure per-row expression work — no shuffle. */
+  def simhash64(text: Column): Column = {
+    val t = tokens(text)
+    val votes = transform(sequence(lit(1), lit(64)), i =>
+      aggregate(t, lit(0L), (acc, tok) =>
+        acc + when(xxhash64(tok).bitwiseAND(element_at(bitMasks, i)) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(1), lit(64)),
+        (v, i) => when(v > 0, element_at(bitMasks, i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3
+    * with 4 bands of 16 bits: pigeonhole guarantees a shared band). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withHash = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+    val banded = withHash.select(col("_id"), col("_sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band_idx", "band_val")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._sh").as("sh_a"), col("y._sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

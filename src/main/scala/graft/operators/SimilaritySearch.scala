@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the full embedding table; per-row double-precision
+  * fold, codegen'd higher-order functions, one window per query for
+  * the top-k. Scales linearly in table size with no shuffle of the
+  * embedding column beyond the final top-k.
+  *
+  * Scale path: random-hyperplane LSH — each vector reduces to a
+  * `nBits`-bit bucket id (pure per-row work against broadcast-literal
+  * planes, seeded and deterministic); queries probe their bucket (plus
+  * optional 1-bit flips) and rerank only the bucket's candidates.
+  * At 100 TB the bucket join shuffles (bucket, id, vec) once and the
+  * rerank fan-in is |bucket| not |table|. An IVF variant would swap
+  * the hash for learned centroids — same plan shape.
+  */
+object SimilaritySearch {
+
+  /** Double-precision cosine similarity of two float-array columns
+    * (left-to-right fold, deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(arr: Column) = aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+    val nb = sqrt(fold(transform(b, x => x.cast("double") * x.cast("double"))))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest table
+    * rows (ties broken by id ascending; self-matches excluded). */
+  def bruteForceTopK(
+      table: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val t = table.select(col(idCol).as("neighbor_id"), col(vecCol).as("_tv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    t.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("_qv"), col("_tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic seeded hyperplanes (values in [-1, 1)). */
+  def randomPlanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  private def planesLit(planes: Seq[Seq[Double]]): Column =
+    array(planes.map(p => array(p.map(lit): _*)): _*)
+
+  /** Sign-bit bucket id of a vector against the planes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val pl = planesLit(planes)
+    val masks = array(planes.indices.map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(pl, masks, (plane, mask) => {
+        val dot = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, mask).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** LSH-bucketed ANN top-k: probe the query's bucket and rerank with
+    * exact cosine. Recall < 1 by construction; raise nBits for finer
+    * buckets or lower it for higher recall. */
+  def annTopK(
+      table: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = randomPlanes(nBits, dim)
+    val t = table.select(col(idCol).as("neighbor_id"), col(vecCol).as("_tv"),
+      lshBucket(col(vecCol), planes).as("_bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      lshBucket(col(vecCol), planes).as("_bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    t.join(broadcast(q), "_bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("_qv"), col("_tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, document
+  * fingerprinting, quality scoring, language identification.
+  *
+  * All pure column expressions (codegen'd, no UDFs, no shuffles) so
+  * they stream through a 100 TB scan at full width. Formulas are
+  * deliberately reproducible in ANSI SQL for the differential oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: word-piece boundaries at
+    * case/digit transitions plus punctuation — a cheap deterministic
+    * stand-in for a tokenizer vocab (≈ tokens for prose). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(regexp_replace(trim(text), "([a-z])([A-Z])|([A-Za-z])([0-9])", "$1$3 $2$4"), "[\\s\\p{Punct}]+"),
+      t => t =!= ""))
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed
+    * text (exact-dup key; the rolling-hash shingle variant lives in
+    * [[Dedup]]). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Ratio of non-alphanumeric, non-space chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+        length(text).cast("double"))
+
+  val Stopwords: Seq[String] = Seq("the", "and", "is", "of", "to", "a", "in")
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => lower(x).isin(Stopwords.map(lit): _*))).cast("double") /
+        size(t).cast("double"))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length, stopword density,
+    * punctuation penalty, word-length plausibility — the standard
+    * cheap-heuristic battery run before expensive filtering. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPen = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    val wl = meanWordLen(text)
+    val wlScore = lit(1.0) - least(abs(wl - 5.0) / 5.0, lit(1.0))
+    (lenScore + stopScore + punctPen + wlScore) * 0.25
+  }
+
+  /** Language marker words; counted with the replace-length trick so
+    * the oracle reproduces counts exactly. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " is "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "de" -> Seq(" der ", " und ", " die "))
+
+  /** Non-overlapping occurrence count of `needle` in lower-cased,
+    * space-padded text. */
+  def markerCount(text: Column, needle: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) /
+      lit(needle.length)).cast("int")
+  }
+
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(markerCount(text, _)).reduce(_ + _)
+
+  /** n-gram/stopword heuristic language ID: argmax of marker counts,
+    * first language wins ties, 'unknown' when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("unknown"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("unknown"))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis + dedup queries over the `documents` table (the
+  * training-data-pipeline surface: token counting, quality scoring,
+  * language ID, fingerprinting, exact + n-gram-Jaccard dedup). */
+object TextQueries {
+
+  private val toksDuck = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_text_metrics",
+      s"""SELECT doc_id,
+         |  CAST(len($toksDuck) AS INT) AS n_tokens,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |            / length(text) END AS punct_ratio,
+         |  CASE WHEN len($toksDuck) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter($toksDuck,
+         |              x -> lower(x) IN ('the','and','is','of','to','a','in'))) AS DOUBLE)
+         |            / len($toksDuck) END AS stopword_ratio,
+         |  CASE WHEN len($toksDuck) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform($toksDuck, x -> length(x))) AS DOUBLE)
+         |            / len($toksDuck) END AS mean_word_len
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "q_text_quality",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksDuck) AS INT) AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |              / length(text) END AS punct_ratio,
+         |    CASE WHEN len($toksDuck) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toksDuck,
+         |                x -> lower(x) IN ('the','and','is','of','to','a','in'))) AS DOUBLE)
+         |              / len($toksDuck) END AS stopword_ratio,
+         |    CASE WHEN len($toksDuck) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform($toksDuck, x -> length(x))) AS DOUBLE)
+         |              / len($toksDuck) END AS mean_word_len
+         |  FROM documents)
+         |SELECT doc_id,
+         |  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |   + least(stopword_ratio * 5.0, 1.0)
+         |   + greatest(1.0 - punct_ratio * 10.0, 0.0)
+         |   + (1.0 - least(abs(mean_word_len - 5.0) / 5.0, 1.0))) * 0.25 AS quality
+         |FROM m
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "q_text_langid", {
+        def cnt(m: String) =
+          s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$m', ''))) / ${m.length} AS INT)"
+        val sEn = Seq(" the ", " and ", " is ").map(cnt).mkString(" + ")
+        val sEs = Seq(" el ", " la ", " de ").map(cnt).mkString(" + ")
+        val sFr = Seq(" le ", " et ", " les ").map(cnt).mkString(" + ")
+        val sDe = Seq(" der ", " und ", " die ").map(cnt).mkString(" + ")
+        s"""WITH s AS (
+           |  SELECT doc_id, lang, $sEn AS s_en, $sEs AS s_es, $sFr AS s_fr, $sDe AS s_de
+           |  FROM documents)
+           |SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+           |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'unknown'
+           |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+           |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+           |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+           |       WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+           |       ELSE 'unknown' END AS lang_guess
+           |FROM s
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langScore(col("text"), "en").as("s_en"),
+        TextAnalysis.langScore(col("text"), "es").as("s_es"),
+        TextAnalysis.langScore(col("text"), "fr").as("s_fr"),
+        TextAnalysis.langScore(col("text"), "de").as("s_de"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // Exact-dedup groups (all fingerprints with survivor + count; the
+    // HAVING>1 variant is empty on this corpus and covered by specs).
+    QueryDef.sql(
+      "q_dedup_exact_groups",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fingerprint""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .orderBy("fingerprint")
+    },
+
+    QueryDef.sql(
+      "q_dedup_first_wins",
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dropExactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard near-dup pairs (3-gram shingles, τ = 0.5).
+    QueryDef.sql(
+      "q_dedup_ngram_jaccard",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH near-dup detection (xxhash64 signatures — not
+    // reproducible in ANSI SQL → rows-only check; recall vs the exact
+    // Jaccard pairs is asserted in DedupSpec).
+    QueryDef.rowsOnly("q_dedup_minhash_lsh") { (s, d) =>
+      Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs (rows-only for the same reason).
+    QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Multimodal plumbing driven end-to-end: documents' bytes as an
+    // opaque payload column → batched (stubbed) decode → features.
+    QueryDef.rowsOnly("q_multimodal_features") { (s, d) =>
+      val media = graft.operators.Multimodal.asMediaTable(
+        Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", kind = "image", mime = "application/octet-stream")
+      graft.operators.Multimodal.extractFeatures(s, media)
+        .select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")
+    })
+}

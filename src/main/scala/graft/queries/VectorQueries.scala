@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SimilaritySearch
+
+/** Similarity-search queries over the `embeddings` table. The
+  * brute-force cosine top-k is oracle-checked: both engines fold the
+  * dot product left-to-right in double precision over identical
+  * float32 inputs, so scores are bit-deterministic. The LSH ANN path
+  * is rows-only (seeded-hyperplane buckets aren't ANSI-expressible);
+  * its recall against brute force is asserted in VectorSpec. */
+object VectorQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_vec_topk_cosine",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |t AS (SELECT vec_id AS neighbor_id, embedding AS tv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(tv) + 1),
+        |        i -> CAST(tv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      AS score
+        |  FROM t CROSS JOIN q
+        |  WHERE neighbor_id <> query_id),
+        |rk AS (SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+        |       FROM scored)
+        |SELECT query_id, "rank", neighbor_id, score
+        |FROM rk WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    },
+
+    QueryDef.rowsOnly("q_vec_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.annTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 6)
+        .orderBy("query_id", "rank")
+    })
+}

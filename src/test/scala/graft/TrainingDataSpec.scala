@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, v: String): Any =
+    Seq(v).toDF("text").select(c.as("y")).collect()(0).get(0)
+
+  test("tokenization and fingerprint") {
+    assert(one(TextAnalysis.tokenCount($"text"), "  a  b   c ") == 3)
+    assert(one(TextAnalysis.tokenCount($"text"), "") == 0)
+    assert(one(TextAnalysis.fingerprint($"text"), "Hello   World") ==
+      one(TextAnalysis.fingerprint($"text"), "hello world"))
+  }
+
+  test("language ID heuristic picks marker-dominant language") {
+    assert(one(TextAnalysis.langId($"text"), "the cat is on the mat and the dog") == "en")
+    assert(one(TextAnalysis.langId($"text"), "el perro y la casa de madrid") == "es")
+    assert(one(TextAnalysis.langId($"text"), "le chat et les souris") == "fr")
+    assert(one(TextAnalysis.langId($"text"), "der hund und die katze") == "de")
+    assert(one(TextAnalysis.langId($"text"), "zzz qqq www") == "unknown")
+  }
+
+  test("quality score in [0,1] and ordered sensibly") {
+    val good = one(TextAnalysis.qualityScore($"text"),
+      "the quick brown fox jumps over the lazy dog and runs to the barn in a field")
+      .asInstanceOf[Double]
+    val bad = one(TextAnalysis.qualityScore($"text"), "!!! ??? ;;; ###").asInstanceOf[Double]
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different content about spark query engines and columnar formats"),
+    (5L, "another unrelated text mentioning gradient descent and neural networks"))
+    .toDF("doc_id", "text")
+
+  test("exact duplicates found; first-wins keeps min id") {
+    val groups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L &&
+      groups(0).getAs[Long]("dup_count") == 2L)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("ngram jaccard scores exact dup 1.0 and near dup high") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("minhash LSH finds the verified near-dup pairs (full recall here)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashDedup(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("simhash: identical docs hamming 0, near dups close, distinct docs far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 16))
+    assert(!pairs.contains((4L, 5L)))
+  }
+}
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),    // close to 0
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))   // opposite
+    .toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks identical > close > orthogonal > opposite") {
+    val out = SimilaritySearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0).getAs[Double]("score") == 1.0)
+    assert(math.abs(out(2).getAs[Double]("score")) < 1e-12)
+    assert(out(3).getAs[Double]("score") == -1.0)
+  }
+
+  test("lsh bucket is deterministic and identical vectors collide") {
+    val planes = SimilaritySearch.randomPlanes(8, 4)
+    val b = vecs.select($"vec_id", SimilaritySearch.lshBucket($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(SimilaritySearch.randomPlanes(8, 4) == planes) // seeded
+  }
+
+  test("ann finds the identical neighbor through its bucket") {
+    val out = SimilaritySearch.annTopK(vecs, vecs.filter($"vec_id" === 0), k = 3, nBits = 4, dim = 4)
+      .collect()
+    assert(out.exists(r => r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("score") == 1.0))
+  }
+}
