@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{IdentityResolver, SchemaValidator}
+import graft.pipeline.Pipelines
+import graft.types.MappingConfig
+
+/** End-to-end §3.1 validator pipeline driven over the testdata: a raw
+  * "fragment" derived from customer, the synthetic supplier registry
+  * from IdentityQueries, the full map→validate→resolve→conflict
+  * lineage. Row ids inside the pipeline are nondeterministic
+  * (monotonically_increasing_id), but every output value is derived
+  * from data, so the projected columns are stable; rows-only check. */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("q_pipeline_validate") { (s, d) =>
+      val mapping = MappingConfig.fromJson(
+        """{"field_mapping": {"sample_id": "sample", "segment": "c_mktsegment"},
+          | "static_fields": {"batch": "r1"},
+          | "subject_id_candidates": {"subject_ref": "primary"},
+          | "center_id_field": "c_nationkey", "default_center_id": 0}""".stripMargin)
+      val nsupp = Tables.supplier(s, d).count()
+      val raw = Tables.customer(s, d)
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === (col("c_custkey") % nsupp))
+        .select(
+          concat(lit("SAMP-"), col("c_custkey").cast("string")).as("sample"),
+          col("c_mktsegment"),
+          when(col("c_custkey") % 4 === 1, col("s_name"))
+            .otherwise(concat(lit("A-"), col("c_custkey").cast("string"))).as("subject_ref"),
+          col("c_nationkey"))
+      val r = Pipelines.validate(s, raw, mapping,
+        Seq(SchemaValidator.ColumnSpec("sample_id", required = true)),
+        IdentityQueries.registry(s, d), "batch_r1")
+      r.mapped.select("sample_id", "segment", "batch", "subject_ref", "global_subject_id")
+        .orderBy("sample_id")
+    })
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks (SURVEY.md §2.1 S1-S12).
+  *
+  * The reference moves data as CSV/JSON "fragments" between S3, REST
+  * services and Postgres. Spark-side these all collapse to reader/
+  * writer configs: `s3a://`, `file://` and `hdfs://` URIs go through
+  * the same code path, so the S3 operators are the same calls with a
+  * different scheme. JDBC covers the Postgres/LabKey scans with
+  * predicate pushdown (Catalyst pushes filters into the WHERE clause).
+  */
+object Sources {
+
+  /** S1/S2: CSV fragment scan (header row, reference null tokens
+    * preserved as raw strings for the coercion layer to normalize). */
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true").option("mode", "PERMISSIVE")
+    schema.fold(r.option("inferSchema", "false"))(r.schema).csv(path)
+  }
+
+  /** S3 (operator): JSON document scan (validation reports, per-subject
+    * fragments). */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S7/S6: JDBC table scan with pushdown. `table` may be a table name
+    * or a `(SELECT …) alias` subquery — how the reference's keyed
+    * lookups (S8) express server-side. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.option("pushDownPredicate", "true").jdbc(url, table, p)
+  }
+
+  /** S4/S5: REST snapshot source — the reference's paginated REST
+    * exports (REDCap/NocoDB) land as a driver-side fetch wrapped in a
+    * DataFrame. The `fetch` callback hides the HTTP/pagination loop;
+    * rows are distributed immediately after. For real deployments a
+    * DataSourceV2 with partition-per-page would replace this. */
+  def restSnapshot(spark: SparkSession, schema: StructType)(
+      fetch: () => Seq[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(fetch(), math.max(1, spark.sparkContext.defaultParallelism / 4)),
+      schema)
+
+  /** S9/S11: bulk append sink (parquet/csv/json by extension of use). */
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S12: per-entity JSON documents, one directory partition per key
+    * (`subjects/{gsid}/…` layout). */
+  def writePartitionedJson(df: DataFrame, path: String, keyCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).json(path)
+
+  /** Snapshot-table publish: atomic-enough swap via write-new +
+    * rename, the plain-parquet stand-in for a transactional MERGE
+    * target (SURVEY.md §7.4). */
+  def publishSnapshot(df: DataFrame, tableDir: String): Unit = {
+    val tmp = tableDir + ".staging"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), df.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tableDir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

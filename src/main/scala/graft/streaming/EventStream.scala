@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.11).
+  *
+  * The reference has no streaming engine — incrementality is cron
+  * batches plus doc-only `Modified > last_sync` filters. This module
+  * supplies the Spark-native incremental path the reference's design
+  * implies: watermarked windowed aggregation over an event stream,
+  * stateful sessionization, and the batch incremental filter. All
+  * transforms work identically on `readStream` or batch DataFrames
+  * (same Catalyst plans), which is how they are differential-tested.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling/sliding windowed counts + sums with a watermark for
+    * late-data eviction. Works on a stream or a batch frame. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** The LabKey-style incremental pull (`Modified > last_sync`,
+    * docs data-flow.md:496-523) as a batch filter. */
+  def incrementalSince(df: DataFrame, tsCol: String, lastSync: Timestamp): DataFrame =
+    df.filter(col(tsCol) > lit(lastSync))
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes when `gapMs` elapses between consecutive events (emitted
+    * on the event that breaches the gap) or on state timeout. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evts: Iterator[Event],
+        state: GroupState[Session]): Iterator[Session] = {
+      val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[Session]
+      var cur = state.getOption
+      for (e <- sorted) {
+        cur match {
+          case Some(s) if e.ts.getTime - s.session_end.getTime > gapMs =>
+            out += s
+            cur = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+          case Some(s) =>
+            cur = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1,
+              total_value = s.total_value + e.value))
+          case None =>
+            cur = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          if (state.hasTimedOut) { out += s; state.remove() }
+        case None =>
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IdentityResolver, SchemaValidator}
+import graft.pipeline.Pipelines
+import graft.sources.Sources
+import graft.streaming.EventStream
+import graft.types.{MappingConfig, TableConfig}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv fragment round-trip keeps header + values") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq(("BS-1", "Blood"), ("BS-2", "Saliva")).toDF("sample_id", "sample_type")
+    Sources.writeCsv(df, s"$dir/out")
+    val back = Sources.readCsv(spark, s"$dir/out")
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("BS-1", "Blood"), ("BS-2", "Saliva")))
+  }
+
+  test("partitioned json sink writes one directory per key (S12)") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Sources.writePartitionedJson(
+      Seq(("G1", "a"), ("G2", "b")).toDF("gsid", "payload"), s"$dir/subjects", "gsid")
+    val dirs = new java.io.File(s"$dir/subjects").listFiles().map(_.getName).filter(_.startsWith("gsid="))
+    assert(dirs.toSet == Set("gsid=G1", "gsid=G2"))
+  }
+
+  test("publishSnapshot swaps the table directory atomically-enough") {
+    val dir = Files.createTempDirectory("graft_snap").toString + "/table"
+    Sources.publishSnapshot(Seq(1, 2, 3).toDF("x"), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+    Sources.publishSnapshot(Seq(4, 5).toDF("x"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
+
+class ValidatePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapping = MappingConfig.fromJson(
+    """{"field_mapping": {"sample_id": "sample_id", "sample_type": "sample_type"},
+      | "static_fields": {"batch": "v1"},
+      | "subject_id_candidates": {"consortium_id": "consortium_id"},
+      | "center_id_field": null, "default_center_id": 3}""".stripMargin)
+
+  private val registry = IdentityResolver.Registry(
+    Seq(("G-1", 3, java.sql.Date.valueOf("2020-01-01")))
+      .toDF("global_subject_id", "center_id", "created_at"),
+    Seq((3, "IBDGC001", "consortium_id", "G-1"))
+      .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id"))
+
+  test("validator pipeline: map → validate → resolve → conflicts (§3.1)") {
+    val raw = Seq(
+      ("IBDGC001", "BS-001", "Blood"),
+      ("IBDGC002", "BS-002", "Blood"))
+      .toDF("consortium_id", "sample_id", "sample_type")
+    val r = Pipelines.validate(spark, raw, mapping,
+      Seq(SchemaValidator.ColumnSpec("sample_id", required = true)),
+      registry, "batch_1")
+    assert(r.schemaResult.isValid)
+    val bySample = r.mapped.collect().map(x => x.getAs[String]("sample_id") -> x).toMap
+    assert(bySample("BS-001").getAs[String]("global_subject_id") == "G-1") // linked
+    val g2 = bySample("BS-002").getAs[String]("global_subject_id")
+    assert(g2 != null && g2.startsWith("GSID-") && g2 != "G-1")            // minted
+    assert(r.conflicts.count() == 0)
+  }
+
+  test("validator pipeline fails fast on missing required column") {
+    val raw = Seq(("IBDGC001", "Blood")).toDF("consortium_id", "sample_type")
+    val r = Pipelines.validate(spark, raw, mapping,
+      Seq(SchemaValidator.ColumnSpec("sample_id", required = true)), registry, "b")
+    assert(!r.schemaResult.isValid)
+    assert(r.schemaResult.errors.head.errorType == "missing_required_column")
+  }
+}
+
+class LoadPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("loader pipeline: coerce → project → merge with audit (§3.3)") {
+    val current = Seq(("G-1", "BS-1", 10, true)).toDF("global_subject_id", "sample_id", "qty", "avail")
+    val fragment = Seq(
+      ("G-1", "BS-1", "12", "yes", "junk"),   // update qty 10→12, avail stays true
+      ("G-2", "BS-2", "NA", "no", "junk"))    // insert with null qty
+      .toDF("global_subject_id", "sample_id", "qty", "avail", "extraneous")
+    val r = Pipelines.load(spark, current, fragment,
+      TableConfig("t", Seq("global_subject_id", "sample_id"), Seq.empty),
+      columnTypes = Map("qty" -> "int", "avail" -> "boolean"))
+    val m = r.merged.collect().map(x => x.getString(1) -> x).toMap
+    assert(m("BS-1").getAs[Int]("qty") == 12)
+    assert(m("BS-2").isNullAt(m("BS-2").fieldIndex("qty")))
+    assert(!m("BS-2").getAs[Boolean]("avail"))
+    assert(!r.merged.columns.contains("extraneous"))   // schema projection
+    val p = r.preview.collect()(0)
+    assert(p.getLong(0) == 1L && p.getLong(1) == 1L)   // 1 insert, 1 update
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed stats over a stream equal the batch plan (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 00:10:00"), 2, "click", 2.0),
+      EventStream.Event(3, ts("2024-01-01 01:05:00"), 1, "buy", 5.0))
+    val mem = MemoryStream[EventStream.Event]
+    mem.addData(data: _*)
+    val q = EventStream.windowedStats(mem.toDF()).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.windowedStats(data.toDF())
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 2)
+  }
+
+  test("stateful sessionization closes sessions at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    mem.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 00:01:00"), 7, "click", 2.0),
+      EventStream.Event(3, ts("2024-01-01 02:00:00"), 7, "click", 3.0)) // gap > 30min
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("sess_out").as[EventStream.Session].collect()
+    assert(closed.length == 1)
+    assert(closed(0).n_events == 2 && closed(0).total_value == 3.0)
+    assert(closed(0).session_end == ts("2024-01-01 00:01:00"))
+  }
+
+  test("incremental filter (Modified > last_sync)") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-02-01 00:00:00")))
+      .toDF("id", "modified")
+    val out = EventStream.incrementalSince(df, "modified", ts("2024-01-15 00:00:00"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+}
