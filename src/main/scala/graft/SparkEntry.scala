@@ -16,7 +16,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ FunctionQueries.defs ++ OperatorQueries.defs ++
       IdentityQueries.defs ++ UpsertQueries.defs ++ ReportingQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
+      ExtraQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

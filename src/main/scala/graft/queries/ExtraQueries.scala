@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Coercions, Gsid}
+import graft.operators.{ConflictDetector, ConflictResolver}
+
+/** Remaining §2 checklist coverage: the §7.3 minimum slice (point
+  * lookup through two joins), duplicate-subject finder A6, alias
+  * rollup J3, enrichment join J8, multi-format year normalization F9,
+  * and conflict-resolution application U4/U5. */
+object ExtraQueries {
+
+  /** Supplier-derived registry CTEs shared by these oracles (same
+    * derivation as IdentityQueries). */
+  private val registryCtes =
+    """WITH localids AS (
+      |  SELECT s_name AS local_subject_id, 'primary' AS identifier_type,
+      |         CAST(s_nationkey AS INT) AS center_id,
+      |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS global_subject_id
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT s_name, 'primary', CAST((s_nationkey + 1) % 25 AS INT),
+      |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+      |  FROM supplier WHERE s_suppkey % 10 = 0),
+      |subjects AS (
+      |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS global_subject_id,
+      |         CAST(s_nationkey AS INT) AS center_id,
+      |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+      |         CAST((s_nationkey + 1) % 25 AS INT),
+      |         DATE '2019-01-01' + CAST(s_suppkey AS INT)
+      |  FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §7.3 minimum end-to-end slice: GSID from a local ID with center
+    // detail (case-insensitive point predicate + two joins, P9/J1/J2).
+    QueryDef.sql(
+      "q_lookup_local_id",
+      s"""$registryCtes
+         |SELECT l.local_subject_id, l.identifier_type, l.global_subject_id,
+         |       strftime(s.created_at, '%Y-%m-%d') AS created_at, n.n_name AS center_name
+         |FROM localids l
+         |JOIN subjects s USING (global_subject_id)
+         |JOIN nation n ON n.n_nationkey = l.center_id
+         |WHERE lower(l.local_subject_id) = lower('SUPPLIER#' || lpad('7', 9, '0'))
+         |ORDER BY l.global_subject_id""".stripMargin) { (s, d) =>
+      val reg = IdentityQueries.registry(s, d)
+      reg.localIds
+        .filter(lower(col("local_subject_id")) ===
+          lower(concat(lit("SUPPLIER#"), lpad(lit("7"), 9, "0"))))
+        .join(reg.subjects.select("global_subject_id", "created_at"), "global_subject_id")
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("center_id"))
+        .select(col("local_subject_id"), col("identifier_type"), col("global_subject_id"),
+          date_format(col("created_at"), "yyyy-MM-dd").as("created_at"),
+          col("n_name").as("center_name"))
+        .orderBy("global_subject_id")
+    },
+
+    // A6: the core data-quality query — identifiers linked to >1 GSID.
+    QueryDef.sql(
+      "q_dup_subject_finder",
+      s"""$registryCtes
+         |SELECT local_subject_id, identifier_type,
+         |  CAST(COUNT(DISTINCT global_subject_id) AS INT) AS n_gsids,
+         |  list_sort(list(DISTINCT global_subject_id)) AS gsids,
+         |  list_sort(list(DISTINCT center_id)) AS centers
+         |FROM localids
+         |GROUP BY local_subject_id, identifier_type
+         |HAVING COUNT(DISTINCT global_subject_id) > 1
+         |ORDER BY local_subject_id""".stripMargin) { (s, d) =>
+      IdentityQueries.registry(s, d).localIds
+        .groupBy("local_subject_id", "identifier_type")
+        .agg(countDistinct("global_subject_id").cast("int").as("n_gsids"),
+          sort_array(collect_set("global_subject_id")).as("gsids"),
+          sort_array(collect_set("center_id")).as("centers"))
+        .filter(col("n_gsids") > 1)
+        .orderBy("local_subject_id")
+    },
+
+    // J3: subject ↔ aliases rollup.
+    QueryDef.sql(
+      "q_subject_aliases",
+      s"""$registryCtes
+         |SELECT s.global_subject_id, strftime(s.created_at, '%Y-%m-%d') AS created_at,
+         |  COUNT(l.local_subject_id) AS n_aliases,
+         |  list_sort(list(DISTINCT l.local_subject_id)) AS aliases
+         |FROM subjects s
+         |LEFT JOIN localids l USING (global_subject_id)
+         |GROUP BY s.global_subject_id, s.created_at
+         |ORDER BY s.global_subject_id""".stripMargin) { (s, d) =>
+      val reg = IdentityQueries.registry(s, d)
+      reg.subjects
+        .select(col("global_subject_id"), date_format(col("created_at"), "yyyy-MM-dd").as("created_at"))
+        .join(reg.localIds.select("global_subject_id", "local_subject_id"),
+          Seq("global_subject_id"), "left")
+        .groupBy("global_subject_id", "created_at")
+        .agg(count(col("local_subject_id")).as("n_aliases"),
+          sort_array(collect_set("local_subject_id")).as("aliases"))
+        .orderBy("global_subject_id")
+    },
+
+    // J8: LabKey-style enrichment join with conditional updates.
+    QueryDef.sql(
+      "q_enrich_status",
+      """WITH labkey AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS last_ship,
+        |         bool_or(l_returnflag = 'R') AS consumed
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN lk.l_orderkey IS NOT NULL AND lk.consumed THEN FALSE ELSE TRUE END AS sample_available,
+        |  CAST(coalesce(year(lk.last_ship), year(o_orderdate)) AS INT) AS year_collected
+        |FROM orders
+        |LEFT JOIN labkey lk ON o_orderkey = lk.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val labkey = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(max("l_shipdate").as("last_ship"),
+          bool_or(col("l_returnflag") === "R").as("consumed"))
+      Tables.orders(s, d)
+        .join(labkey, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("l_orderkey").isNotNull && col("consumed"), lit(false))
+            .otherwise(lit(true)).as("sample_available"),
+          coalesce(year(col("last_ship")), year(col("o_orderdate"))).cast("int")
+            .as("year_collected"))
+        .orderBy("o_orderkey")
+    },
+
+    // F9: multi-format registration-year normalization with range check.
+    QueryDef.sql(
+      "q_fn_year_norm",
+      """WITH raws AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 5
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y')
+        |      WHEN 2 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |      WHEN 3 THEN 'not-a-date'
+        |      ELSE '1850'
+        |    END AS raw
+        |  FROM orders),
+        |parsed AS (
+        |  SELECT o_orderkey, raw,
+        |    coalesce(try_strptime(raw, '%Y-%m-%d'), try_strptime(raw, '%Y'),
+        |             try_strptime(raw, '%m/%d/%Y'), try_strptime(raw, '%d/%m/%Y'),
+        |             try_strptime(raw, '%Y/%m/%d')) AS p
+        |  FROM raws)
+        |SELECT o_orderkey, raw,
+        |  CASE WHEN year(p) BETWEEN 1900 AND 2100
+        |       THEN strftime(p, '%Y-01-01') END AS registration_year
+        |FROM parsed
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("raw", expr(
+          """CASE CAST(o_orderkey % 5 AS INT)
+            |  WHEN 0 THEN date_format(o_orderdate, 'yyyy-MM-dd')
+            |  WHEN 1 THEN date_format(o_orderdate, 'yyyy')
+            |  WHEN 2 THEN date_format(o_orderdate, 'MM/dd/yyyy')
+            |  WHEN 3 THEN 'not-a-date'
+            |  ELSE '1850'
+            |END""".stripMargin))
+        .select(col("o_orderkey"), col("raw"),
+          date_format(Coercions.normalizeRegistrationYear(col("raw")), "yyyy-MM-dd")
+            .as("registration_year"))
+        .orderBy("o_orderkey")
+    },
+
+    // U4: conflict-resolution application — surviving incoming rows
+    // after keep_existing/delete_both exclusions.
+    QueryDef.sql(
+      "q_conflict_apply",
+      """WITH incoming AS (
+        |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS local_subject_id,
+        |    'part' AS identifier_type,
+        |    CAST(l_suppkey % 5 AS INT) AS center_id,
+        |    'GSID-' || upper(substr(md5(CAST(l_partkey AS VARCHAR)), 1, 16)) AS global_subject_id
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |existing AS (
+        |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS local_subject_id,
+        |    'part' AS identifier_type,
+        |    CAST(l_partkey % 5 AS INT) AS center_id,
+        |    'GSID-' || upper(substr(md5(CAST(l_partkey + (l_partkey % 3) AS VARCHAR)), 1, 16)) AS global_subject_id
+        |  FROM lineitem WHERE l_linenumber = 2),
+        |conflicts AS (
+        |  SELECT i.local_subject_id, i.identifier_type,
+        |    e.center_id AS existing_center_id, i.center_id AS incoming_center_id,
+        |    CASE (e.center_id * 7 + i.center_id) % 3
+        |      WHEN 0 THEN 'keep_existing' WHEN 1 THEN 'use_incoming'
+        |      ELSE 'delete_both' END AS resolution_action
+        |  FROM incoming i
+        |  JOIN existing e USING (local_subject_id, identifier_type)
+        |  WHERE e.center_id <> i.center_id OR e.global_subject_id <> i.global_subject_id),
+        |excl AS (
+        |  SELECT DISTINCT local_subject_id, identifier_type FROM conflicts
+        |  WHERE resolution_action IN ('keep_existing', 'delete_both', 'pending', 'merge'))
+        |SELECT i.local_subject_id, i.identifier_type, i.center_id, i.global_subject_id
+        |FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM excl e
+        |                  WHERE e.local_subject_id = i.local_subject_id
+        |                    AND e.identifier_type = i.identifier_type)
+        |ORDER BY i.local_subject_id, i.center_id""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val incoming = li.filter(col("l_linenumber") === 1).select(
+        col("l_partkey").cast("string").as("local_subject_id"),
+        lit("part").as("identifier_type"),
+        (col("l_suppkey") % 5).cast("int").as("center_id"),
+        Gsid.deterministic(col("l_partkey").cast("string")).as("global_subject_id"))
+        .dropDuplicates()
+      val existing = li.filter(col("l_linenumber") === 2).select(
+        col("l_partkey").cast("string").as("local_subject_id"),
+        lit("part").as("identifier_type"),
+        (col("l_partkey") % 5).cast("int").as("center_id"),
+        Gsid.deterministic((col("l_partkey") + (col("l_partkey") % 3)).cast("string"))
+          .as("global_subject_id"))
+        .dropDuplicates()
+      val resolutions = ConflictDetector.detect(incoming, existing, "b")
+        .withColumn("resolution_action",
+          expr("""CASE CAST((existing_center_id * 7 + incoming_center_id) % 3 AS INT)
+                 |  WHEN 0 THEN 'keep_existing' WHEN 1 THEN 'use_incoming'
+                 |  ELSE 'delete_both' END""".stripMargin))
+      ConflictResolver.applyToIncoming(incoming, resolutions)
+        .orderBy("local_subject_id", "center_id")
+    },
+
+    // U5: cascading center updates driven by use_incoming resolutions.
+    QueryDef.sql(
+      "q_center_cascade",
+      s"""$registryCtes,
+         |res AS (
+         |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS global_subject_id,
+         |         CAST(s_nationkey AS INT) AS oldc, CAST((s_nationkey + 3) % 25 AS INT) AS newc
+         |  FROM supplier WHERE s_suppkey % 4 = 2)
+         |SELECT s.global_subject_id,
+         |  CASE WHEN r.global_subject_id IS NOT NULL AND s.center_id = r.oldc
+         |       THEN r.newc ELSE s.center_id END AS center_id,
+         |  strftime(s.created_at, '%Y-%m-%d') AS created_at,
+         |  coalesce(r.global_subject_id IS NOT NULL AND s.center_id = r.oldc, FALSE) AS center_updated
+         |FROM subjects s
+         |LEFT JOIN res r USING (global_subject_id)
+         |ORDER BY s.global_subject_id""".stripMargin) { (s, d) =>
+      val reg = IdentityQueries.registry(s, d)
+      val resolutions = Tables.supplier(s, d).filter(col("s_suppkey") % 4 === 2).select(
+        lit("center_mismatch").as("conflict_type"),
+        lit("use_incoming").as("resolution_action"),
+        Gsid.deterministic(concat(lit("S"), col("s_suppkey").cast("string"))).as("existing_gsid"),
+        col("s_nationkey").cast("int").as("existing_center_id"),
+        ((col("s_nationkey") + 3) % 25).cast("int").as("incoming_center_id"))
+      ConflictResolver.cascadeCenterUpdates(reg.subjects, resolutions)
+        .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd"))
+        .orderBy("global_subject_id")
+    })
+}
