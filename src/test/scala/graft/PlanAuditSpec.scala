@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.QueryDef
+
+/** Plan-shape audit: the properties that matter at 100 TB, asserted on
+  * the optimized plans of the declared queries (not just their
+  * results). Catches regressions like a lost broadcast, a lost filter
+  * pushdown, or a cartesian product sneaking in. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.allDefs.find(_.name == name).get
+    q.fn(spark, sf001).queryExecution.executedPlan.toString
+  }
+
+  test("dimension joins broadcast (no shuffle of nation/region)") {
+    val p = planOf("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val p = planOf("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(800))
+    // only the needed columns are read
+    assert(p.contains("l_returnflag") && !p.contains("l_comment"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("anti/semi joins stay joins (no subquery re-execution)") {
+    assert(planOf("q_anti_customers_no_urgent").contains("LeftAnti"))
+    assert(planOf("q_semi_customers_with_orders").contains("LeftSemi"))
+  }
+
+  test("fuzzy resolve broadcasts the dimension side") {
+    val p = planOf("q_fuzzy_center_resolve")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("global-distinct window is a broadcast aggregate, not a single-partition window") {
+    val p = planOf("q_w1_global_distinct")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("whole-stage codegen covers the scan-heavy queries") {
+    val q = SparkEntry.allDefs.find(_.name == "q_agg_pricing").get
+    val p = q.fn(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(400))
+  }
+}
