@@ -25,6 +25,8 @@ object GraftSession {
 
   def local(cores: Int = 32): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]"), cores)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .appName("idhubspark").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

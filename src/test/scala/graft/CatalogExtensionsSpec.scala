@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.RegistryCatalog
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("extension injection registers without error") {
+    // getOrCreate would reuse the shared session (extensions only apply
+    // at instantiation), so verify injection against a fresh
+    // SparkSessionExtensions instance.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
+  test("gen_gsid and base32_encode work through SQL") {
+    import graft.functions.{Base32Encode, GenerateGsid}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("gen_gsid", _ => GenerateGsid(), "built-in")
+    reg.createOrReplaceTempFunction("base32_encode",
+      args => Base32Encode(args.head, args(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    val rows = spark.sql("SELECT gen_gsid() AS g, base32_encode(32L, 2) AS b").collect()
+    assert(rows(0).getString(0).matches(graft.functions.Gsid.FormatRegex))
+    assert(rows(0).getString(1) == "10")
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed registry join plans without an Exchange on the registry side") {
+    val localIds = Seq(
+      (3, "ID-1", "primary", "G1"),
+      (4, "ID-2", "primary", "G2"))
+      .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+    val subjects = Seq(("G1", 3), ("G2", 4)).toDF("global_subject_id", "center_id")
+    RegistryCatalog.publish(spark, subjects, localIds, buckets = 4)
+
+    val candidates = Seq((1L, "id-1")).toDF("request_id", "local_subject_id")
+    // force a shuffle-worthy join (a broadcast join would bypass
+    // bucketing entirely on this tiny fixture)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = RegistryCatalog.matchCandidates(spark, candidates)
+      assert(out.collect().map(_.getAs[String]("global_subject_id")).toSeq == Seq("G1"))
+      // AQE prints Final + Initial plans; audit the final section only
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // registry-side scan uses its buckets; the only Exchange belongs
+      // to the candidate side
+      assert(plan.contains("Bucketed: true"), plan.take(1500))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
