@@ -59,6 +59,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     val a = sh.select(col("_id").as("id_a"), col("shingle"))
     val b = sh.select(col("_id").as("id_b"), col("shingle"))
@@ -83,15 +84,16 @@ object Dedup {
     * interpreted lambdas dominate. Documents with fewer than `n`
     * tokens have no shingles and drop out. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int,
-      numHashes: Int): DataFrame = {
+      numHashes: Int): DataFrame =
+    signatureFromShingles(shingles(df, idCol, textCol, n), numHashes)
+
+  private def signatureFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val rnd = new scala.util.Random(20260812L)
     val ab = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-    val exploded = shingles(df, idCol, textCol, n)
-      .withColumn("_h", xxhash64(col("shingle")))
     val aggs = ab.zipWithIndex.map { case ((a, b), i) =>
-      min(col("_h") * a + b).as(s"_m$i")
+      min(xxhash64(col("shingle")) * a + b).as(s"_m$i")
     }
-    exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
       .select(col("_id"),
         array((0 until numHashes).map(i => col(s"_m$i")): _*).as("signature"))
   }
@@ -134,13 +136,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard verification against a precomputed shingle table
+    * (same contract as [[verifyPairs]] but shares the shingle scan). */
+  private def verifyAgainstShingles(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val inter = candidates
+      .join(sh.select(col("_id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash+LSH near-dup detection, candidates verified with exact
-    * n-gram Jaccard (verification touches only candidate pairs). */
+    * n-gram Jaccard (verification touches only candidate pairs).
+    * The shingle table feeds both the signatures and the verification,
+    * so it is persisted for the duration of the job (at cluster scale
+    * this is the natural disk-persisted intermediate). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatureFromShingles(sh, numHashes)
     val cands = minhashCandidates(sig, bands, numHashes / bands)
-    verifyPairs(df, cands, idCol, textCol, n, threshold)
+    verifyAgainstShingles(sh, cands, threshold)
   }
 
   /** Bit masks 1L << 0..63 as an array literal (so lambdas can index

@@ -54,7 +54,19 @@ object IdentityResolver {
   def resolve(
       candidates: DataFrame,
       registry: Registry,
-      deterministicMint: Boolean = true): DataFrame = {
+      deterministicMint: Boolean = true): DataFrame =
+    resolve(candidates, registry, deterministicMint, groupingIterations = 2)
+
+  /** As [[resolve]], with explicit intra-batch grouping depth: each
+    * iteration propagates group leaders one identifier-hop further
+    * (iteration 1 merges direct sharers; 2 covers A~B~C chains — one
+    * hop more than the reference's own tests need; raise it for deeper
+    * chains). */
+  def resolve(
+      candidates: DataFrame,
+      registry: Registry,
+      deterministicMint: Boolean,
+      groupingIterations: Int): DataFrame = {
 
     val cand = candidates.select(
       col("request_id"), col("center_id"),
@@ -89,13 +101,19 @@ object IdentityResolver {
     val reqs = requests.join(agg, Seq("request_id"), "left")
       .withColumn("_n", coalesce(col("_n_matches"), lit(0)))
 
-    // intra-batch grouping of unmatched requests (see scaladoc)
+    // intra-batch grouping of unmatched requests (see scaladoc):
+    // iterated label propagation — leader(identifier) = min leader of
+    // its requests; leader(request) = min leader of its identifiers.
     val unmatchedCand = cand
       .join(reqs.filter(col("_n") === 0).select("request_id"), Seq("request_id"), "left_semi")
-    val idLeader = unmatchedCand.groupBy("_nid")
-      .agg(min("request_id").as("_leader"))
-    val reqLeader = unmatchedCand.join(idLeader, "_nid")
-      .groupBy("request_id").agg(min("_leader").as("_leader"))
+    var reqLeader = unmatchedCand.select(col("request_id"), col("request_id").as("_leader"))
+      .distinct()
+    for (_ <- 1 to math.max(1, groupingIterations)) {
+      val idLeader = unmatchedCand.join(reqLeader, "request_id")
+        .groupBy("_nid").agg(min("_leader").as("_id_leader"))
+      reqLeader = unmatchedCand.join(idLeader, "_nid")
+        .groupBy("request_id").agg(min("_id_leader").as("_leader"))
+    }
     val groupMint = unmatchedCand.join(reqLeader, "request_id")
       .groupBy("_leader").agg(min("_nid").as("_mint_key"))
     val mintBase = reqLeader.join(groupMint, "_leader")

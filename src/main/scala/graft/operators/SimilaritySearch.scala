@@ -73,6 +73,55 @@ object SimilaritySearch {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Squared L2 distance between a vector column and a literal
+    * centroid array. */
+  private def dist2(vec: Column, centroid: Column): Column =
+    aggregate(zip_with(vec, centroid, (x, c) => {
+      val d = x.cast("double") - c
+      d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to its nearest of `nLists` centroid lists; queries probe
+    * their `nProbe` nearest lists and rerank candidates with exact
+    * cosine. The scale path for ANN beyond LSH: centroids are learned
+    * from the data (seeded, deterministic), the list assignment is
+    * per-row expression work against broadcast centroid literals, and
+    * the probe join shuffles only (list, id, vec). `nProbe = nLists`
+    * degrades gracefully to exact brute force. */
+  def ivfTopK(
+      table: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = table.select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = planesLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+
+    val dists = (v: Column) => transform(centroids, c => dist2(v, c))
+    val listOf = (v: Column) =>
+      (array_position(dists(v), array_min(dists(v))) - 1).cast("int")
+
+    val t = table.select(col(idCol).as("neighbor_id"), col(vecCol).as("_tv"),
+      listOf(col(vecCol)).as("_list"))
+    // nProbe nearest lists per query: sort (dist, idx) structs, slice
+    val probeLists = {
+      val pairs = zip_with(dists(col(vecCol)), sequence(lit(0), lit(nLists - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))
+      transform(slice(sort_array(pairs), 1, nProbe), s => s("i").cast("int"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(probeLists).as("_list"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    t.join(broadcast(q), "_list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("_qv"), col("_tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** LSH-bucketed ANN top-k: probe the query's bucket and rerank with
     * exact cosine. Recall < 1 by construction; raise nBits for finer
     * buckets or lower it for higher recall. */

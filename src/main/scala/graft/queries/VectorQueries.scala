@@ -42,5 +42,12 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.annTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 6)
         .orderBy("query_id", "rank")
+    },
+
+    QueryDef.rowsOnly("q_vec_ann_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          nLists = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
     })
 }

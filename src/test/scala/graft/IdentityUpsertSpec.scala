@@ -82,6 +82,19 @@ class IdentityResolverSpec extends SparkSpec {
     assert(out(1L).getAs[String]("gsid") != out(3L).getAs[String]("gsid"))
   }
 
+  test("chained intra-batch convergence: A~B via id1, B~C via id2 share one GSID") {
+    val out = resolveMap(Seq(
+      (1L, 5, "chain-x", "primary"),
+      (1L, 5, "chain-y", "alias"),
+      (2L, 5, "chain-y", "primary"),
+      (2L, 5, "chain-z", "alias"),
+      (3L, 5, "chain-z", "primary"),
+      (4L, 5, "lonely", "primary")))
+    val gsids = Seq(1L, 2L, 3L).map(out(_).getAs[String]("gsid"))
+    assert(gsids.distinct.size == 1)
+    assert(out(4L).getAs[String]("gsid") != gsids.head)
+  }
+
   test("links: every identifier linked to chosen gsid with center ladder") {
     val cands = Seq(
       (1L, 0, "Solo-1", "primary"),       // existing center 7, incoming 0 → keep 7

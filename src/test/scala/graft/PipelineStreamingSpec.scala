@@ -144,6 +144,21 @@ class StreamingSpec extends SparkSpec {
     assert(closed(0).session_end == ts("2024-01-01 00:01:00"))
   }
 
+  test("readStream over a parquet directory drives the same windowed plan") {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val data = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 01:10:00"), 2, "click", 2.0))
+    data.toDF().write.parquet(s"$dir/events")
+    val stream = spark.readStream
+      .schema(data.toDF().schema)
+      .parquet(s"$dir/events")
+    val q = EventStream.windowedStats(stream).writeStream
+      .format("memory").queryName("file_win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("file_win_out").count() == 2)
+  }
+
   test("incremental filter (Modified > last_sync)") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-02-01 00:00:00")))

@@ -111,4 +111,17 @@ class VectorSpec extends SparkSpec {
       .collect()
     assert(out.exists(r => r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("score") == 1.0))
   }
+
+  test("ivf with full probing equals brute force; partial probing finds the twin") {
+    val brute = SimilaritySearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val full = SimilaritySearch.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 4,
+        nLists = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == brute)
+    val partial = SimilaritySearch.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 2,
+        nLists = 2, nProbe = 1).collect()
+    assert(partial.exists(r => r.getAs[Long]("neighbor_id") == 1L &&
+      r.getAs[Double]("score") == 1.0))
+  }
 }
