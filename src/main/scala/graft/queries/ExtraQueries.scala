@@ -36,6 +36,65 @@ object ExtraQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // REDCap-style wide→long melt (FIXTURES.md §5: specimen columns →
+    // typed rows), Spark's native unpivot.
+    QueryDef.sql(
+      "q_unpivot_melt",
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+
+    // U9: dimension get-or-create — existing names resolve, new names
+    // mint max(id) + dense_rank(normalized name).
+    QueryDef.sql(
+      "q_dim_get_or_create",
+      """WITH dim AS (SELECT n_nationkey AS center_id, n_name AS name FROM nation),
+        |incoming AS (
+        |  SELECT c_custkey AS input_id,
+        |    CASE c_custkey % 3
+        |      WHEN 0 THEN n.n_name
+        |      WHEN 1 THEN lower(n.n_name)
+        |      ELSE 'NewCenter-' || CAST(c_custkey % 7 AS VARCHAR)
+        |    END AS name
+        |  FROM customer JOIN nation n ON n.n_nationkey = c_nationkey),
+        |norm AS (SELECT input_id, name,
+        |                lower(trim(replace(name, '_', ' '))) AS nname FROM incoming),
+        |matched AS (
+        |  SELECT nm.input_id, nm.name, nm.nname, d.center_id AS dim_id
+        |  FROM norm nm LEFT JOIN dim d
+        |    ON lower(trim(replace(d.name, '_', ' '))) = nm.nname),
+        |newnames AS (
+        |  SELECT nname,
+        |         dense_rank() OVER (ORDER BY nname) + (SELECT max(center_id) FROM dim) AS new_id
+        |  FROM (SELECT DISTINCT nname FROM matched WHERE dim_id IS NULL))
+        |SELECT m.input_id, m.name,
+        |       CAST(coalesce(m.dim_id, nn.new_id) AS INT) AS center_id,
+        |       m.dim_id IS NULL AS is_new
+        |FROM matched m LEFT JOIN newnames nn USING (nname)
+        |ORDER BY m.input_id""".stripMargin) { (s, d) =>
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("center_id"), col("n_name").as("name"))
+      val incoming = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey").as("input_id"),
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+                 |  WHEN 0 THEN n_name
+                 |  WHEN 1 THEN lower(n_name)
+                 |  ELSE concat('NewCenter-', CAST(c_custkey % 7 AS STRING))
+                 |END""".stripMargin).as("name"))
+      graft.operators.DimensionUpsert.getOrCreate(dim, incoming).resolved
+        .select("input_id", "name", "center_id", "is_new")
+        .orderBy("input_id")
+    },
+
     // §7.3 minimum end-to-end slice: GSID from a local ID with center
     // detail (case-insensitive point predicate + two joins, P9/J1/J2).
     QueryDef.sql(
