@@ -85,10 +85,20 @@ case class GenerateGsid() extends LeafExpression with Nondeterministic with Code
   override def prettyName: String = "gen_gsid"
 }
 
-/** Fixed-length custom-alphabet base32 of a non-negative long (F12). */
+/** Fixed-length custom-alphabet base32 of a non-negative long (F12).
+  * Fully codegen'd: the generated code calls the static encoder, so
+  * the expression participates in whole-stage codegen instead of
+  * falling back to interpreted eval. */
 case class Base32Encode(child: Expression, length: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Gsid.encodeBase32($c, $length))")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (child.dataType == LongType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

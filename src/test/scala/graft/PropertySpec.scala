@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.Coercions
+import graft.operators.SkewJoin
+
+/** ScalaCheck-style property tests for the coercion layer (SURVEY.md
+  * §5 recommendation: property tests vs reference semantics, which the
+  * reference itself lacks), run in batched DataFrame form. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def genList[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("property: int round-trip — toIntLenient(i.toString) == i") {
+    val ints = genList(Gen.chooseNum(Int.MinValue, Int.MaxValue), 300)
+    val out = ints.map(_.toString).toDF("s")
+      .select(Coercions.toIntLenient($"s").as("i")).collect().map(_.getInt(0))
+    assert(out.toSeq == ints)
+  }
+
+  test("property: double round-trip and truncation-toward-zero parity") {
+    val ds = genList(Gen.chooseNum(-1e6, 1e6), 300)
+    val rows = ds.map(_.toString).toDF("s")
+      .select(Coercions.toDoubleLenient($"s").as("d"), Coercions.toIntLenient($"s").as("i"))
+      .collect()
+    rows.zip(ds).foreach { case (r, x) =>
+      assert(r.getDouble(0) == x)
+      assert(r.getInt(1) == x.toInt, s"trunc of $x") // Python int(float) semantics
+    }
+  }
+
+  test("property: garbage strings never throw, always null") {
+    val garbage = genList(Gen.alphaStr.map(_ + "!x"), 200) ++
+      Seq("--", "1.2.3", "e5", "+-2", "0x10")
+    val out = garbage.toDF("s").select(
+      Coercions.toIntLenient($"s").as("i"),
+      Coercions.toDoubleLenient($"s").as("d"),
+      Coercions.toDateLenient($"s").as("dt")).collect()
+    out.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("property: null tokens are null under any casing/padding") {
+    val tokens = for {
+      t <- Seq("null", "na", "n/a", "")
+      pad <- Seq("", " ", "  ")
+      s <- Seq(t.toUpperCase, t.capitalize, t)
+    } yield pad + s + pad
+    val out = tokens.toDF("s")
+      .select(Coercions.normalizeNullTokens($"s").as("v")).collect()
+    out.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("salted join equals plain join") {
+    val probe = (1 to 500).map(i => (i % 7, i)).toDF("k", "v")
+    val build = Seq((0, "a"), (1, "b"), (2, "c"), (6, "d")).toDF("k", "w")
+    val plain = probe.join(build, "k").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedEquiJoin(probe, build, "k", salt = 8,
+        probeSaltSource = col("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+}
+
+/** Driver-contract smoke: entry() must return rows on sf0.001. */
+class EntrySmokeSpec extends SparkSpec {
+  test("SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every declared query has unique name; oracle keys subset of queries") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
