@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL surface: register the testdata tables (and custom functions) so
+  * users can drive the engine with `spark.sql` instead of the
+  * DataFrame API — both compile to the same Catalyst plans. */
+object GraftSql {
+
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    Tables.names.foreach {
+      case "events" => Tables.events(spark, sfDir).createOrReplaceTempView("events")
+      case t => Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("gen_gsid",
+      _ => graft.functions.GenerateGsid(), "built-in")
+    reg.createOrReplaceTempFunction("base32_encode",
+      args => graft.functions.Base32Encode(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    graft.functions.Similarity.register(spark)
+  }
+}

@@ -36,6 +36,30 @@ object ExtraQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // CHECK-constraint quarantine: rows violating enum/range rules get
+    // routed to a side output with their violation list.
+    QueryDef.sql(
+      "q_quarantine_split",
+      """SELECT o_orderkey,
+        |  list_sort(list_filter([
+        |    CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE) THEN 'valid_status' END,
+        |    CASE WHEN NOT coalesce(o_totalprice > 0 AND o_totalprice < 500000, FALSE) THEN 'price_range' END],
+        |    x -> x IS NOT NULL)) AS violations
+        |FROM orders
+        |WHERE NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
+        |   OR NOT coalesce(o_totalprice > 0 AND o_totalprice < 500000, FALSE)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      graft.operators.Quarantine.split(
+        Tables.orders(s, d),
+        Seq(
+          graft.operators.Quarantine.enumRule("valid_status", col("o_orderstatus"), Seq("O", "F")),
+          graft.operators.Quarantine.Rule("price_range",
+            col("o_totalprice") > 0 && col("o_totalprice") < 500000)))
+        .quarantined
+        .select("o_orderkey", "violations")
+        .orderBy("o_orderkey")
+    },
+
     // REDCap-style wide→long melt (FIXTURES.md §5: specimen columns →
     // typed rows), Spark's native unpivot.
     QueryDef.sql(
