@@ -149,6 +149,56 @@ object IdentityResolver {
         (n > 1 || coalesce(col("_n_center_conflicts"), lit(0L)) > 0).as("requires_review"))
   }
 
+  /** Step 4-5 of the reference (`identity_resolution.py:272-330`): one
+    * `identity_resolutions` log row per request, with the JSONB
+    * candidate payload. The reference keys the row by the request's
+    * FIRST identifier; batch inputs have no positional order, so the
+    * deterministic stand-in is min(identifier_type, local_subject_id)
+    * (documented deviation). */
+  def resolutionLog(resolutions: DataFrame, candidates: DataFrame,
+      createdBy: String = "graft"): DataFrame = {
+    val firstCand = candidates
+      .groupBy("request_id")
+      .agg(min(struct(col("identifier_type"), col("local_subject_id"))).as("_first"),
+        to_json(sort_array(collect_set(struct(
+          col("local_subject_id"), col("identifier_type"))))).as("candidate_ids"))
+    resolutions.join(firstCand, "request_id")
+      .select(
+        col("_first.local_subject_id").as("local_subject_id"),
+        col("_first.identifier_type").as("identifier_type"),
+        col("center_id").as("input_center_id"),
+        col("gsid"), col("gsid").as("matched_gsid"),
+        col("action"), col("match_strategy"), col("confidence"),
+        col("candidate_ids"),
+        when(col("matched_gsids").isNotNull, to_json(col("matched_gsids")))
+          .as("matched_gsids"),
+        col("requires_review"),
+        lit(createdBy).as("created_by"))
+  }
+
+  /** Registry evolution (§3.2 batch form): fold one resolved batch into
+    * the registry snapshot — create_new subjects appended, identifier
+    * links MERGEd with the local_subject_ids delete-and-replace
+    * semantics. The returned snapshot is what the NEXT batch resolves
+    * against, giving the reference's sequential-visibility behavior at
+    * batch granularity. */
+  def applyBatch(
+      registry: Registry,
+      resolutions: DataFrame,
+      links: DataFrame,
+      createdAt: java.sql.Date): Registry = {
+    val newSubjects = resolutions.filter(col("action") === "create_new")
+      .select(col("gsid").as("global_subject_id"), col("center_id"),
+        lit(createdAt).as("created_at"))
+      .dropDuplicates("global_subject_id")
+    val subjects = registry.subjects.unionByName(newSubjects, allowMissingColumns = true)
+    val localIds = UpsertWriter.mergeLocalSubjectIds(
+      registry.localIds,
+      links.select("center_id", "local_subject_id", "identifier_type", "global_subject_id"))
+      .merged
+    Registry(subjects, localIds)
+  }
+
   /** Step 3 of the reference (`identity_resolution.py:213-268`): link
     * every candidate identifier to its request's chosen GSID, with the
     * center-preference ladder against the existing registry row.

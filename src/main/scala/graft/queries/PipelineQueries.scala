@@ -36,5 +36,41 @@ object PipelineQueries {
         IdentityQueries.registry(s, d), "batch_r1")
       r.mapped.select("sample_id", "segment", "batch", "subject_ref", "global_subject_id")
         .orderBy("sample_id")
+    },
+
+    // §3.2 registry evolution across two batches: batch 1 mints
+    // subjects for never-seen ids; after applyBatch, batch 2 presents
+    // the same ids from different requests and must LINK, reproducing
+    // the reference's sequential visibility at batch granularity.
+    QueryDef.rowsOnly("q_identity_evolution") { (s, d) =>
+      val reg0 = IdentityQueries.registry(s, d)
+      val customers = Tables.customer(s, d)
+      val batch1 = customers.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("request_id"),
+        col("c_nationkey").cast("int").as("center_id"),
+        concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
+        lit("primary").as("identifier_type"))
+      val res1 = IdentityResolver.resolve(batch1, reg0)
+      val links1 = IdentityResolver.links(batch1, res1, reg0.localIds)
+      val reg1 = IdentityResolver.applyBatch(reg0, res1, links1,
+        java.sql.Date.valueOf("2024-06-01"))
+
+      val batch2 = customers.filter(col("c_custkey") % 2 === 1).select(
+        col("c_custkey").as("request_id"),
+        col("c_nationkey").cast("int").as("center_id"),
+        concat(lit("EV-"), (col("c_custkey") - 1).cast("string")).as("local_subject_id"),
+        lit("primary").as("identifier_type"))
+      IdentityResolver.resolve(batch2, reg1)
+        .select("request_id", "action", "gsid", "match_strategy")
+        .orderBy("request_id")
+    },
+
+    // §2.9 step 5: the identity_resolutions audit log rows.
+    QueryDef.rowsOnly("q_identity_log") { (s, d) =>
+      val reg = IdentityQueries.registry(s, d)
+      val cands = IdentityQueries.candidates(s, d)
+      val res = IdentityResolver.resolve(cands, reg)
+      IdentityResolver.resolutionLog(res, cands)
+        .orderBy("local_subject_id", "identifier_type", "gsid")
     })
 }

@@ -95,6 +95,40 @@ class IdentityResolverSpec extends SparkSpec {
     assert(out(4L).getAs[String]("gsid") != gsids.head)
   }
 
+  test("registry evolution: batch 2 links to batch 1's minted subject") {
+    val cands1 = Seq(
+      (1L, 5, "NEW-A", "primary"), (1L, 5, "NEW-B", "alias"))
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val res1 = resolve(cands1, registry)
+    val mintedGsid = res1.collect()(0).getAs[String]("gsid")
+    val links1 = links(cands1, res1, registry.localIds)
+    val registry2 = applyBatch(registry, res1, links1, java.sql.Date.valueOf("2024-06-01"))
+
+    // batch 2 reuses NEW-B (case-folded) plus a fresh id → must LINK
+    val cands2 = Seq(
+      (9L, 5, "new-b", "primary"), (9L, 5, "NEW-C", "alias"))
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val res2 = resolve(cands2, registry2).collect()(0)
+    assert(res2.getAs[String]("action") == "link_existing")
+    assert(res2.getAs[String]("gsid") == mintedGsid)
+
+    // subjects grew by exactly the minted one; links carried both ids
+    assert(registry2.subjects.count() == registry.subjects.count() + 1)
+    assert(registry2.localIds.filter($"global_subject_id" === mintedGsid).count() == 2)
+  }
+
+  test("resolution log rows carry JSONB candidates and strategy") {
+    val cands = Seq(
+      (1L, 5, "Solo-1", "primary"), (1L, 5, "extra", "alias"))
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val res = resolve(cands, registry)
+    val log = resolutionLog(res, cands, "tester").collect()(0)
+    assert(log.getAs[String]("local_subject_id") == "extra") // min (alias, extra)
+    assert(log.getAs[String]("match_strategy") == "center_agnostic_match")
+    assert(log.getAs[String]("candidate_ids").contains("\"Solo-1\""))
+    assert(log.getAs[String]("created_by") == "tester")
+  }
+
   test("links: every identifier linked to chosen gsid with center ladder") {
     val cands = Seq(
       (1L, 0, "Solo-1", "primary"),       // existing center 7, incoming 0 → keep 7
