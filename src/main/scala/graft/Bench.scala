@@ -20,7 +20,9 @@ object Bench {
     val results = SparkEntry.allDefs.map { q =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // isolate queries: no cross-query cache residue
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -96,7 +96,8 @@ object SimilaritySearch {
     import org.apache.spark.ml.functions.array_to_vector
 
     val train = table.select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
+      .setInitMode("random").fit(train)
     val centroids = planesLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
 
     val dists = (v: Column) => transform(centroids, c => dist2(v, c))

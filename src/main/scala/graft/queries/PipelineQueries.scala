@@ -50,10 +50,17 @@ object PipelineQueries {
         col("c_nationkey").cast("int").as("center_id"),
         concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
         lit("primary").as("identifier_type"))
-      val res1 = IdentityResolver.resolve(batch1, reg0)
+      // a real pipeline publishes the snapshot between batches
+      // (Sources.publishSnapshot); localCheckpoint is the in-job
+      // equivalent — it truncates lineage, without which batch 2 pays
+      // Catalyst re-analysis of the whole batch-1 DAG in every branch
+      // (measured 33.8s → 0.6s for the second resolve at sf0.1)
+      val res1 = IdentityResolver.resolve(batch1, reg0).localCheckpoint(true)
       val links1 = IdentityResolver.links(batch1, res1, reg0.localIds)
-      val reg1 = IdentityResolver.applyBatch(reg0, res1, links1,
+      val reg1raw = IdentityResolver.applyBatch(reg0, res1, links1,
         java.sql.Date.valueOf("2024-06-01"))
+      val reg1 = IdentityResolver.Registry(
+        reg1raw.subjects.localCheckpoint(true), reg1raw.localIds.localCheckpoint(true))
 
       val batch2 = customers.filter(col("c_custkey") % 2 === 1).select(
         col("c_custkey").as("request_id"),
@@ -69,7 +76,7 @@ object PipelineQueries {
     QueryDef.rowsOnly("q_identity_log") { (s, d) =>
       val reg = IdentityQueries.registry(s, d)
       val cands = IdentityQueries.candidates(s, d)
-      val res = IdentityResolver.resolve(cands, reg)
+      val res = IdentityResolver.resolve(cands, reg).localCheckpoint(true)
       IdentityResolver.resolutionLog(res, cands)
         .orderBy("local_subject_id", "identifier_type", "gsid")
     })
