@@ -55,12 +55,27 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard over shingle-sharing candidates:
     * (id_a, id_b, n_common, n_a, n_b, jaccard) with jaccard ≥ threshold
-    * and id_a < id_b. */
+    * and id_a < id_b.
+    *
+    * `maxPostingList` (0 = off, the exact default) drops shingles shared
+    * by more than that many documents BEFORE the self-join: one stopword
+    * 3-gram shared by 1M docs would otherwise contribute 10¹² candidate
+    * pairs on its own. Capping makes `n_common` (and thus jaccard) an
+    * underestimate for pairs that only share hot shingles — at scale
+    * that is the right trade (hot shingles carry no signal), but it
+    * diverges from the exact oracle, so it is opt-in. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      threshold: Double, maxPostingList: Int = 0): DataFrame = {
+    val allSh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val sh =
+      if (maxPostingList <= 0) allSh
+      else {
+        val posting = allSh.groupBy("shingle").agg(count(lit(1)).as("_plen"))
+          .filter(col("_plen") <= maxPostingList)
+        allSh.join(posting, Seq("shingle")).drop("_plen")
+      }
+    val sizes = allSh.groupBy("_id").agg(count(lit(1)).as("_n"))
     val a = sh.select(col("_id").as("id_a"), col("shingle"))
     val b = sh.select(col("_id").as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle"))
@@ -87,6 +102,15 @@ object Dedup {
       numHashes: Int): DataFrame =
     signatureFromShingles(shingles(df, idCol, textCol, n), numHashes)
 
+  /** Dev/profiling entry: signatures from a precomputed shingle table. */
+  def minhashSignatureFromShingles(sh: DataFrame, numHashes: Int): DataFrame =
+    signatureFromShingles(sh, numHashes)
+
+  /** Dev/profiling entry: verification against a precomputed shingle table. */
+  def verifyPairsAgainstShingles(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    verifyAgainstShingles(sh, candidates, threshold)
+
   private def signatureFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val rnd = new scala.util.Random(20260812L)
     val ab = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
@@ -100,13 +124,30 @@ object Dedup {
 
   /** LSH banding: candidate pairs whose signatures agree on at least
     * one band of `rowsPerBand` consecutive hashes. Shuffle payload is
-    * (band_idx, band_hash, id) only. */
-  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * (band_idx, band_hash, id) only.
+    *
+    * `maxBucket` caps band-bucket size: a degenerate bucket (e.g. an
+    * all-identical corpus, or an adversarial band) would make the
+    * self-join quadratic on that key; buckets above the cap are dropped
+    * wholesale (candidates they would have produced are overwhelmingly
+    * duplicates of pairs surfaced by other, selective bands). 0 = off. */
+  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 256): DataFrame = {
     val banded = signatures.select(col("_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band_idx", "band_hash")))
-    banded.as("x").join(banded.as("y"),
+    val capped =
+      if (maxBucket <= 0) banded
+      else {
+        // co-partitioned with the self-join key, so the cap costs one
+        // map-side-combined aggregate, no extra wide shuffle
+        val sizes = banded.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket)
+        banded.join(sizes, Seq("band_idx", "band_hash")).drop("_bsz")
+      }
+    capped.as("x").join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x._id") < col("y._id"))
@@ -161,11 +202,14 @@ object Dedup {
     * so it is persisted for the duration of the job (at cluster scale
     * this is the natural disk-persisted intermediate). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 256): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize ONCE before the three consumers fork; without
+               // this, parallel stages each recompute the shingle scan
     val sig = signatureFromShingles(sh, numHashes)
-    val cands = minhashCandidates(sig, bands, numHashes / bands)
+    val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket)
     verifyAgainstShingles(sh, cands, threshold)
   }
 
@@ -210,13 +254,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3
-    * with 4 bands of 16 bits: pigeonhole guarantees a shared band). */
+    * with 4 bands of 16 bits: pigeonhole guarantees a shared band).
+    * `maxBucket` caps band-bucket size like [[minhashCandidates]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val withHash = simhashTable(df, idCol, textCol)
-    val banded = withHash.select(col("_id"), col("_sh"),
+    val allBanded = withHash.select(col("_id"), col("_sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band_idx", "band_val")))
+    val banded =
+      if (maxBucket <= 0) allBanded
+      else {
+        val sizes = allBanded.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket)
+        allBanded.join(sizes, Seq("band_idx", "band_val")).drop("_bsz")
+      }
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&

@@ -41,10 +41,10 @@ object ExtraQueries {
     QueryDef.sql(
       "q_quarantine_split",
       """SELECT o_orderkey,
-        |  list_sort(list_filter([
+        |  coalesce(array_to_string(list_sort(list_filter([
         |    CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE) THEN 'valid_status' END,
         |    CASE WHEN NOT coalesce(o_totalprice > 0 AND o_totalprice < 500000, FALSE) THEN 'price_range' END],
-        |    x -> x IS NOT NULL)) AS violations
+        |    x -> x IS NOT NULL)), ','), '') AS violations
         |FROM orders
         |WHERE NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
         |   OR NOT coalesce(o_totalprice > 0 AND o_totalprice < 500000, FALSE)
@@ -56,7 +56,8 @@ object ExtraQueries {
           graft.operators.Quarantine.Rule("price_range",
             col("o_totalprice") > 0 && col("o_totalprice") < 500000)))
         .quarantined
-        .select("o_orderkey", "violations")
+        // driver comparator can't sort ARRAY cells — ship a joined string
+        .select(col("o_orderkey"), concat_ws(",", col("violations")).as("violations"))
         .orderBy("o_orderkey")
     },
 
@@ -149,8 +150,8 @@ object ExtraQueries {
       s"""$registryCtes
          |SELECT local_subject_id, identifier_type,
          |  CAST(COUNT(DISTINCT global_subject_id) AS INT) AS n_gsids,
-         |  list_sort(list(DISTINCT global_subject_id)) AS gsids,
-         |  list_sort(list(DISTINCT center_id)) AS centers
+         |  array_to_string(list_sort(list(DISTINCT global_subject_id)), ',') AS gsids,
+         |  array_to_string(list_sort(list(DISTINCT center_id)), ',') AS centers
          |FROM localids
          |GROUP BY local_subject_id, identifier_type
          |HAVING COUNT(DISTINCT global_subject_id) > 1
@@ -158,8 +159,9 @@ object ExtraQueries {
       IdentityQueries.registry(s, d).localIds
         .groupBy("local_subject_id", "identifier_type")
         .agg(countDistinct("global_subject_id").cast("int").as("n_gsids"),
-          sort_array(collect_set("global_subject_id")).as("gsids"),
-          sort_array(collect_set("center_id")).as("centers"))
+          concat_ws(",", sort_array(collect_set("global_subject_id"))).as("gsids"),
+          concat_ws(",", transform(sort_array(collect_set("center_id")), _.cast("string")))
+            .as("centers"))
         .filter(col("n_gsids") > 1)
         .orderBy("local_subject_id")
     },
@@ -170,7 +172,7 @@ object ExtraQueries {
       s"""$registryCtes
          |SELECT s.global_subject_id, strftime(s.created_at, '%Y-%m-%d') AS created_at,
          |  COUNT(l.local_subject_id) AS n_aliases,
-         |  list_sort(list(DISTINCT l.local_subject_id)) AS aliases
+         |  coalesce(array_to_string(list_sort(list(DISTINCT l.local_subject_id)), ','), '') AS aliases
          |FROM subjects s
          |LEFT JOIN localids l USING (global_subject_id)
          |GROUP BY s.global_subject_id, s.created_at
@@ -182,7 +184,7 @@ object ExtraQueries {
           Seq("global_subject_id"), "left")
         .groupBy("global_subject_id", "created_at")
         .agg(count(col("local_subject_id")).as("n_aliases"),
-          sort_array(collect_set("local_subject_id")).as("aliases"))
+          concat_ws(",", sort_array(collect_set("local_subject_id"))).as("aliases"))
         .orderBy("global_subject_id")
     },
 

@@ -131,8 +131,8 @@ object IdentityQueries {
          |       ELSE 'no_match' END AS match_strategy,
          |  CAST(CASE WHEN coalesce(a.n_matches, 0) <= 1 AND coalesce(a.n_cc, 0) = 0 THEN 1.0
          |            WHEN coalesce(a.n_cc, 0) > 0 THEN 0.7 ELSE 0.5 END AS DOUBLE) AS confidence,
-         |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN a.matched
-         |       ELSE CAST(NULL AS VARCHAR[]) END AS matched_gsids,
+         |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN array_to_string(a.matched, ',')
+         |       END AS matched_gsids,
          |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN 'used_oldest'
          |       WHEN a.n_matches = 1 AND coalesce(a.n_cc, 0) > 0 THEN 'center_mismatch'
          |       END AS conflict_resolution,
@@ -142,6 +142,9 @@ object IdentityQueries {
          |JOIN mintkeys m USING (request_id)
          |ORDER BY r.request_id""".stripMargin) { (s, d) =>
       IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true)
+        // driver comparator can't sort ARRAY cells — ship a joined string
+        .withColumn("matched_gsids",
+          when(col("matched_gsids").isNotNull, concat_ws(",", col("matched_gsids"))))
         .orderBy("request_id")
     },
 
@@ -160,7 +163,7 @@ object IdentityQueries {
          |    (coalesce(a.n_matches, 0) > 1 OR coalesce(a.n_cc, 0) > 0) AS requires_review
          |  FROM requests r LEFT JOIN agg a USING (request_id) JOIN mintkeys m USING (request_id))
          |SELECT action, COUNT(*) AS n, CAST(COUNT(DISTINCT gsid) AS BIGINT) AS n_distinct_gsids,
-         |       SUM(CASE WHEN requires_review THEN 1 ELSE 0 END) AS n_review
+         |       CAST(SUM(CASE WHEN requires_review THEN 1 ELSE 0 END) AS BIGINT) AS n_review
          |FROM res GROUP BY action ORDER BY action""".stripMargin) { (s, d) =>
       IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true)
         .groupBy("action")

@@ -69,10 +69,10 @@ object OperatorQueries {
         |  CASE WHEN NOT ex_p THEN 'new' WHEN NOT in_p THEN 'orphaned'
         |       WHEN d_price OR d_status THEN 'updated' ELSE 'unchanged' END AS change_status,
         |  CASE WHEN ex_p AND in_p AND (d_price OR d_status)
-        |       THEN list_sort(list_filter(
+        |       THEN coalesce(array_to_string(list_sort(list_filter(
         |              [CASE WHEN d_price THEN 'o_totalprice' END,
-        |               CASE WHEN d_status THEN 'o_orderstatus' END], x -> x IS NOT NULL))
-        |       ELSE CAST([] AS VARCHAR[]) END AS changed_fields
+        |               CASE WHEN d_status THEN 'o_orderstatus' END], x -> x IS NOT NULL)), ','), '')
+        |       ELSE '' END AS changed_fields
         |FROM j
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -82,7 +82,9 @@ object OperatorQueries {
             .otherwise(col("o_totalprice")))
       val existing = orders.filter(col("o_orderkey") % 7 =!= 0)
       ChangeDetector.compare(incoming, existing, Seq("o_orderkey"))
-        .select("o_orderkey", "change_status", "changed_fields")
+        // driver comparator can't sort ARRAY cells — ship a joined string
+        .select(col("o_orderkey"), col("change_status"),
+          concat_ws(",", col("changed_fields")).as("changed_fields"))
         .orderBy("o_orderkey")
     },
 

@@ -95,7 +95,7 @@ object ReportingQueries {
     // A5: multi-status customers (ARRAY_AGG DISTINCT + HAVING > 1).
     QueryDef.sql(
       "q_rep_multi_status",
-      """SELECT o_custkey, list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      """SELECT o_custkey, array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
         |FROM orders
         |GROUP BY o_custkey
@@ -103,7 +103,7 @@ object ReportingQueries {
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
           countDistinct("o_orderstatus").cast("int").as("n_statuses"))
         .filter(col("n_statuses") > 1)
         .orderBy("o_custkey")
@@ -160,9 +160,9 @@ object ReportingQueries {
     QueryDef.sql(
       "q_rep_conditional_agg",
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
@@ -177,13 +177,14 @@ object ReportingQueries {
     // A12: collect-to-document (grouped sorted lists).
     QueryDef.sql(
       "q_rep_collect_lists",
-      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS user_ids
+      """SELECT event_type, array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_ids
         |FROM events WHERE event_id < 500
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d).filter(col("event_id") < 500)
         .groupBy("event_type")
-        .agg(sort_array(collect_set(col("user_id"))).as("user_ids"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_set(col("user_id"))), _.cast("string"))).as("user_ids"))
         .orderBy("event_type")
     },
 

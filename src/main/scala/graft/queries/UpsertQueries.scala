@@ -100,12 +100,13 @@ object UpsertQueries {
     QueryDef.sql(
       "q_upsert_preview",
       s"""$oracleCtes
-         |SELECT SUM(CASE WHEN status = 'insert' THEN 1 ELSE 0 END) AS inserted,
-         |       SUM(CASE WHEN status = 'update' THEN 1 ELSE 0 END) AS updated,
-         |       SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS unchanged,
-         |       SUM(CASE WHEN status = 'orphaned' THEN 1 ELSE 0 END) AS orphaned
-         |FROM cls""".stripMargin) { (s, d) =>
+         |SELECT CAST(SUM(CASE WHEN status = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+         |       CAST(SUM(CASE WHEN status = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+         |       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+         |       CAST(SUM(CASE WHEN status = 'orphaned' THEN 1 ELSE 0 END) AS BIGINT) AS orphaned
+         |FROM cls
+         |ORDER BY inserted""".stripMargin) { (s, d) =>
       val (current, incoming) = mergeInputs(s, d)
-      UpsertWriter.merge(current, incoming, cfg).preview
+      UpsertWriter.merge(current, incoming, cfg).preview.orderBy("inserted")
     })
 }

@@ -25,11 +25,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mimic the driver EXACTLY: no tuple-canonicalization of list cells —
+    # ARRAY output columns must already be stringified by the query.
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
