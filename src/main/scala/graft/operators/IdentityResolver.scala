@@ -39,6 +39,19 @@ object IdentityResolver {
 
   final case class Registry(subjects: DataFrame, localIds: DataFrame)
 
+  /** Optional subject columns (withdrawn / flagged_for_review /
+    * review_notes — `01-schema.sql:26-29`) defaulted when the snapshot
+    * doesn't carry them, so small registries stay minimal. */
+  private def withSubjectFlags(subjects: DataFrame): DataFrame = {
+    val c = subjects.columns.toSet
+    val s1 = if (c("withdrawn")) subjects
+             else subjects.withColumn("withdrawn", lit(false))
+    val s2 = if (c("flagged_for_review")) s1
+             else s1.withColumn("flagged_for_review", lit(false))
+    if (c("review_notes")) s2
+    else s2.withColumn("review_notes", lit(null).cast("string"))
+  }
+
   /** Resolve a batch.
     *
     * `candidates` columns: request_id, center_id, local_subject_id,
@@ -78,9 +91,10 @@ object IdentityResolver {
       col("center_id").as("_id_center"),
       col("global_subject_id").as("_gsid"))
 
-    val subj = registry.subjects.select(
+    val subj = withSubjectFlags(registry.subjects).select(
       col("global_subject_id").as("_gsid"),
-      col("created_at").as("_created_at"))
+      col("created_at").as("_created_at"),
+      coalesce(col("withdrawn"), lit(false)).as("_withdrawn"))
 
     // J1: center-agnostic, case-insensitive registry match
     val matches = cand.select(col("request_id"), col("center_id").as("_req_center"), col("_nid"))
@@ -94,7 +108,8 @@ object IdentityResolver {
         x => x("g")).as("_matched"),
       sum(when(col("_id_center") =!= col("_req_center") &&
                col("_id_center") =!= 0 && col("_req_center") =!= 0, 1L).otherwise(0L))
-        .as("_n_center_conflicts"))
+        .as("_n_center_conflicts"),
+      max(when(col("_withdrawn"), 1L).otherwise(0L)).as("_any_withdrawn"))
 
     val requests = cand.groupBy("request_id").agg(max(col("center_id")).as("center_id"))
 
@@ -136,6 +151,12 @@ object IdentityResolver {
           .otherwise(lit("conflict_resolved")).as("action"),
         when(n === 0, col("_new_gsid")).otherwise(element_at(col("_matched"), 1)).as("gsid"),
         when(n > 1, lit("multiple_gsid_conflict"))
+          // single match against a withdrawn subject: still links (the
+          // reference carries `withdrawn` through and records it —
+          // identity_resolution.py:52-81) but under the schema's
+          // 'exact_withdrawn' strategy (01-schema.sql:105)
+          .when(n === 1 && coalesce(col("_any_withdrawn"), lit(0L)) > 0,
+            lit("exact_withdrawn"))
           .when(n === 1, lit("center_agnostic_match"))
           .otherwise(lit("no_match")).as("match_strategy"),
         when(n <= 1 && coalesce(col("_n_center_conflicts"), lit(0L)) === 0, lit(1.0))
@@ -146,7 +167,8 @@ object IdentityResolver {
         when(n > 1, lit("used_oldest"))
           .when(n === 1 && coalesce(col("_n_center_conflicts"), lit(0L)) > 0,
             lit("center_mismatch")).as("conflict_resolution"),
-        (n > 1 || coalesce(col("_n_center_conflicts"), lit(0L)) > 0).as("requires_review"))
+        (n > 1 || coalesce(col("_n_center_conflicts"), lit(0L)) > 0 ||
+          coalesce(col("_any_withdrawn"), lit(0L)) > 0).as("requires_review"))
   }
 
   /** Step 4-5 of the reference (`identity_resolution.py:272-330`): one
@@ -181,23 +203,105 @@ object IdentityResolver {
     * links MERGEd with the local_subject_ids delete-and-replace
     * semantics. The returned snapshot is what the NEXT batch resolves
     * against, giving the reference's sequential-visibility behavior at
-    * batch granularity. */
+    * batch granularity.
+    *
+    * Subject-row updates applied per the reference's in-transaction
+    * UPDATEs (`identity_resolution.py:139-211`):
+    *  - center 0→real upgrade: a `link_existing` resolution carrying a
+    *    real center onto an unknown-center (0) subject updates the
+    *    subject row (`:139-154`; deterministic pick = min real center
+    *    when several requests link the same subject in one batch);
+    *  - review flags: center-mismatch links flag the chosen subject,
+    *    multi-GSID conflicts flag ALL matched subjects (`:156-211`),
+    *    appending a dated note to `review_notes`. */
   def applyBatch(
       registry: Registry,
       resolutions: DataFrame,
       links: DataFrame,
       createdAt: java.sql.Date): Registry = {
+    val base = withSubjectFlags(registry.subjects)
+
     val newSubjects = resolutions.filter(col("action") === "create_new")
       .select(col("gsid").as("global_subject_id"), col("center_id"),
-        lit(createdAt).as("created_at"))
+        lit(createdAt).as("created_at"),
+        lit(false).as("withdrawn"), lit(false).as("flagged_for_review"),
+        lit(null).cast("string").as("review_notes"))
       .dropDuplicates("global_subject_id")
-    val subjects = registry.subjects.unionByName(newSubjects, allowMissingColumns = true)
+
+    val upgrades = resolutions
+      .filter(col("action") === "link_existing" && col("center_id") =!= 0)
+      .groupBy(col("gsid").as("global_subject_id"))
+      .agg(min("center_id").as("_new_center"))
+
+    val flags = resolutions
+      .filter(col("requires_review") && col("action") =!= "create_new")
+      .select(col("gsid").as("global_subject_id"),
+        when(col("action") === "conflict_resolved",
+          lit(s"MULTI-GSID CONFLICT detected on $createdAt"))
+          .otherwise(lit(s"CENTER CONFLICT detected on $createdAt")).as("_note"))
+      .unionByName(resolutions.filter(col("action") === "conflict_resolved")
+        .select(explode(col("matched_gsids")).as("global_subject_id"),
+          lit(s"MULTI-GSID CONFLICT detected on $createdAt").as("_note")))
+      .groupBy("global_subject_id")
+      .agg(concat_ws("\n", sort_array(collect_set(col("_note")))).as("_notes"))
+
+    val updated = base
+      .join(upgrades, Seq("global_subject_id"), "left")
+      .join(flags, Seq("global_subject_id"), "left")
+      .withColumn("center_id",
+        when(col("center_id") === 0 && col("_new_center").isNotNull, col("_new_center"))
+          .otherwise(col("center_id")))
+      .withColumn("review_notes",
+        when(col("_notes").isNotNull, concat_ws("\n", col("review_notes"), col("_notes")))
+          .otherwise(col("review_notes")))
+      .withColumn("flagged_for_review", col("flagged_for_review") || col("_notes").isNotNull)
+      .drop("_new_center", "_notes")
+
+    val subjects = updated.unionByName(newSubjects, allowMissingColumns = true)
     val localIds = UpsertWriter.mergeLocalSubjectIds(
       registry.localIds,
       links.select("center_id", "local_subject_id", "identifier_type", "global_subject_id"))
       .merged
     Registry(subjects, localIds)
   }
+
+  /** Withdraw subjects (`gsid-service/api/routes.py:159-182`): set
+    * `withdrawn` and append a dated reason to `review_notes`.
+    * `withdrawals` columns: global_subject_id, optional reason. */
+  def withdraw(subjects: DataFrame, withdrawals: DataFrame,
+      asOf: java.sql.Date): DataFrame = {
+    val w = (if (withdrawals.columns.contains("reason")) withdrawals
+             else withdrawals.withColumn("reason", lit(null).cast("string")))
+      .select(col("global_subject_id"), col("reason"))
+      .dropDuplicates("global_subject_id")
+      .withColumn("_w_note",
+        concat(lit(s"Withdrawn on $asOf"),
+          when(col("reason").isNotNull, concat(lit(". Reason: "), col("reason")))
+            .otherwise(lit(""))))
+    withSubjectFlags(subjects)
+      .join(w.select("global_subject_id", "_w_note"), Seq("global_subject_id"), "left")
+      .withColumn("withdrawn", col("withdrawn") || col("_w_note").isNotNull)
+      .withColumn("review_notes",
+        when(col("_w_note").isNotNull, concat_ws("\n", col("review_notes"), col("_w_note")))
+          .otherwise(col("review_notes")))
+      .drop("_w_note")
+  }
+
+  /** `v_subjects_requiring_review` (`01-schema.sql:628-646`): subjects
+    * flagged for review or withdrawn, with center name and identifier
+    * rollup counts. `centers` columns: center_id, name. */
+  def requiringReview(subjects: DataFrame, localIds: DataFrame,
+      centers: DataFrame): DataFrame =
+    withSubjectFlags(subjects)
+      .filter(col("flagged_for_review") || col("withdrawn"))
+      .join(broadcast(centers.select(col("center_id"), col("name").as("center_name"))),
+        Seq("center_id"), "left")
+      .join(localIds.select("global_subject_id", "identifier_type", "local_subject_id"),
+        Seq("global_subject_id"), "left")
+      .groupBy("global_subject_id", "center_id", "center_name", "flagged_for_review",
+        "review_notes", "withdrawn", "created_at")
+      .agg(countDistinct("identifier_type").cast("long").as("num_identifier_types"),
+        countDistinct("local_subject_id").cast("long").as("num_local_ids"))
 
   /** Step 3 of the reference (`identity_resolution.py:213-268`): link
     * every candidate identifier to its request's chosen GSID, with the

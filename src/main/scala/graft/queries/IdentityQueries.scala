@@ -40,6 +40,26 @@ object IdentityQueries {
     IdentityResolver.Registry(subjects, localIds)
   }
 
+  /** As [[registry]], with withdrawn/review flags derived from the
+    * supplier key: every 7th 'S' subject (s_suppkey % 7 = 3) is
+    * withdrawn; every 11th (s_suppkey % 11 = 5) is flagged for review
+    * with a note. */
+  private[queries] def flaggedRegistry(s: SparkSession, d: String): IdentityResolver.Registry = {
+    val base = registry(s, d)
+    val sup = Tables.supplier(s, d)
+    val gS = Gsid.deterministic(concat(lit("S"), col("s_suppkey").cast("string")))
+    val flags = sup.select(gS.as("global_subject_id"),
+      (col("s_suppkey") % 7 === 3).as("withdrawn"),
+      (col("s_suppkey") % 11 === 5).as("flagged_for_review"),
+      when(col("s_suppkey") % 11 === 5, lit("flagged during load"))
+        .cast("string").as("review_notes"))
+    val subjects = base.subjects
+      .join(flags, Seq("global_subject_id"), "left")
+      .withColumn("withdrawn", coalesce(col("withdrawn"), lit(false)))
+      .withColumn("flagged_for_review", coalesce(col("flagged_for_review"), lit(false)))
+    IdentityResolver.Registry(subjects, base.localIds)
+  }
+
   private[queries] def candidates(s: SparkSession, d: String): DataFrame = {
     val nsupp = Tables.supplier(s, d).count() // tiny dim; driver-side count is fine
     val requests = Tables.customer(s, d).select(
@@ -146,6 +166,133 @@ object IdentityQueries {
         .withColumn("matched_gsids",
           when(col("matched_gsids").isNotNull, concat_ws(",", col("matched_gsids"))))
         .orderBy("request_id")
+    },
+
+    // Withdrawn-aware resolution: same batch, registry where every 7th
+    // 'S' subject is withdrawn — single matches against them resolve
+    // under 'exact_withdrawn' and require review (identity_resolution
+    // .py:52-81, 01-schema.sql:105).
+    QueryDef.sql(
+      "q_identity_withdrawn",
+      """WITH localids AS (
+        |  SELECT s_name AS local_subject_id, CAST(s_nationkey AS INT) AS center_id,
+        |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_name, CAST((s_nationkey + 1) % 25 AS INT),
+        |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |subjects AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at,
+        |         s_suppkey % 7 = 3 AS withdrawn
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+        |         DATE '2019-01-01' + CAST(s_suppkey AS INT), FALSE
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |requests AS (
+        |  SELECT c_custkey AS request_id,
+        |         CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE CAST(c_nationkey AS INT) END AS center_id
+        |  FROM customer),
+        |cands AS (
+        |  SELECT r.request_id, r.center_id,
+        |         CASE WHEN r.request_id % 8 = 5 THEN upper(s.s_name) ELSE s.s_name END AS local_subject_id
+        |  FROM requests r JOIN supplier s
+        |    ON s.s_suppkey = r.request_id % (SELECT COUNT(*) FROM supplier)
+        |  WHERE r.request_id % 4 = 1
+        |  UNION ALL
+        |  SELECT request_id, center_id, 'A-' || CAST(request_id AS VARCHAR)
+        |  FROM requests WHERE request_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT request_id, center_id, 'C-' || CAST(request_id AS VARCHAR) FROM requests),
+        |matches AS (
+        |  SELECT c.request_id, c.center_id AS req_center, l.gsid,
+        |         l.center_id AS id_center, s.created_at, s.withdrawn
+        |  FROM cands c
+        |  JOIN localids l ON lower(l.local_subject_id) = lower(c.local_subject_id)
+        |  JOIN subjects s ON s.gsid = l.gsid),
+        |agg AS (
+        |  SELECT request_id,
+        |         CAST(COUNT(DISTINCT gsid) AS INT) AS n_matches,
+        |         list_transform(list_sort(list(DISTINCT [CAST(created_at AS VARCHAR), gsid])),
+        |                        x -> x[2]) AS matched,
+        |         SUM(CASE WHEN id_center <> req_center AND id_center <> 0 AND req_center <> 0
+        |                  THEN 1 ELSE 0 END) AS n_cc,
+        |         MAX(CASE WHEN withdrawn THEN 1 ELSE 0 END) AS any_w
+        |  FROM matches GROUP BY request_id),
+        |mintkeys AS (
+        |  SELECT request_id, min(lower(local_subject_id)) AS mint_key
+        |  FROM cands GROUP BY request_id)
+        |SELECT r.request_id, r.center_id,
+        |  CASE WHEN coalesce(a.n_matches, 0) = 0 THEN 'create_new'
+        |       WHEN a.n_matches = 1 THEN 'link_existing'
+        |       ELSE 'conflict_resolved' END AS action,
+        |  CASE WHEN coalesce(a.n_matches, 0) = 0
+        |       THEN 'GSID-' || upper(substr(md5('NEW:' || m.mint_key), 1, 16))
+        |       ELSE a.matched[1] END AS gsid,
+        |  CASE WHEN coalesce(a.n_matches, 0) > 1 THEN 'multiple_gsid_conflict'
+        |       WHEN a.n_matches = 1 AND coalesce(a.any_w, 0) > 0 THEN 'exact_withdrawn'
+        |       WHEN a.n_matches = 1 THEN 'center_agnostic_match'
+        |       ELSE 'no_match' END AS match_strategy,
+        |  (coalesce(a.n_matches, 0) > 1 OR coalesce(a.n_cc, 0) > 0
+        |    OR coalesce(a.any_w, 0) > 0) AS requires_review
+        |FROM requests r
+        |LEFT JOIN agg a USING (request_id)
+        |JOIN mintkeys m USING (request_id)
+        |ORDER BY r.request_id""".stripMargin) { (s, d) =>
+      IdentityResolver.resolve(candidates(s, d), flaggedRegistry(s, d),
+          deterministicMint = true)
+        .select("request_id", "center_id", "action", "gsid", "match_strategy",
+          "requires_review")
+        .orderBy("request_id")
+    },
+
+    // v_subjects_requiring_review (01-schema.sql:628-646): flagged or
+    // withdrawn subjects with center name + identifier rollups.
+    QueryDef.sql(
+      "q_rep_requiring_review",
+      """WITH localids AS (
+        |  SELECT s_name AS local_subject_id, 'primary' AS identifier_type,
+        |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_name, 'primary',
+        |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |subjects AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         CAST(s_nationkey AS INT) AS center_id,
+        |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at,
+        |         s_suppkey % 7 = 3 AS withdrawn,
+        |         s_suppkey % 11 = 5 AS flagged_for_review,
+        |         CASE WHEN s_suppkey % 11 = 5 THEN 'flagged during load' END AS review_notes
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+        |         CAST((s_nationkey + 1) % 25 AS INT),
+        |         DATE '2019-01-01' + CAST(s_suppkey AS INT), FALSE, FALSE, NULL
+        |  FROM supplier WHERE s_suppkey % 10 = 0)
+        |SELECT s.gsid AS global_subject_id, s.center_id, n.n_name AS center_name,
+        |  s.flagged_for_review, s.review_notes, s.withdrawn,
+        |  strftime(s.created_at, '%Y-%m-%d') AS created_at,
+        |  COUNT(DISTINCT l.identifier_type) AS num_identifier_types,
+        |  COUNT(DISTINCT l.local_subject_id) AS num_local_ids
+        |FROM subjects s
+        |LEFT JOIN nation n ON n.n_nationkey = s.center_id
+        |LEFT JOIN localids l ON l.gsid = s.gsid
+        |WHERE s.flagged_for_review OR s.withdrawn
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7
+        |ORDER BY global_subject_id""".stripMargin) { (s, d) =>
+      val reg = flaggedRegistry(s, d)
+      val centers = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("center_id"), col("n_name").as("name"))
+      IdentityResolver.requiringReview(reg.subjects, reg.localIds, centers)
+        .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd"))
+        .select("global_subject_id", "center_id", "center_name", "flagged_for_review",
+          "review_notes", "withdrawn", "created_at", "num_identifier_types",
+          "num_local_ids")
+        .orderBy("global_subject_id")
     },
 
     // A1-shape resolution summary over the same batch.
