@@ -14,6 +14,37 @@ import graft.types.MappingConfig
   * from data, so the projected columns are stable; rows-only check. */
 object PipelineQueries {
 
+  /** Batch 1 of the evolution scenario (even custkeys, never-seen EV-
+    * identifiers) folded into the supplier registry. A real pipeline
+    * publishes the snapshot between batches (Sources.publishSnapshot);
+    * localCheckpoint is the in-job equivalent — it truncates lineage,
+    * without which batch 2 pays Catalyst re-analysis of the whole
+    * batch-1 DAG in every branch (measured 33.8s → 0.6s at sf0.1). */
+  private def evolutionBatch1(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, IdentityResolver.Registry) = {
+    val reg0 = IdentityQueries.registry(s, d)
+    val batch1 = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0).select(
+      col("c_custkey").as("request_id"),
+      col("c_nationkey").cast("int").as("center_id"),
+      concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
+      lit("primary").as("identifier_type"))
+    val res1 = IdentityResolver.resolve(batch1, reg0).localCheckpoint(true)
+    val links1 = IdentityResolver.links(batch1, res1, reg0.localIds)
+    val reg1raw = IdentityResolver.applyBatch(reg0, res1, links1,
+      java.sql.Date.valueOf("2024-06-01"))
+    (batch1, IdentityResolver.Registry(
+      reg1raw.subjects.localCheckpoint(true), reg1raw.localIds.localCheckpoint(true)))
+  }
+
+  /** Batch 2: odd custkeys presenting batch 1's identifiers. */
+  private def evolutionBatch2(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 2 === 1).select(
+      col("c_custkey").as("request_id"),
+      col("c_nationkey").cast("int").as("center_id"),
+      concat(lit("EV-"), (col("c_custkey") - 1).cast("string")).as("local_subject_id"),
+      lit("primary").as("identifier_type"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.rowsOnly("q_pipeline_validate") { (s, d) =>
       val mapping = MappingConfig.fromJson(
@@ -41,43 +72,188 @@ object PipelineQueries {
     // §3.2 registry evolution across two batches: batch 1 mints
     // subjects for never-seen ids; after applyBatch, batch 2 presents
     // the same ids from different requests and must LINK, reproducing
-    // the reference's sequential visibility at batch granularity.
-    QueryDef.rowsOnly("q_identity_evolution") { (s, d) =>
-      val reg0 = IdentityQueries.registry(s, d)
-      val customers = Tables.customer(s, d)
-      val batch1 = customers.filter(col("c_custkey") % 2 === 0).select(
-        col("c_custkey").as("request_id"),
-        col("c_nationkey").cast("int").as("center_id"),
-        concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
-        lit("primary").as("identifier_type"))
-      // a real pipeline publishes the snapshot between batches
-      // (Sources.publishSnapshot); localCheckpoint is the in-job
-      // equivalent — it truncates lineage, without which batch 2 pays
-      // Catalyst re-analysis of the whole batch-1 DAG in every branch
-      // (measured 33.8s → 0.6s for the second resolve at sf0.1)
-      val res1 = IdentityResolver.resolve(batch1, reg0).localCheckpoint(true)
-      val links1 = IdentityResolver.links(batch1, res1, reg0.localIds)
-      val reg1raw = IdentityResolver.applyBatch(reg0, res1, links1,
-        java.sql.Date.valueOf("2024-06-01"))
-      val reg1 = IdentityResolver.Registry(
-        reg1raw.subjects.localCheckpoint(true), reg1raw.localIds.localCheckpoint(true))
-
-      val batch2 = customers.filter(col("c_custkey") % 2 === 1).select(
-        col("c_custkey").as("request_id"),
-        col("c_nationkey").cast("int").as("center_id"),
-        concat(lit("EV-"), (col("c_custkey") - 1).cast("string")).as("local_subject_id"),
-        lit("primary").as("identifier_type"))
-      IdentityResolver.resolve(batch2, reg1)
-        .select("request_id", "action", "gsid", "match_strategy")
+    // the reference's sequential visibility at batch granularity. The
+    // DuckDB oracle folds batch 1 into the registry as a WITH-chain and
+    // re-derives batch 2's full resolution row.
+    QueryDef.sql(
+      "q_identity_evolution",
+      """WITH b1 AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS ctr
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |sub1 AS (
+        |  SELECT k, ctr,
+        |    'GSID-' || upper(substr(md5('NEW:ev-' || CAST(k AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM b1),
+        |b2 AS (
+        |  SELECT c_custkey AS request_id, CAST(c_nationkey AS INT) AS center_id,
+        |         c_custkey - 1 AS prev
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |j AS (
+        |  SELECT r.request_id, r.center_id, r.prev, s.gsid, s.ctr AS id_center
+        |  FROM b2 r LEFT JOIN sub1 s ON s.k = r.prev)
+        |SELECT request_id, center_id,
+        |  CASE WHEN gsid IS NULL THEN 'create_new' ELSE 'link_existing' END AS action,
+        |  coalesce(gsid,
+        |    'GSID-' || upper(substr(md5('NEW:ev-' || CAST(prev AS VARCHAR)), 1, 16))) AS gsid,
+        |  CASE WHEN gsid IS NULL THEN 'no_match' ELSE 'center_agnostic_match' END AS match_strategy,
+        |  CAST(CASE WHEN gsid IS NOT NULL AND id_center <> center_id
+        |                 AND id_center <> 0 AND center_id <> 0
+        |            THEN 0.7 ELSE 1.0 END AS DOUBLE) AS confidence,
+        |  CASE WHEN gsid IS NOT NULL AND id_center <> center_id
+        |            AND id_center <> 0 AND center_id <> 0
+        |       THEN 'center_mismatch' END AS conflict_resolution,
+        |  coalesce(gsid IS NOT NULL AND id_center <> center_id
+        |            AND id_center <> 0 AND center_id <> 0, FALSE) AS requires_review
+        |FROM j
+        |ORDER BY request_id""".stripMargin) { (s, d) =>
+      val (_, reg1) = evolutionBatch1(s, d)
+      IdentityResolver.resolve(evolutionBatch2(s, d), reg1)
+        .select("request_id", "center_id", "action", "gsid", "match_strategy",
+          "confidence", "conflict_resolution", "requires_review")
         .orderBy("request_id")
     },
 
-    // §2.9 step 5: the identity_resolutions audit log rows.
-    QueryDef.rowsOnly("q_identity_log") { (s, d) =>
+    // The evolved registry itself after BOTH batches: batch-1-minted
+    // subjects (plus batch 2's create_new stragglers) with the
+    // center 0->real upgrade and center-conflict review flags applied
+    // by applyBatch (identity_resolution.py:139-211).
+    QueryDef.sql(
+      "q_identity_evolution_registry",
+      """WITH b1 AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS ctr
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |sub1 AS (
+        |  SELECT k, ctr,
+        |    'GSID-' || upper(substr(md5('NEW:ev-' || CAST(k AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM b1),
+        |b2 AS (
+        |  SELECT c_custkey AS request_id, CAST(c_nationkey AS INT) AS center_id,
+        |         c_custkey - 1 AS prev
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |linked AS (
+        |  SELECT s.gsid, s.ctr AS sub_ctr, r.center_id AS req_ctr
+        |  FROM b2 r JOIN sub1 s ON s.k = r.prev)
+        |SELECT s.gsid AS global_subject_id,
+        |  CAST(CASE WHEN s.ctr = 0 AND l.req_ctr IS NOT NULL AND l.req_ctr <> 0
+        |            THEN l.req_ctr ELSE s.ctr END AS INT) AS center_id,
+        |  '2024-06-01' AS created_at,
+        |  coalesce(l.req_ctr <> l.sub_ctr AND l.req_ctr <> 0 AND l.sub_ctr <> 0, FALSE)
+        |    AS flagged_for_review,
+        |  CASE WHEN l.req_ctr <> l.sub_ctr AND l.req_ctr <> 0 AND l.sub_ctr <> 0
+        |       THEN 'CENTER CONFLICT detected on 2024-07-01' END AS review_notes
+        |FROM sub1 s LEFT JOIN linked l USING (gsid)
+        |UNION ALL
+        |SELECT 'GSID-' || upper(substr(md5('NEW:ev-' || CAST(prev AS VARCHAR)), 1, 16)),
+        |  center_id, '2024-07-01', FALSE, NULL
+        |FROM b2 WHERE prev NOT IN (SELECT k FROM sub1)
+        |ORDER BY global_subject_id""".stripMargin) { (s, d) =>
+      val (_, reg1) = evolutionBatch1(s, d)
+      val batch2 = evolutionBatch2(s, d)
+      val res2 = IdentityResolver.resolve(batch2, reg1).localCheckpoint(true)
+      val links2 = IdentityResolver.links(batch2, res2, reg1.localIds)
+      val reg2 = IdentityResolver.applyBatch(reg1, res2, links2,
+        java.sql.Date.valueOf("2024-07-01"))
+      reg2.subjects
+        .filter(col("created_at") >= lit("2024-06-01").cast("date"))
+        .select(col("global_subject_id"),
+          col("center_id").cast("int").as("center_id"),
+          date_format(col("created_at"), "yyyy-MM-dd").as("created_at"),
+          col("flagged_for_review"), col("review_notes"))
+        .orderBy("global_subject_id")
+    },
+
+    // §2.9 step 5: the identity_resolutions audit log rows
+    // (identity_resolution.py:272-330), JSONB payloads re-derived as
+    // strings in the oracle.
+    QueryDef.sql(
+      "q_identity_log",
+      """WITH localids AS (
+        |  SELECT s_name AS local_subject_id, CAST(s_nationkey AS INT) AS center_id,
+        |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_name, CAST((s_nationkey + 1) % 25 AS INT),
+        |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |subjects AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+        |         DATE '2019-01-01' + CAST(s_suppkey AS INT)
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |requests AS (
+        |  SELECT c_custkey AS request_id,
+        |         CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE CAST(c_nationkey AS INT) END AS center_id
+        |  FROM customer),
+        |cands AS (
+        |  SELECT r.request_id, r.center_id,
+        |         CASE WHEN r.request_id % 8 = 5 THEN upper(s.s_name) ELSE s.s_name END AS local_subject_id,
+        |         'primary' AS identifier_type
+        |  FROM requests r JOIN supplier s
+        |    ON s.s_suppkey = r.request_id % (SELECT COUNT(*) FROM supplier)
+        |  WHERE r.request_id % 4 = 1
+        |  UNION ALL
+        |  SELECT request_id, center_id, 'A-' || CAST(request_id AS VARCHAR), 'primary'
+        |  FROM requests WHERE request_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT request_id, center_id, 'C-' || CAST(request_id AS VARCHAR), 'secondary'
+        |  FROM requests),
+        |matches AS (
+        |  SELECT c.request_id, c.center_id AS req_center, l.gsid,
+        |         l.center_id AS id_center, s.created_at
+        |  FROM cands c
+        |  JOIN localids l ON lower(l.local_subject_id) = lower(c.local_subject_id)
+        |  JOIN subjects s ON s.gsid = l.gsid),
+        |agg AS (
+        |  SELECT request_id,
+        |         CAST(COUNT(DISTINCT gsid) AS INT) AS n_matches,
+        |         list_transform(list_sort(list(DISTINCT [CAST(created_at AS VARCHAR), gsid])),
+        |                        x -> x[2]) AS matched,
+        |         SUM(CASE WHEN id_center <> req_center AND id_center <> 0 AND req_center <> 0
+        |                  THEN 1 ELSE 0 END) AS n_cc
+        |  FROM matches GROUP BY request_id),
+        |firsts AS (
+        |  SELECT request_id,
+        |         min([identifier_type, local_subject_id]) AS f,
+        |         min(lower(local_subject_id)) AS mint_key,
+        |         '[' || string_agg(
+        |             '{"local_subject_id":"' || local_subject_id ||
+        |             '","identifier_type":"' || identifier_type || '"}',
+        |             ',' ORDER BY local_subject_id, identifier_type) || ']' AS candidate_ids
+        |  FROM (SELECT DISTINCT request_id, local_subject_id, identifier_type FROM cands)
+        |  GROUP BY request_id),
+        |res AS (
+        |  SELECT r.request_id, r.center_id,
+        |    CASE WHEN coalesce(a.n_matches, 0) = 0 THEN 'create_new'
+        |         WHEN a.n_matches = 1 THEN 'link_existing'
+        |         ELSE 'conflict_resolved' END AS action,
+        |    CASE WHEN coalesce(a.n_matches, 0) = 0
+        |         THEN 'GSID-' || upper(substr(md5('NEW:' || f.mint_key), 1, 16))
+        |         ELSE a.matched[1] END AS gsid,
+        |    CASE WHEN coalesce(a.n_matches, 0) > 1 THEN 'multiple_gsid_conflict'
+        |         WHEN a.n_matches = 1 THEN 'center_agnostic_match'
+        |         ELSE 'no_match' END AS match_strategy,
+        |    CAST(CASE WHEN coalesce(a.n_matches, 0) <= 1 AND coalesce(a.n_cc, 0) = 0 THEN 1.0
+        |              WHEN coalesce(a.n_cc, 0) > 0 THEN 0.7 ELSE 0.5 END AS DOUBLE) AS confidence,
+        |    CASE WHEN coalesce(a.n_matches, 0) > 1
+        |         THEN '["' || array_to_string(a.matched, '","') || '"]' END AS matched_gsids,
+        |    (coalesce(a.n_matches, 0) > 1 OR coalesce(a.n_cc, 0) > 0) AS requires_review,
+        |    f.f[1] AS first_type, f.f[2] AS first_id, f.candidate_ids
+        |  FROM requests r
+        |  LEFT JOIN agg a USING (request_id)
+        |  JOIN firsts f USING (request_id))
+        |SELECT first_id AS local_subject_id, first_type AS identifier_type,
+        |  center_id AS input_center_id, gsid, gsid AS matched_gsid,
+        |  action, match_strategy, confidence, candidate_ids, matched_gsids,
+        |  requires_review, 'graft' AS created_by
+        |FROM res
+        |ORDER BY local_subject_id, identifier_type, gsid""".stripMargin) { (s, d) =>
       val reg = IdentityQueries.registry(s, d)
       val cands = IdentityQueries.candidates(s, d)
       val res = IdentityResolver.resolve(cands, reg).localCheckpoint(true)
-      IdentityResolver.resolutionLog(res, cands)
+      IdentityResolver.resolutionLog(res, cands) // JSONB payloads already strings
         .orderBy("local_subject_id", "identifier_type", "gsid")
     })
 }
