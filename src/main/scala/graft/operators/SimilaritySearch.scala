@@ -91,11 +91,21 @@ object SimilaritySearch {
     * degrades gracefully to exact brute force. */
   def ivfTopK(
       table: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxTrainRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // Train the coarse quantizer on a bounded sample: centroid quality
+    // saturates long before 100k rows, and an iterative ML fit over the
+    // FULL table would be the scale-killer at 100 TB (the assignment
+    // below stays per-row against broadcast centroid literals, which is
+    // the part that must see every vector). limit() not sample(): it is
+    // deterministic for a fixed input layout, and a prefix is unbiased
+    // here because bucket quality only needs coverage of the metric
+    // space, not a uniform row sample.
     val train = table.select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
+      .limit(maxTrainRows)
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
       .setInitMode("random").fit(train)
     val centroids = planesLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.UpsertWriter
+import graft.operators.{LoadBookkeeping, UpsertWriter}
 import graft.types.TableConfig
 
 /** Upsert/MERGE queries (SURVEY.md §2.8 U1/U2/U6/U7): current state is
@@ -108,5 +108,69 @@ object UpsertQueries {
          |ORDER BY inserted""".stripMargin) { (s, d) =>
       val (current, incoming) = mergeInputs(s, d)
       UpsertWriter.merge(current, incoming, cfg).preview.orderBy("inserted")
+    },
+
+    // U8: fragment_resolutions load bookkeeping — per-(batch, table)
+    // load stats derived from orders; an overlapping second wave of
+    // loads updates existing keys (ON CONFLICT DO UPDATE) and inserts
+    // new ones.
+    QueryDef.sql(
+      "q_load_bookkeeping",
+      """WITH ex AS (
+        |  SELECT 'B' || CAST(o_orderkey % 3 AS VARCHAR) AS batch_id,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'specimen' ELSE 'samples' END AS table_name,
+        |    CAST(SUM(CASE WHEN o_orderkey % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_loaded,
+        |    CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_failed
+        |  FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT 'B' || CAST(1 + o_orderkey % 4 AS VARCHAR) AS batch_id,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'specimen' ELSE 'samples' END AS table_name,
+        |    CAST(SUM(CASE WHEN o_orderkey % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_loaded,
+        |    CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_failed
+        |  FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1, 2),
+        |n_ex AS (
+        |  SELECT batch_id, table_name,
+        |    'staging/validated/' || batch_id || '/' || table_name || '.csv' AS fragment_key,
+        |    CASE WHEN rows_failed > 0 THEN 'partial' ELSE 'success' END AS load_status,
+        |    CASE WHEN table_name = 'specimen' THEN 'upsert' ELSE 'standard_insert' END AS load_strategy,
+        |    rows_loaded + rows_failed AS rows_attempted, rows_loaded, rows_failed,
+        |    CAST(NULL AS VARCHAR) AS error_message, 'table_loader' AS created_by
+        |  FROM ex),
+        |n_inc AS (
+        |  SELECT batch_id, table_name,
+        |    'staging/validated/' || batch_id || '/' || table_name || '.csv' AS fragment_key,
+        |    CASE WHEN rows_failed > 0 THEN 'partial' ELSE 'success' END AS load_status,
+        |    CASE WHEN table_name = 'specimen' THEN 'upsert' ELSE 'standard_insert' END AS load_strategy,
+        |    rows_loaded + rows_failed AS rows_attempted, rows_loaded, rows_failed,
+        |    CAST(NULL AS VARCHAR) AS error_message, 'table_loader' AS created_by
+        |  FROM inc)
+        |SELECT coalesce(i.batch_id, e.batch_id) AS batch_id,
+        |  coalesce(i.table_name, e.table_name) AS table_name,
+        |  coalesce(i.fragment_key, e.fragment_key) AS fragment_key,
+        |  CASE WHEN i.batch_id IS NOT NULL THEN i.load_status ELSE e.load_status END AS load_status,
+        |  CASE WHEN i.batch_id IS NOT NULL THEN i.load_strategy ELSE e.load_strategy END AS load_strategy,
+        |  CASE WHEN i.batch_id IS NOT NULL THEN i.rows_attempted ELSE e.rows_attempted END AS rows_attempted,
+        |  CASE WHEN i.batch_id IS NOT NULL THEN i.rows_loaded ELSE e.rows_loaded END AS rows_loaded,
+        |  CASE WHEN i.batch_id IS NOT NULL THEN i.rows_failed ELSE e.rows_failed END AS rows_failed,
+        |  CAST(NULL AS VARCHAR) AS error_message,
+        |  'table_loader' AS created_by
+        |FROM n_ex e
+        |FULL JOIN n_inc i USING (batch_id, table_name, fragment_key)
+        |ORDER BY batch_id, table_name""".stripMargin) { (s, d) =>
+      def loads(filterMod: Int, batchId: org.apache.spark.sql.Column): DataFrame =
+        Tables.orders(s, d).filter(col("o_orderkey") % filterMod =!= 0)
+          .groupBy(batchId.as("batch_id"),
+            when(col("o_orderkey") % 2 === 0, "specimen").otherwise("samples")
+              .as("table_name"))
+          .agg(
+            sum(when(col("o_orderkey") % 11 =!= 0, 1L).otherwise(0L)).as("rows_loaded"),
+            sum(when(col("o_orderkey") % 11 === 0, 1L).otherwise(0L)).as("rows_failed"))
+          .withColumn("load_status",
+            when(col("rows_failed") > 0, "partial").otherwise("success"))
+      val existing = LoadBookkeeping.normalize(
+        loads(7, concat(lit("B"), (col("o_orderkey") % 3).cast("string"))))
+      LoadBookkeeping.record(existing,
+          loads(5, concat(lit("B"), (col("o_orderkey") % 4 + 1).cast("string"))))
+        .orderBy("batch_id", "table_name")
     })
 }
