@@ -62,6 +62,35 @@ object SchemaValidator {
     ValidationResult(errors.isEmpty, errors, Seq.empty)
   }
 
+  /** V1/V2 as a data-shaped report (driver-gateable, unlike
+    * [[validate]]'s driver-side bundle): one row per checked required
+    * column — presence, null count (single-pass aggregate across ALL
+    * columns), and the reference's error type when invalid. */
+  def nullCountReport(df: DataFrame, specs: Seq[ColumnSpec]): DataFrame = {
+    val checkable = specs.filterNot(c =>
+      SkipColumns.contains(c.name) || c.primaryKey || c.autoIncrement)
+      .filter(_.required)
+    val present = df.columns.toSet
+    val (there, missing) = checkable.partition(c => present.contains(c.name))
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val missingRows = missing.map(c => (c.name, false, 0L, "missing_required_column"))
+      .toDF("column", "present", "null_count", "error_type")
+
+    if (there.isEmpty) return missingRows
+    val aggs = there.map(c => sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(c.name))
+    val counts = df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map_from_arrays(
+        array(there.map(c => lit(c.name)): _*),
+        array(there.map(c => coalesce(col(c.name), lit(0L))): _*)))
+        .as(Seq("column", "null_count")))
+      .select(col("column"), lit(true).as("present"), col("null_count"),
+        when(col("null_count") > 0, lit("null_in_required_column"))
+          .cast("string").as("error_type"))
+    counts.unionByName(missingRows)
+  }
+
   /** V3: duplicate natural keys within a batch — returns offending key
     * groups with counts (`docs data-flow.md:836-846`). */
   def duplicateKeys(df: DataFrame, naturalKey: Seq[String]): DataFrame =

@@ -118,6 +118,53 @@ object FunctionQueries {
         .orderBy("c_custkey")
     },
 
+    // F5/F6: strict date parse + lenient ISO timestamp parse over a
+    // mixed-shape raw column (plain date, T-separated, trailing Z,
+    // space-separated, garbage, null token). Outputs formatted as
+    // strings; the session runs UTC so 'Z' instants print identically.
+    QueryDef.sql(
+      "q_fn_datetime_parse",
+      """WITH raws AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 6
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d') || 'T12:34:56'
+        |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d') || 'T12:34:56Z'
+        |      WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d') || ' 01:02:03'
+        |      WHEN 4 THEN 'not-a-ts'
+        |      ELSE 'NA'
+        |    END AS raw
+        |  FROM orders),
+        |norm AS (
+        |  SELECT o_orderkey, raw,
+        |    CASE WHEN upper(trim(raw)) IN ('','NULL','NA','N/A') THEN NULL
+        |         ELSE trim(raw) END AS s
+        |  FROM raws)
+        |SELECT o_orderkey, raw,
+        |  strftime(try_strptime(s, '%Y-%m-%d'), '%Y-%m-%d') AS parsed_date,
+        |  strftime(coalesce(
+        |    try_strptime(replace(s, 'Z', ''), '%Y-%m-%dT%H:%M:%S'),
+        |    try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(s, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM norm
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("raw", expr(
+          """CASE CAST(o_orderkey % 6 AS INT)
+            |  WHEN 0 THEN date_format(o_orderdate, 'yyyy-MM-dd')
+            |  WHEN 1 THEN concat(date_format(o_orderdate, 'yyyy-MM-dd'), 'T12:34:56')
+            |  WHEN 2 THEN concat(date_format(o_orderdate, 'yyyy-MM-dd'), 'T12:34:56Z')
+            |  WHEN 3 THEN concat(date_format(o_orderdate, 'yyyy-MM-dd'), ' 01:02:03')
+            |  WHEN 4 THEN 'not-a-ts'
+            |  ELSE 'NA'
+            |END""".stripMargin))
+        .select(col("o_orderkey"), col("raw"),
+          date_format(Coercions.toDateLenient(col("raw")), "yyyy-MM-dd").as("parsed_date"),
+          date_format(Coercions.toTimestampLenient(col("raw")), "yyyy-MM-dd HH:mm:ss")
+            .as("parsed_ts"))
+        .orderBy("o_orderkey")
+    },
+
     // F11 deterministic mint + F13 format validation. The md5-derived
     // variant is the oracle-reproducible GSID (hex ⊂ GSID alphabet).
     QueryDef.sql(

@@ -88,6 +88,66 @@ object OperatorQueries {
         .orderBy("o_orderkey")
     },
 
+    // V1/V2: required-column presence + one-pass NOT-NULL counts over a
+    // frame with induced nulls and a missing required column.
+    QueryDef.sql(
+      "q_op_null_counts",
+      """SELECT * FROM (
+        |  SELECT 'o_clerk_opt' AS "column", TRUE AS present,
+        |    (SELECT CAST(SUM(CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM orders) AS null_count,
+        |    'null_in_required_column' AS error_type
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', TRUE, CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+        |  UNION ALL
+        |  SELECT 'o_missing_col', FALSE, CAST(0 AS BIGINT), 'missing_required_column')
+        |ORDER BY "column"""".stripMargin) { (s, d) =>
+      val frame = Tables.orders(s, d)
+        .withColumn("o_clerk_opt",
+          when(col("o_orderkey") % 9 === 0, lit(null)).otherwise(col("o_orderpriority")))
+      SchemaValidator.nullCountReport(frame, Seq(
+        SchemaValidator.ColumnSpec("o_clerk_opt", required = true),
+        SchemaValidator.ColumnSpec("o_orderstatus", required = true),
+        SchemaValidator.ColumnSpec("o_missing_col", required = true),
+        SchemaValidator.ColumnSpec("created_at", required = true), // always skipped
+        SchemaValidator.ColumnSpec("o_orderkey", required = true, primaryKey = true)))
+        .orderBy("column")
+    },
+
+    // A3: change-analysis summary (update_detector.py:194-217) over the
+    // same perturbed inputs as q_op_change_detection.
+    QueryDef.sql(
+      "q_op_change_summary",
+      """WITH incoming AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |existing AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT i.o_orderkey IS NOT NULL AS in_p, e.o_orderkey IS NOT NULL AS ex_p,
+        |    (i.o_totalprice IS DISTINCT FROM e.o_totalprice)
+        |      OR (i.o_orderstatus IS DISTINCT FROM e.o_orderstatus) AS changed
+        |  FROM incoming i FULL JOIN existing e ON i.o_orderkey = e.o_orderkey)
+        |SELECT CASE WHEN NOT ex_p THEN 'new' WHEN NOT in_p THEN 'orphaned'
+        |            WHEN changed THEN 'updated' ELSE 'unchanged' END AS change_status,
+        |       COUNT(*) AS n
+        |FROM j
+        |GROUP BY 1
+        |ORDER BY change_status""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val incoming = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val existing = orders.filter(col("o_orderkey") % 7 =!= 0)
+      ChangeDetector.summary(
+          ChangeDetector.compare(incoming, existing, Seq("o_orderkey")))
+        .orderBy("change_status")
+    },
+
     // J5: conflict detection over synthetic registry pairs derived from
     // lineitem (center first — elif — so a row yields one conflict).
     QueryDef.sql(

@@ -110,6 +110,63 @@ object UpsertQueries {
       UpsertWriter.merge(current, incoming, cfg).preview.orderBy("inserted")
     },
 
+    // U3: local_subject_ids delete-and-replace MERGE — match on
+    // (local_subject_id, identifier_type) ONLY; center changes replace
+    // the row, GSID changes update in place, new identifiers insert,
+    // unmatched existing rows survive (load_strategies.py:196-352).
+    QueryDef.sql(
+      "q_upsert_local_ids",
+      """WITH cur AS (
+        |  SELECT s_name AS local_subject_id, 'primary' AS identifier_type,
+        |         CAST(s_nationkey AS INT) AS center_id,
+        |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS global_subject_id,
+        |         s_suppkey AS k
+        |  FROM supplier),
+        |inc AS (
+        |  SELECT s_name AS local_subject_id, 'primary' AS identifier_type,
+        |    CAST(CASE WHEN s_suppkey % 3 = 0 THEN (s_nationkey + 2) % 25
+        |              ELSE s_nationkey END AS INT) AS center_id,
+        |    CASE WHEN s_suppkey % 3 = 1
+        |         THEN 'GSID-' || upper(substr(md5('R' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |         ELSE 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |    END AS global_subject_id
+        |  FROM supplier WHERE s_suppkey % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'NEW-' || CAST(s_suppkey AS VARCHAR), 'secondary',
+        |    CAST(s_nationkey AS INT),
+        |    'GSID-' || upper(substr(md5('N' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |  FROM supplier WHERE s_suppkey % 5 = 0)
+        |SELECT coalesce(i.center_id, c.center_id) AS center_id,
+        |  coalesce(i.local_subject_id, c.local_subject_id) AS local_subject_id,
+        |  coalesce(i.identifier_type, c.identifier_type) AS identifier_type,
+        |  coalesce(i.global_subject_id, c.global_subject_id) AS global_subject_id
+        |FROM cur c
+        |FULL JOIN inc i USING (local_subject_id, identifier_type)
+        |ORDER BY local_subject_id, identifier_type""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val gS = graft.functions.Gsid.deterministic(
+        concat(lit("S"), col("s_suppkey").cast("string")))
+      val cur = sup.select(
+        col("s_name").as("local_subject_id"), lit("primary").as("identifier_type"),
+        col("s_nationkey").cast("int").as("center_id"), gS.as("global_subject_id"))
+      val inc = sup.filter(col("s_suppkey") % 4 =!= 0).select(
+        col("s_name").as("local_subject_id"), lit("primary").as("identifier_type"),
+        when(col("s_suppkey") % 3 === 0, (col("s_nationkey") + 2) % 25)
+          .otherwise(col("s_nationkey")).cast("int").as("center_id"),
+        when(col("s_suppkey") % 3 === 1,
+          graft.functions.Gsid.deterministic(
+            concat(lit("R"), col("s_suppkey").cast("string"))))
+          .otherwise(gS).as("global_subject_id"))
+        .unionByName(sup.filter(col("s_suppkey") % 5 === 0).select(
+          concat(lit("NEW-"), col("s_suppkey").cast("string")).as("local_subject_id"),
+          lit("secondary").as("identifier_type"),
+          col("s_nationkey").cast("int").as("center_id"),
+          graft.functions.Gsid.deterministic(
+            concat(lit("N"), col("s_suppkey").cast("string"))).as("global_subject_id")))
+      UpsertWriter.mergeLocalSubjectIds(cur, inc).merged
+        .orderBy("local_subject_id", "identifier_type")
+    },
+
     // U8: fragment_resolutions load bookkeeping — per-(batch, table)
     // load stats derived from orders; an overlapping second wave of
     // loads updates existing keys (ON CONFLICT DO UPDATE) and inserts
