@@ -24,10 +24,17 @@ object Bench {
       spark.catalog.clearCache() // isolate queries: no cross-query cache residue
       q.name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // keep the line SHORT (3-decimal seconds) and print it twice: the
+    // driver parses a bounded tail of the captured output, and a long
+    // single line can lose its head to the window edge (BENCH_r01's
+    // parsed:null) — with two copies the later one is always complete.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    println(line)
     spark.stop()
   }
 }

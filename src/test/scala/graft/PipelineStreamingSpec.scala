@@ -39,6 +39,30 @@ class SourcesSpec extends SparkSpec {
     Sources.publishSnapshot(Seq(4, 5).toDF("x"), dir)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("S6/S7 real-path JDBC scan round-trips with predicate pushdown (embedded Derby)") {
+    // Derby ships with Spark's jars — an in-JVM database, no network.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE samples (sample_id VARCHAR(20), center_id INT)")
+      (1 to 50).foreach(i =>
+        st.execute(s"INSERT INTO samples VALUES ('BS-$i', ${i % 5})"))
+    } finally conn.close()
+
+    val df = Sources.readJdbc(spark, url, "samples")
+      .filter($"center_id" === 3)
+      .select($"sample_id")
+    assert(df.count() == 10)
+    assert(df.collect().map(_.getString(0)).toSet ==
+      (1 to 50).filter(_ % 5 == 3).map(i => s"BS-$i").toSet)
+
+    // the predicate must reach the JDBC source, not a Spark-side Filter
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("CENTER_ID"),
+      s"expected pushed JDBC filter in scan:\n$scan")
+  }
 }
 
 class ValidatePipelineSpec extends SparkSpec {
