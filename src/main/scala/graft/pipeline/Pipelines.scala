@@ -117,6 +117,96 @@ object Pipelines {
     LoadResult(result.merged, result.audit, result.preview)
   }
 
+  /** Per-table fields excluded from the database load
+    * (`fragment-validator/services/validator.py:201-219`). */
+  val TableExcludeFields: Map[String, Seq[String]] = Map(
+    "lcl" -> Seq("consortium_id", "center_id"),
+    "olink" -> Seq("subject_id", "center_id"),
+    "enteroid" -> Seq("subject_id", "center_id"),
+    "sequence" -> Seq("subject_id", "center_id"),
+    "genotype" -> Seq("subject_id", "center_id"),
+    "specimen" -> Seq("subject_id", "center_id"),
+    "local_subject_ids" -> Seq.empty)
+
+  /** V5: the validation report document (`validator.py:180-264`),
+    * materialized as ONE data row so it can flow to the JSON report
+    * sink ([[writeReport]]) and the driver gate alike. Success shape:
+    * status/approval/row stats + the gsid_resolution and
+    * conflict_summary rollups; failure shape (schema errors) carries
+    * the error list instead. `timestamp` is caller-supplied — the
+    * reference stamps datetime.now(), which a deterministic engine
+    * must take as input. */
+  def validationReport(
+      spark: SparkSession,
+      r: ValidateResult,
+      batchId: String,
+      tableName: String,
+      sourceName: String,
+      s3Key: String,
+      autoApprove: Boolean,
+      timestamp: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+
+    if (!r.schemaResult.isValid) {
+      import spark.implicits._
+      return Seq((
+        "FAILED", batchId, timestamp,
+        r.schemaResult.errors.map(e => s"""{"type":"${e.errorType}","column":"${e.column}"}""")
+          .mkString("[", ",", "]"),
+        r.warnings.map(w => "\"" + w + "\"").mkString("[", ",", "]")))
+        .toDF("status", "batch_id", "timestamp", "validation_errors",
+          "validation_warnings")
+    }
+
+    val cols = r.mapped.columns.toSeq
+    val excludeFromLoad = TableExcludeFields
+      .getOrElse(tableName, Seq("consortium_id"))
+      .filter(cols.contains)
+
+    val res = r.resolutions.agg(
+      count(lit(1)).as("gsid_total_rows"),
+      sum(when(col("gsid").isNotNull, 1L).otherwise(0L)).as("gsid_resolved"),
+      sum(when(col("gsid").isNull, 1L).otherwise(0L)).as("gsid_unresolved"),
+      countDistinct("gsid").as("gsid_unique"),
+      sum(when(col("action") === "create_new", 1L).otherwise(0L)).as("gsid_new_subjects"),
+      sum(when(col("action") === "link_existing", 1L).otherwise(0L)).as("gsid_existing_subjects"),
+      sum(when(col("action") === "conflict_resolved", 1L).otherwise(0L)).as("gsid_multi_conflicts"),
+      sum(when(col("conflict_resolution") === "center_mismatch", 1L).otherwise(0L))
+        .as("gsid_center_conflicts"))
+    val rows = r.mapped.agg(count(lit(1)).as("row_count"))
+    val lids = r.localIds.agg(count(lit(1)).as("local_id_records_count"))
+    val confs = ConflictDetector.summary(r.conflicts).agg(
+      coalesce(sum("n"), lit(0L)).as("n_conflicts"),
+      coalesce(to_json(map_from_entries(sort_array(collect_list(
+        struct(col("conflict_type"), col("n")))))), lit("{}")).as("conflict_summary"))
+
+    rows.crossJoin(bcast(res)).crossJoin(bcast(lids)).crossJoin(bcast(confs))
+      .select(
+        lit("VALIDATED").as("status"),
+        lit(batchId).as("batch_id"),
+        lit(tableName).as("table_name"),
+        lit(sourceName).as("source"),
+        lit(timestamp).as("timestamp"),
+        (lit(autoApprove) && col("n_conflicts") === 0L).as("auto_approved"),
+        lit(s3Key).as("s3_location"),
+        col("row_count"),
+        lit(cols.length).as("column_count"),
+        lit(cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")).as("columns"),
+        lit(excludeFromLoad.map(c => "\"" + c + "\"").mkString("[", ",", "]"))
+          .as("exclude_from_load"),
+        (col("n_conflicts") > 0L).as("has_conflicts"),
+        col("conflict_summary"),
+        col("gsid_total_rows"), col("gsid_resolved"), col("gsid_unresolved"),
+        col("gsid_unique"), col("gsid_new_subjects"), col("gsid_existing_subjects"),
+        col("gsid_multi_conflicts"), col("gsid_center_conflicts"),
+        col("local_id_records_count"))
+  }
+
+  /** V5 sink: upload the report row(s) as a JSON document directory
+    * (the reference PUTs `validation-reports/{batch}.json` to S3). */
+  def writeReport(report: DataFrame, path: String): Unit =
+    Sources.writeJson(report.coalesce(1), path)
+
   private def emptyResolutions(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq.empty))

@@ -162,6 +162,124 @@ object PipelineQueries {
         .orderBy("global_subject_id")
     },
 
+    // V5: the validation report document, flat-row form — aggregate
+    // counts are deterministic even though pipeline row ids are not.
+    QueryDef.sql(
+      "q_pipeline_report",
+      """WITH localids AS (
+        |  SELECT s_name AS local_subject_id, CAST(s_nationkey AS INT) AS center_id,
+        |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_name, CAST((s_nationkey + 1) % 25 AS INT),
+        |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |subjects AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+        |         DATE '2019-01-01' + CAST(s_suppkey AS INT)
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |raw AS (
+        |  SELECT c_custkey AS c, CAST(c_nationkey AS INT) AS ctr,
+        |    CASE WHEN c_custkey % 4 = 1 THEN s.s_name
+        |         ELSE 'A-' || CAST(c_custkey AS VARCHAR) END AS ref
+        |  FROM customer JOIN supplier s
+        |    ON s.s_suppkey = c_custkey % (SELECT COUNT(*) FROM supplier)),
+        |m AS (
+        |  SELECT r.c, r.ctr, l.gsid, l.center_id AS idc, s.created_at
+        |  FROM raw r
+        |  JOIN localids l ON lower(l.local_subject_id) = lower(r.ref)
+        |  JOIN subjects s ON s.gsid = l.gsid),
+        |a AS (
+        |  SELECT c, CAST(COUNT(DISTINCT gsid) AS INT) AS nm,
+        |    list_transform(list_sort(list(DISTINCT [CAST(created_at AS VARCHAR), gsid])),
+        |                   x -> x[2])[1] AS g1,
+        |    SUM(CASE WHEN idc <> ctr AND idc <> 0 AND ctr <> 0 THEN 1 ELSE 0 END) AS ncc
+        |  FROM m GROUP BY c),
+        |res AS (
+        |  SELECT r.c, r.ctr, r.ref,
+        |    CASE WHEN a.nm IS NULL THEN 'create_new'
+        |         WHEN a.nm = 1 THEN 'link_existing'
+        |         ELSE 'conflict_resolved' END AS action,
+        |    coalesce(a.g1,
+        |      'GSID-' || upper(substr(md5('NEW:' || lower(r.ref)), 1, 16))) AS gsid,
+        |    CASE WHEN a.nm = 1 AND coalesce(a.ncc, 0) > 0 THEN 1 ELSE 0 END AS cc
+        |  FROM raw r LEFT JOIN a ON a.c = r.c),
+        |ex AS (
+        |  SELECT local_subject_id, center_id FROM (
+        |    SELECT local_subject_id, center_id,
+        |      row_number() OVER (PARTITION BY local_subject_id
+        |                         ORDER BY center_id, gsid) AS rn
+        |    FROM localids) WHERE rn = 1),
+        |links AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN e.center_id IS NOT NULL AND e.center_id <> 0 AND r.ctr = 0
+        |         THEN e.center_id ELSE r.ctr END AS center_id,
+        |    r.ref AS local_subject_id, r.gsid
+        |  FROM res r LEFT JOIN ex e ON e.local_subject_id = r.ref),
+        |conf AS (
+        |  SELECT CASE WHEN e.center_id <> l.center_id THEN 'center_mismatch'
+        |              WHEN e.gsid <> l.gsid THEN 'multi_gsid' END AS t
+        |  FROM links l JOIN localids e ON e.local_subject_id = l.local_subject_id
+        |  WHERE e.center_id <> l.center_id OR e.gsid <> l.gsid),
+        |confagg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_conf,
+        |    CAST(SUM(CASE WHEN t = 'center_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS cm,
+        |    CAST(SUM(CASE WHEN t = 'multi_gsid' THEN 1 ELSE 0 END) AS BIGINT) AS mg
+        |  FROM conf),
+        |ragg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(DISTINCT gsid) AS BIGINT) AS uniq,
+        |    CAST(SUM(CASE WHEN action = 'create_new' THEN 1 ELSE 0 END) AS BIGINT) AS created,
+        |    CAST(SUM(CASE WHEN action = 'link_existing' THEN 1 ELSE 0 END) AS BIGINT) AS linked,
+        |    CAST(SUM(CASE WHEN action = 'conflict_resolved' THEN 1 ELSE 0 END) AS BIGINT) AS multi,
+        |    CAST(SUM(cc) AS BIGINT) AS ccs
+        |  FROM res),
+        |lagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_links FROM links)
+        |SELECT 'VALIDATED' AS status, 'batch_r1' AS batch_id,
+        |  'specimen' AS table_name, 'tpch' AS source,
+        |  '2024-06-01T00:00:00' AS timestamp,
+        |  confagg.n_conf = 0 AS auto_approved,
+        |  'staging/batch_r1/specimen.csv' AS s3_location,
+        |  ragg.total AS row_count, CAST(6 AS INT) AS column_count,
+        |  '["sample_id","segment","batch","subject_ref","c_nationkey","global_subject_id"]' AS columns,
+        |  '[]' AS exclude_from_load,
+        |  confagg.n_conf > 0 AS has_conflicts,
+        |  '{' || concat_ws(',',
+        |    CASE WHEN cm > 0 THEN '"center_mismatch":' || CAST(cm AS VARCHAR) END,
+        |    CASE WHEN mg > 0 THEN '"multi_gsid":' || CAST(mg AS VARCHAR) END) || '}' AS conflict_summary,
+        |  ragg.total AS gsid_total_rows, ragg.total AS gsid_resolved,
+        |  CAST(0 AS BIGINT) AS gsid_unresolved, ragg.uniq AS gsid_unique,
+        |  ragg.created AS gsid_new_subjects, ragg.linked AS gsid_existing_subjects,
+        |  ragg.multi AS gsid_multi_conflicts, ragg.ccs AS gsid_center_conflicts,
+        |  lagg.n_links AS local_id_records_count
+        |FROM ragg, confagg, lagg""".stripMargin) { (s, d) =>
+      val mapping = MappingConfig.fromJson(
+        """{"field_mapping": {"sample_id": "sample", "segment": "c_mktsegment"},
+          | "static_fields": {"batch": "r1"},
+          | "subject_id_candidates": {"subject_ref": "primary"},
+          | "center_id_field": "c_nationkey", "default_center_id": 0}""".stripMargin)
+      val nsupp = Tables.supplier(s, d).count()
+      val raw = Tables.customer(s, d)
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === (col("c_custkey") % nsupp))
+        .select(
+          concat(lit("SAMP-"), col("c_custkey").cast("string")).as("sample"),
+          col("c_mktsegment"),
+          when(col("c_custkey") % 4 === 1, col("s_name"))
+            .otherwise(concat(lit("A-"), col("c_custkey").cast("string"))).as("subject_ref"),
+          col("c_nationkey"))
+      val r = Pipelines.validate(s, raw, mapping,
+        Seq(SchemaValidator.ColumnSpec("sample_id", required = true)),
+        IdentityQueries.registry(s, d), "batch_r1")
+      Pipelines.validationReport(s, r, "batch_r1", "specimen", "tpch",
+        "staging/batch_r1/specimen.csv", autoApprove = true,
+        timestamp = "2024-06-01T00:00:00")
+    },
+
     // §2.9 step 5: the identity_resolutions audit log rows
     // (identity_resolution.py:272-330), JSONB payloads re-derived as
     // strings in the oracle.

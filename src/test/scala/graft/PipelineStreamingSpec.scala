@@ -103,6 +103,41 @@ class ValidatePipelineSpec extends SparkSpec {
     assert(!r.schemaResult.isValid)
     assert(r.schemaResult.errors.head.errorType == "missing_required_column")
   }
+
+  test("V5: failure report document carries the error list; sink writes JSON") {
+    val raw = Seq(("IBDGC001", "Blood")).toDF("consortium_id", "sample_type")
+    val r = Pipelines.validate(spark, raw, mapping,
+      Seq(SchemaValidator.ColumnSpec("sample_id", required = true)), registry, "b")
+    val report = Pipelines.validationReport(spark, r, "b", "specimen", "src",
+      "staging/b/specimen.csv", autoApprove = true, timestamp = "2024-01-01T00:00:00")
+    val row = report.collect().head
+    assert(row.getAs[String]("status") == "FAILED")
+    assert(row.getAs[String]("validation_errors").contains("missing_required_column"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_report").toString
+    Pipelines.writeReport(report, s"$dir/report")
+    val back = Sources.readJson(spark, s"$dir/report")
+    assert(back.count() == 1 &&
+      back.collect().head.getAs[String]("status") == "FAILED")
+  }
+
+  test("V5: success report auto-approval is withdrawn when conflicts exist") {
+    // incoming center 5 vs registry center 3 for the same identifier
+    val raw = Seq(("IBDGC001", "BS-1", "Blood")).toDF("consortium_id", "sample_id", "sample_type")
+    val m5 = MappingConfig.fromJson(
+      """{"field_mapping": {"sample_id": "sample_id"}, "static_fields": {},
+        | "subject_id_candidates": {"consortium_id": "consortium_id"},
+        | "center_id_field": null, "default_center_id": 5}""".stripMargin)
+    val r = Pipelines.validate(spark, raw, m5,
+      Seq(SchemaValidator.ColumnSpec("sample_id", required = true)), registry, "b")
+    val report = Pipelines.validationReport(spark, r, "b", "lcl", "src",
+      "k", autoApprove = true, timestamp = "t")
+    val row = report.collect().head
+    assert(row.getAs[Boolean]("has_conflicts"))
+    assert(!row.getAs[Boolean]("auto_approved"))
+    assert(row.getAs[String]("conflict_summary").contains("center_mismatch"))
+    assert(row.getAs[Long]("gsid_existing_subjects") == 1L)
+  }
 }
 
 class LoadPipelineSpec extends SparkSpec {
