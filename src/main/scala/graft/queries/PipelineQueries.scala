@@ -162,6 +162,16 @@ object PipelineQueries {
         .orderBy("global_subject_id")
     },
 
+    // S4/S5: the DSv2 REST source end-to-end (in-JVM fake pages; rows
+    // come from executor-side page fetches, one partition per page).
+    // DuckDB cannot call the page client → rows-only.
+    QueryDef.rowsOnly("q_rest_source") { (s, _) =>
+      s.read.format("graft.sources.RestDataSource")
+        .option("client", "graft.sources.SyntheticRestPages").load()
+        .groupBy("center_id").agg(count(lit(1)).as("n"))
+        .orderBy("center_id")
+    },
+
     // V5: the validation report document, flat-row form — aggregate
     // counts are deterministic even though pipeline row ids are not.
     QueryDef.sql(

@@ -36,11 +36,10 @@ object Sources {
     spark.read.option("pushDownPredicate", "true").jdbc(url, table, p)
   }
 
-  /** S4/S5: REST snapshot source — the reference's paginated REST
-    * exports (REDCap/NocoDB) land as a driver-side fetch wrapped in a
-    * DataFrame. The `fetch` callback hides the HTTP/pagination loop;
-    * rows are distributed immediately after. For real deployments a
-    * DataSourceV2 with partition-per-page would replace this. */
+  /** S4/S5 stopgap: REST snapshot as a driver-side fetch wrapped in a
+    * DataFrame. Prefer [[RestDataSource]] (DataSourceV2,
+    * partition-per-page, executor-side fetch, column pruning) — this
+    * form remains for one-page exports where a V2 scan is overkill. */
   def restSnapshot(spark: SparkSession, schema: StructType)(
       fetch: () => Seq[org.apache.spark.sql.Row]): DataFrame =
     spark.createDataFrame(

@@ -65,6 +65,32 @@ class SourcesSpec extends SparkSpec {
   }
 }
 
+class RestSourceSpec extends SparkSpec {
+
+  private def rest = spark.read.format("graft.sources.RestDataSource")
+    .option("client", "graft.sources.SyntheticRestPages").load()
+
+  test("S4/S5 DSv2 REST source plans one partition per page") {
+    assert(rest.rdd.getNumPartitions == 4)
+    assert(rest.count() == 100)
+    val rows = rest.collect()
+    assert(rows.map(_.getString(0)).toSet == (0 until 100).map(n => s"REC-$n").toSet)
+  }
+
+  test("DSv2 REST source prunes columns at the reader") {
+    val df = rest.select("record_id")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("columns=record_id"), s"expected pruned scan:\n$scan")
+    assert(df.count() == 100)
+  }
+
+  test("DSv2 REST source feeds the validator pipeline like any frame") {
+    val grouped = rest.groupBy("center_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(grouped == (0 until 5).map(_ -> 20L).toMap)
+  }
+}
+
 class ValidatePipelineSpec extends SparkSpec {
   import spark.implicits._
 
