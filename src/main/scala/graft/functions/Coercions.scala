@@ -114,6 +114,7 @@ object Coercions {
   /** Apply the schema-driven conversion of `data_transformer.py:156-217`
     * for one column given a reference-style type name. */
   def coerceTo(c: Column, dbType: String): Column = dbType.toLowerCase match {
+    case "bigint" | "int8" | "long"                              => toLongLenient(c)
     case t if t.contains("int")                                  => toIntLenient(c)
     case "decimal" | "numeric" | "real" | "double precision" | "double" | "float" =>
       toDoubleLenient(c)

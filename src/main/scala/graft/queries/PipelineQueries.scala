@@ -162,6 +162,78 @@ object PipelineQueries {
         .orderBy("global_subject_id")
     },
 
+    // §3.3 load pipeline end-to-end: a string-typed "staged fragment"
+    // (CSV-land) goes through exclusion (P4), lenient coercion (F1-F7),
+    // schema projection (P5) and the U1 MERGE — merged snapshot gated.
+    QueryDef.sql(
+      "q_pipeline_load",
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |frag AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE CAST(CAST(o_totalprice + 1.0 AS VARCHAR) AS DOUBLE) END AS o_totalprice,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X-' || o_orderpriority
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |j AS (
+        |  SELECT coalesce(f.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    f.o_orderkey IS NOT NULL AS in_p, c.o_orderkey IS NOT NULL AS ex_p,
+        |    f.o_totalprice AS i_tp, c.o_totalprice AS c_tp,
+        |    f.o_orderstatus AS i_os, c.o_orderstatus AS c_os,
+        |    f.o_orderpriority AS i_op, c.o_orderpriority AS c_op
+        |  FROM frag f FULL JOIN cur c ON f.o_orderkey = c.o_orderkey),
+        |cls AS (
+        |  SELECT *,
+        |    CASE WHEN NOT ex_p THEN 'insert' WHEN NOT in_p THEN 'orphaned'
+        |         WHEN (i_tp IS DISTINCT FROM c_tp) OR (i_os IS DISTINCT FROM c_os)
+        |              OR (i_op IS DISTINCT FROM c_op) THEN 'update'
+        |         ELSE 'unchanged' END AS status
+        |  FROM j)
+        |SELECT o_orderkey,
+        |  CASE WHEN status IN ('insert','update') THEN i_tp ELSE c_tp END AS o_totalprice,
+        |  CASE WHEN status IN ('insert','update') THEN i_os ELSE c_os END AS o_orderstatus,
+        |  CASE WHEN status IN ('insert','update') THEN i_op ELSE c_op END AS o_orderpriority
+        |FROM cls
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+      val current = base.filter(col("o_orderkey") % 7 =!= 0)
+      // staged fragment: everything as strings + a junk column (P5
+      // drops it) + an excluded column (P4 drops it) + dirty values
+      val fragment = base.filter(col("o_orderkey") % 3 =!= 0).select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, lit("NA"))
+          .otherwise((col("o_totalprice") + 1.0).cast("string")).as("o_totalprice"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        lit("zzz").as("junk_column"),
+        lit("C1").as("consortium_id"))
+      Pipelines.load(s, current, fragment,
+        graft.types.TableConfig("orders", Seq("o_orderkey"), Seq.empty),
+        columnTypes = Map("o_orderkey" -> "bigint", "o_totalprice" -> "double precision"),
+        excluded = Seq("consortium_id")).merged
+        .orderBy("o_orderkey")
+    },
+
+    // §2.11: the LabKey-style incremental pull as a batch filter
+    // (docs data-flow.md:496-523) — the streaming transforms share this
+    // plan (stream≡batch differential in StreamingSpec).
+    QueryDef.sql(
+      "q_stream_incremental",
+      """SELECT event_id, ts, user_id, event_type
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.streaming.EventStream.incrementalSince(
+          Tables.events(s, d), "ts", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
     // S4/S5: the DSv2 REST source end-to-end (in-JVM fake pages; rows
     // come from executor-side page fetches, one partition per page).
     // DuckDB cannot call the page client → rows-only.
