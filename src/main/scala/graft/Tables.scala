@@ -32,6 +32,19 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** As [[events]], but with the raw INT64-nanos column kept as
+    * `ts_ns`: a time predicate on the derived `ts` wraps the column in
+    * `timestamp_micros(... div 1000)` and can NOT reach the parquet
+    * scan as a pushed filter — at 100 TB a "since last sync" pull would
+    * read every row group. Filter on `ts_ns` instead (plain long
+    * comparison → PushedFilters + row-group statistics pruning). */
+  def eventsWithRawTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

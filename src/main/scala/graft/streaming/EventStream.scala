@@ -41,6 +41,15 @@ object EventStream {
   def incrementalSince(df: DataFrame, tsCol: String, lastSync: Timestamp): DataFrame =
     df.filter(col(tsCol) > lit(lastSync))
 
+  /** [[incrementalSince]] against a raw INT64-nanos column (see
+    * `Tables.eventsWithRawTs`): the plain long comparison reaches the
+    * parquet scan as a pushed filter + row-group pruning, where a
+    * predicate on the derived timestamp cannot. */
+  def incrementalSinceNanos(df: DataFrame, nsCol: String, lastSync: Timestamp): DataFrame = {
+    val ns = lastSync.getTime * 1000000L + lastSync.getNanos % 1000000L
+    df.filter(col(nsCol) > lit(ns))
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when `gapMs` elapses between consecutive events (emitted
     * on the event that breaches the gap) or on state timeout. */

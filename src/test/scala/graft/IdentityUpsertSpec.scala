@@ -129,6 +129,53 @@ class IdentityResolverSpec extends SparkSpec {
     assert(log.getAs[String]("created_by") == "tester")
   }
 
+  test("withdrawn subjects: exact_withdrawn strategy + review; withdraw() appends dated note") {
+    val wreg = Registry(
+      Seq(("G-W", 5, Date.valueOf("2020-01-01"), true),
+          ("G-A", 6, Date.valueOf("2020-01-01"), false))
+        .toDF("global_subject_id", "center_id", "created_at", "withdrawn"),
+      Seq((5, "W-1", "primary", "G-W"), (6, "A-1", "primary", "G-A"))
+        .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id"))
+    val out = resolve(
+      Seq((1L, 5, "W-1", "primary"), (2L, 6, "A-1", "primary"))
+        .toDF("request_id", "center_id", "local_subject_id", "identifier_type"),
+      wreg).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("match_strategy") == "exact_withdrawn")
+    assert(out(1L).getAs[String]("gsid") == "G-W") // still links
+    assert(out(1L).getAs[Boolean]("requires_review"))
+    assert(out(2L).getAs[String]("match_strategy") == "center_agnostic_match")
+    assert(!out(2L).getAs[Boolean]("requires_review"))
+
+    val withdrawn = withdraw(wreg.subjects,
+      Seq(("G-A", "consent revoked")).toDF("global_subject_id", "reason"),
+      Date.valueOf("2024-05-01"))
+      .collect().map(r => r.getAs[String]("global_subject_id") -> r).toMap
+    assert(withdrawn("G-A").getAs[Boolean]("withdrawn"))
+    assert(withdrawn("G-A").getAs[String]("review_notes") ==
+      "Withdrawn on 2024-05-01. Reason: consent revoked")
+    assert(withdrawn("G-W").getAs[Boolean]("withdrawn")) // untouched, stays true
+  }
+
+  test("requiringReview rolls up flagged-or-withdrawn subjects with center + id counts") {
+    val subjects = Seq(
+      ("G-W", 1, Date.valueOf("2020-01-01"), true, false, null.asInstanceOf[String]),
+      ("G-F", 2, Date.valueOf("2020-01-02"), false, true, "conflict noted"),
+      ("G-OK", 1, Date.valueOf("2020-01-03"), false, false, null.asInstanceOf[String]))
+      .toDF("global_subject_id", "center_id", "created_at", "withdrawn",
+        "flagged_for_review", "review_notes")
+    val lids = Seq((1, "a", "primary", "G-W"), (1, "b", "secondary", "G-W"),
+      (2, "c", "primary", "G-F"))
+      .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+    val centers = Seq((1, "MSSM"), (2, "Yale")).toDF("center_id", "name")
+    val out = requiringReview(subjects, lids, centers)
+      .collect().map(r => r.getAs[String]("global_subject_id") -> r).toMap
+    assert(out.keySet == Set("G-W", "G-F"))
+    assert(out("G-W").getAs[String]("center_name") == "MSSM")
+    assert(out("G-W").getAs[Long]("num_identifier_types") == 2L)
+    assert(out("G-W").getAs[Long]("num_local_ids") == 2L)
+    assert(out("G-F").getAs[String]("review_notes") == "conflict noted")
+  }
+
   test("links: every identifier linked to chosen gsid with center ladder") {
     val cands = Seq(
       (1L, 0, "Solo-1", "primary"),       // existing center 7, incoming 0 → keep 7

@@ -46,6 +46,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("requiring-review rollup broadcasts the centers dim") {
+    val p = planOf("q_rep_requiring_review")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("load-bookkeeping MERGE is one co-partitioned shuffle join, not a broadcast of the log") {
+    val p = planOf("q_load_bookkeeping")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("incremental pull pushes the since-predicate into the scan as a raw-long filter") {
+    val p = planOf("q_stream_incremental")
+    assert(p.contains("GreaterThan(ts,"), p.take(800)) // in PushedFilters on the INT64 column
+  }
+
   test("whole-stage codegen covers the scan-heavy queries") {
     val q = SparkEntry.allDefs.find(_.name == "q_agg_pricing").get
     val p = q.fn(spark, sf001).queryExecution
