@@ -135,21 +135,55 @@ object SimilaritySearch {
 
   /** LSH-bucketed ANN top-k: probe the query's bucket and rerank with
     * exact cosine. Recall < 1 by construction; raise nBits for finer
-    * buckets or lower it for higher recall. */
+    * buckets or lower it for higher recall.
+    *
+    * `nProbe` > 1 enables margin-guided multiprobe (Lv et al., VLDB'07
+    * shape): besides its own bucket, each query probes the buckets
+    * reached by flipping the `nProbe - 1` sign bits whose hyperplane
+    * margins are smallest — the neighbors most likely lost to
+    * quantization sit just across those planes. Only the (tiny) query
+    * side fans out; the table is still hashed once per row. */
   def annTopK(
       table: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 1): DataFrame = {
     val planes = randomPlanes(nBits, dim)
+    val masks = array(planes.indices.map(j => lit(1L << j)): _*)
     val t = table.select(col(idCol).as("neighbor_id"), col(vecCol).as("_tv"),
       lshBucket(col(vecCol), planes).as("_bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      lshBucket(col(vecCol), planes).as("_bucket"))
+
+    val probed = {
+      val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        lshBucket(col(vecCol), planes).as("_b0"),
+        planeDots(col(vecCol), planes).as("_dots"))
+      if (nProbe <= 1)
+        base.select(col("query_id"), col("_qv"), col("_b0").as("_bucket"))
+      else {
+        // bit indices ordered by |margin| ascending; flip the closest
+        val flips = transform(
+          slice(sort_array(zip_with(col("_dots"), sequence(lit(0), lit(nBits - 1)),
+            (d, i) => struct(abs(d).as("m"), i.as("i")))), 1, nProbe - 1),
+          s => s("i").cast("int"))
+        base.select(col("query_id"), col("_qv"),
+          explode(concat(array(col("_b0")),
+            transform(flips, i => col("_b0").bitwiseXOR(element_at(masks, i + 1)))))
+            .as("_bucket"))
+      }
+    }
+
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    t.join(broadcast(q), "_bucket")
+    t.join(broadcast(probed), "_bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id") // a neighbor may appear via several probes
       .withColumn("score", cosine(col("_qv"), col("_tv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  /** Per-plane dot products of a vector (the multiprobe margins). */
+  private def planeDots(vec: Column, planes: Seq[Seq[Double]]): Column =
+    transform(planesLit(planes), plane =>
+      aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x))
 }

@@ -40,7 +40,8 @@ object VectorQueries {
 
     QueryDef.rowsOnly("q_vec_ann_lsh") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      SimilaritySearch.annTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 6)
+      SimilaritySearch.annTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 6,
+          nProbe = 3)
         .orderBy("query_id", "rank")
     },
 

@@ -112,6 +112,26 @@ class VectorSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("score") == 1.0))
   }
 
+  test("multiprobe ann recall dominates single-probe (never loses neighbors)") {
+    // enough vectors that single-probe visibly splits near-neighbors
+    // across buckets; margin-guided flips must win them back
+    val many = (0L until 60L).map { i =>
+      val base = (i % 6).toFloat
+      (i, Array(base + (i % 7) * 0.03f, 1.0f - (i % 5) * 0.11f,
+        (i % 3) * 0.4f, 0.25f * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val qs = many.filter($"vec_id" < 8)
+    def hits(nProbe: Int): Set[(Long, Long)] =
+      SimilaritySearch.annTopK(many, qs, k = 5, nBits = 5, dim = 4, nProbe = nProbe)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(many, qs, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = hits(1); val multi = hits(3)
+    def recall(s: Set[(Long, Long)]) = (s intersect brute).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single))
+    assert(recall(multi) > 0.5, s"multiprobe recall ${recall(multi)}")
+  }
+
   test("ivf with full probing equals brute force; partial probing finds the twin") {
     val brute = SimilaritySearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 4)
       .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
