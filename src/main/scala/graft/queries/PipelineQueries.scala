@@ -219,6 +219,22 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     },
 
+    // §2.11: watermarked windowed aggregation — the SAME transform the
+    // readStream path uses (stream≡batch plan equality is what
+    // StreamingSpec differentials); batch run gates it in DuckDB.
+    QueryDef.sql(
+      "q_stream_windowed",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      graft.streaming.EventStream.windowedStats(Tables.events(s, d), "1 hour", "2 hours")
+        .select("window_start", "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    },
+
     // §2.11: the LabKey-style incremental pull as a batch filter
     // (docs data-flow.md:496-523) — the streaming transforms share this
     // plan (stream≡batch differential in StreamingSpec).
