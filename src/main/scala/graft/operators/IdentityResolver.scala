@@ -113,21 +113,36 @@ object IdentityResolver {
 
     val requests = cand.groupBy("request_id").agg(max(col("center_id")).as("center_id"))
 
+    // `reqs` (which contains the whole registry-match + aggregation
+    // subtree) feeds the grouping loop below AND the final join; the
+    // loop's iterated self-references would otherwise inline ~2^iters
+    // copies of that subtree into one DAG (measured 5-7x slowdown at
+    // sf0.1). Persist the two shared frames — both are
+    // O(batch) rows, never registry-sized.
     val reqs = requests.join(agg, Seq("request_id"), "left")
       .withColumn("_n", coalesce(col("_n_matches"), lit(0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // intra-batch grouping of unmatched requests (see scaladoc):
     // iterated label propagation — leader(identifier) = min leader of
     // its requests; leader(request) = min leader of its identifiers.
     val unmatchedCand = cand
       .join(reqs.filter(col("_n") === 0).select("request_id"), Seq("request_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unmatchedCand.count() // materialize BEFORE the loop forks consumers:
+                          // lazily-cached frames race inside one job and
+                          // each branch recomputes the match subtree
     var reqLeader = unmatchedCand.select(col("request_id"), col("request_id").as("_leader"))
       .distinct()
-    for (_ <- 1 to math.max(1, groupingIterations)) {
+    for (i <- 1 to math.max(1, groupingIterations)) {
       val idLeader = unmatchedCand.join(reqLeader, "request_id")
         .groupBy("_nid").agg(min("_leader").as("_id_leader"))
       reqLeader = unmatchedCand.join(idLeader, "_nid")
         .groupBy("request_id").agg(min("_id_leader").as("_leader"))
+      // truncate lineage between iterations (except the last — the
+      // final plan joins it once): without this the plan doubles per
+      // hop and Catalyst/codegen time dwarfs the actual label work
+      if (i < groupingIterations) reqLeader = reqLeader.localCheckpoint(true)
     }
     val groupMint = unmatchedCand.join(reqLeader, "request_id")
       .groupBy("_leader").agg(min("_nid").as("_mint_key"))

@@ -21,7 +21,7 @@ import graft.operators.IdentityResolver
   */
 object IdentityQueries {
 
-  private[queries] def registry(s: SparkSession, d: String): IdentityResolver.Registry = {
+  private[graft] def registry(s: SparkSession, d: String): IdentityResolver.Registry = {
     val sup = Tables.supplier(s, d)
     val gS = Gsid.deterministic(concat(lit("S"), col("s_suppkey").cast("string")))
     val gX = Gsid.deterministic(concat(lit("X"), col("s_suppkey").cast("string")))
