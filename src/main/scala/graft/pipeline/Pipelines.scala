@@ -60,7 +60,13 @@ object Pipelines {
     }.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataFrame)
 
+    // Materialization barrier: every downstream consumer (mapped,
+    // links, conflicts, the V5 report's four aggregates) embeds this
+    // frame's lineage — without the checkpoint each one re-runs the
+    // whole resolution join. The reference has a hard boundary here
+    // anyway (stage 4 is a REST round-trip per batch).
     val resolutions = IdentityResolver.resolve(candidates, registry, deterministicMint)
+      .localCheckpoint(true)
     val mapped = withRow.join(
       resolutions.select(col("request_id").as("_row_id"), col("gsid").as("global_subject_id")),
       Seq("_row_id"), "left")
