@@ -213,6 +213,67 @@ object Dedup {
     verifyAgainstShingles(sh, cands, threshold)
   }
 
+  /** Embedding-cosine near-duplicates, exact all-pairs baseline:
+    * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
+    * Quadratic by construction — the differential baseline and the
+    * small-table path; use [[embeddingNearDupsLsh]] at scale. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", SimilaritySearch.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane buckets (plus
+    * margin-guided multiprobe fan-out) generate candidate pairs, exact
+    * cosine verifies them — same candidates-then-verify shape as
+    * [[minhashDedup]]. The bucket self-join shuffles (bucket, id) only;
+    * `maxBucket` caps degenerate buckets. Recall depends on how close
+    * the duplicate cosine is to 1 (sign-bit collision probability is
+    * (1 - θ/π)^nBits) — intended for true near-duplicates (τ ≳ 0.9),
+    * recall-pinned in DedupSpec. */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 10, dim: Int = 64, nProbe: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    val planes = SimilaritySearch.randomPlanes(nBits, dim)
+    val masks = array(planes.indices.map(j => lit(1L << j)): _*)
+    val base = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      SimilaritySearch.lshBucket(col(vecCol), planes).as("_b0"),
+      SimilaritySearch.planeDots(col(vecCol), planes).as("_dots"))
+    val probed =
+      if (nProbe <= 1) base.select(col("_id"), col("_b0").as("_bucket"))
+      else {
+        val flips = transform(
+          slice(sort_array(zip_with(col("_dots"), sequence(lit(0), lit(nBits - 1)),
+            (d, i) => struct(abs(d).as("m"), i.as("i")))), 1, nProbe - 1),
+          s => s("i").cast("int"))
+        base.select(col("_id"),
+          explode(concat(array(col("_b0")),
+            transform(flips, i => col("_b0").bitwiseXOR(element_at(masks, i + 1)))))
+            .as("_bucket"))
+      }
+    val capped =
+      if (maxBucket <= 0) probed
+      else {
+        val sizes = probed.groupBy("_bucket").agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket)
+        probed.join(sizes, Seq("_bucket")).drop("_bsz")
+      }
+    val cands = capped.as("x").join(capped.as("y"),
+        col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .distinct()
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", SimilaritySearch.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Bit masks 1L << 0..63 as an array literal (so lambdas can index
     * them instead of shifting by a non-literal amount). */
   private val bitMasks: Column = array((0 until 64).map(j => lit(1L << j)): _*)

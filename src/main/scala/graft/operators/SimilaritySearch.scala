@@ -182,7 +182,7 @@ object SimilaritySearch {
   }
 
   /** Per-plane dot products of a vector (the multiprobe margins). */
-  private def planeDots(vec: Column, planes: Seq[Seq[Double]]): Column =
+  private[operators] def planeDots(vec: Column, planes: Seq[Seq[Double]]): Column =
     transform(planesLit(planes), plane =>
       aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
         lit(0.0), (acc, x) => acc + x))

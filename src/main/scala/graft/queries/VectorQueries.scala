@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.SimilaritySearch
+import graft.operators.{Dedup, SimilaritySearch}
 
 /** Similarity-search queries over the `embeddings` table. The
   * brute-force cosine top-k is oracle-checked: both engines fold the
@@ -36,6 +36,27 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .orderBy("query_id", "rank")
+    },
+
+    // Embedding-cosine near-dup pairs — exact baseline under the hash
+    // gate (both engines fold dot products left-to-right in double).
+    // The LSH-bucketed scale variant is recall-pinned in DedupSpec.
+    QueryDef.sql(
+      "q_dedup_embedding",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine
+        |FROM s WHERE cosine >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")
     },
 
     QueryDef.rowsOnly("q_vec_ann_lsh") { (s, d) =>

@@ -69,6 +69,26 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("embedding near-dup: LSH-bucketed variant recalls the exact pairs for true near-dups") {
+    // 20 well-separated base directions, each with a slightly perturbed
+    // twin (cosine ≈ 0.999) — the near-duplicate regime LSH targets
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0 until 20).flatMap { g =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val twin = base.zipWithIndex.map { case (x, j) => x + (if (j == g % 16) 0.02f else 0.0f) }
+      Seq((g * 2L, base), (g * 2L + 1L, twin))
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20) // every twin pair qualifies
+    val lsh = Dedup.embeddingNearDupsLsh(vecs, "vec_id", "embedding", 0.95,
+        nBits = 8, dim = 16, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification keeps precision exact
+    assert((lsh intersect exact).size.toDouble / exact.size >= 0.8,
+      s"recall ${(lsh intersect exact).size.toDouble / exact.size}")
+  }
+
   test("simhash: identical docs hamming 0, near dups close, distinct docs far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
