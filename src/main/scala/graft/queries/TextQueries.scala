@@ -166,6 +166,29 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Multimodal frame-sampling plan + byte-length metadata — the
+    // deterministic, ANSI-expressible half of the media pipeline
+    // (decode checksums stay rows-only below). One row per sampled
+    // frame, exploded with the data.
+    QueryDef.sql(
+      "q_multimodal_frames",
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  unnest(range(0, n_chars * 10, 500)) AS frame_ms
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY media_id, frame_ms""".stripMargin) { (s, d) =>
+      // media table with synthetic durations (asMediaTable zeroes them)
+      val withDur = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          lit("video").as("kind"),
+          col("text").cast("binary").as("payload"),
+          lit("video/mp4").as("mime"), lit(0).as("width"), lit(0).as("height"),
+          (col("n_chars").cast("long") * 10L).as("duration_ms"))
+      graft.operators.Multimodal.sampleFrames(withDur, everyMs = 500L)
+        .select(col("media_id"), length(col("payload")).as("n_bytes"), col("frame_ms"))
+        .orderBy("media_id", "frame_ms")
+    },
+
     // Multimodal plumbing driven end-to-end: documents' bytes as an
     // opaque payload column → batched (stubbed) decode → features.
     QueryDef.rowsOnly("q_multimodal_features") { (s, d) =>
