@@ -20,6 +20,8 @@ object GraftSql {
     reg.createOrReplaceTempFunction("base32_encode",
       args => graft.functions.Base32Encode(args.head,
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      args => graft.functions.CosineSim(args.head, args(1)), "built-in")
     graft.functions.Similarity.register(spark)
   }
 }
