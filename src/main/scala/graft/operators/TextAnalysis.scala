@@ -32,6 +32,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * scheme): hash every character k-gram of the normalized text, then
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams (rightmost minimum on ties, via (hash, pos) ordering).
+    * Guarantees: any match of length ≥ w+k-1 between two documents
+    * shares at least one selected fingerprint, and selection density
+    * is ~2/(w+1) regardless of document size.
+    *
+    * Output: (idCol, fp) distinct rows. Scale shape: one explode (text
+    * length × ~1 row per char), a per-document window min — partitioned
+    * by document, so no global shuffle pressure — and a distinct on
+    * (id, 8-char hash). The k-gram hash is a truncated md5 so the
+    * whole derivation is reproducible in ANSI SQL for the oracle. */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val grams = df
+      .select(col(idCol).as("_id"), norm.as("_t"))
+      .filter(length(col("_t")) >= k)
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(1), length(col("_t")) - (k - 1)),
+          i => col("_t").substr(i, lit(k)))))
+      .withColumnRenamed("pos", "_pos")
+      .withColumn("_h", substring(md5(col("col")), 1, 8))
+    // ties on the min hash all carry the same fp value, so a plain
+    // min(hash) per window selects identically in both dialects
+    val win = Window.partitionBy("_id").orderBy("_pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("_sel", min(col("_h")).over(win))
+      .withColumn("_maxpos", max(col("_pos")).over(Window.partitionBy("_id")))
+      .filter(col("_pos") <= col("_maxpos") - (w - 1)) // only complete windows
+      .select(col("_id").as(idCol), col("_sel").as("fp"))
+      .distinct()
+  }
+
   /** Ratio of non-alphanumeric, non-space chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

@@ -166,6 +166,33 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Winnowing document fingerprints (MOSS scheme): min k-gram hash
+    // per sliding window — any shared run of ≥ w+k-1 chars between two
+    // docs shares a fingerprint. md5-based k-gram hash keeps the whole
+    // derivation ANSI-reproducible.
+    QueryDef.sql(
+      "q_text_winnow",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos, substr(md5(substr(s, i, 8)), 1, 8) AS h
+        |  FROM t, UNNEST(range(1, len(s) - 6)) AS r(i)
+        |  WHERE len(s) >= 8),
+        |sel AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp
+        |FROM sel WHERE pos <= maxpos - 3
+        |ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 8, w = 4)
+        .orderBy("doc_id", "fp")
+    },
+
     // Multimodal frame-sampling plan + byte-length metadata — the
     // deterministic, ANSI-expressible half of the media pipeline
     // (decode checksums stay rows-only below). One row per sampled

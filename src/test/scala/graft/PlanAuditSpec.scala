@@ -62,6 +62,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThan(ts,"), p.take(800)) // in PushedFilters on the INT64 column
   }
 
+  test("pairwise cosine joins broadcast the small side (no shuffled cartesian)") {
+    val p = planOf("q_dedup_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("cosine is the native codegen'd expression, not interpreted HOF lambdas") {
+    val p = planOf("q_vec_topk_cosine")
+    assert(p.contains("cosine_sim"), p.take(800))
+    assert(!p.contains("aggregate(zip_with"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scan-heavy queries") {
     val q = SparkEntry.allDefs.find(_.name == "q_agg_pricing").get
     val p = q.fn(spark, sf001).queryExecution

@@ -24,6 +24,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TextAnalysis.langId($"text"), "zzz qqq www") == "unknown")
   }
 
+  test("winnowing: shared long run => shared fingerprint; density ~2/(w+1)") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, s"$shared and then some unique tail content for document one"),
+      (2L, s"a totally different head here but $shared"),
+      (3L, "no overlap at all with anything else in this tiny corpus zzz"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: a shared run of length >= w+k-1 = 11 chars yields a shared fp
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // selection density stays near 2/(w+1), far below one-per-position
+    val n1 = docs.filter($"doc_id" === 1L).select(length(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+      .collect()(0).getInt(0)
+    assert(byDoc(1L).size < n1 / 2)
+  }
+
   test("quality score in [0,1] and ordered sensibly") {
     val good = one(TextAnalysis.qualityScore($"text"),
       "the quick brown fox jumps over the lazy dog and runs to the barn in a field")
