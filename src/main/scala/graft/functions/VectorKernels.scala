@@ -59,6 +59,73 @@ object VectorKernels {
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Static sign-bit LSH bucket kernel: bit j set iff v · planes(j) ≥ 0
+    * (ascending-index dot fold — same arithmetic as the HOF form). */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot >= 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
+  /** Static nearest-centroid kernel (squared L2, first-min index —
+    * matches `array_position(d, array_min(d)) - 1`). */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val x = v.getFloat(i).toDouble - c(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Static per-plane dot products (multiprobe margins). */
+  def planeDots(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+      out(j) = dot
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column API: LSH bucket of a float-array column against literal
+    * planes. */
+  def lshBucketCol(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(LshBucket(
+      ExpressionUtils.expression(vec), planes.map(_.toArray).toArray))
+
+  /** Column API: per-plane dot products of a float-array column. */
+  def planeDotsCol(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(PlaneDots(
+      ExpressionUtils.expression(vec), planes.map(_.toArray).toArray))
+
+  /** Column API: nearest-centroid list index of a float-array column. */
+  def nearestCentroidCol(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(NearestCentroid(
+      ExpressionUtils.expression(vec), centroids.map(_.toArray).toArray))
 }
 
 /** Codegen'd cosine similarity of two `array<float>` (or
@@ -97,4 +164,79 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cosine_sim"
+}
+
+/** Codegen'd sign-bit LSH bucket of an `array<float>` column against a
+  * fixed plane matrix (the table-side assignment that must touch every
+  * row at 100 TB — an interpreted HOF here costs ~0.5 ms/row). The
+  * planes ride along as a codegen reference object. */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucket(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.lshBucket($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** Codegen'd nearest-centroid (squared-L2 argmin) list assignment for
+  * IVF — same per-row-at-scale argument as [[LshBucket]]. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.nearestCentroid($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** Codegen'd per-plane dot products (`array<double>` of margins) for
+  * margin-guided multiprobe. */
+case class PlaneDots(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"plane_dots needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.planeDots(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.planeDots($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PlaneDots = copy(child = c)
+  override def prettyName: String = "plane_dots"
 }

@@ -58,18 +58,11 @@ object SimilaritySearch {
   private def planesLit(planes: Seq[Seq[Double]]): Column =
     array(planes.map(p => array(p.map(lit): _*)): _*)
 
-  /** Sign-bit bucket id of a vector against the planes. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val pl = planesLit(planes)
-    val masks = array(planes.indices.map(j => lit(1L << j)): _*)
-    aggregate(
-      zip_with(pl, masks, (plane, mask) => {
-        val dot = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, mask).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** Sign-bit bucket id of a vector against the planes — a codegen'd
+    * expression ([[graft.functions.LshBucket]]): this assignment runs
+    * per TABLE row, where an interpreted HOF would cost ~0.5 ms/row. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.VectorKernels.lshBucketCol(vec, planes)
 
   /** Squared L2 distance between a vector column and a literal
     * centroid array. */
@@ -109,11 +102,14 @@ object SimilaritySearch {
     val centroids = planesLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
 
     val dists = (v: Column) => transform(centroids, c => dist2(v, c))
-    val listOf = (v: Column) =>
-      (array_position(dists(v), array_min(dists(v))) - 1).cast("int")
+    val centroidSeqs = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
+    // table-side assignment is per-row over EVERY vector — codegen'd
+    // argmin kernel; the query-side probe ranking below stays HOF
+    // (queries are a broadcast handful)
     val t = table.select(col(idCol).as("neighbor_id"), col(vecCol).as("_tv"),
-      listOf(col(vecCol)).as("_list"))
+      graft.functions.VectorKernels.nearestCentroidCol(col(vecCol), centroidSeqs)
+        .as("_list"))
     // nProbe nearest lists per query: sort (dist, idx) structs, slice
     val probeLists = {
       val pairs = zip_with(dists(col(vecCol)), sequence(lit(0), lit(nLists - 1)),
@@ -179,9 +175,9 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Per-plane dot products of a vector (the multiprobe margins). */
+  /** Per-plane dot products of a vector (the multiprobe margins) —
+    * codegen'd kernel, since [[graft.operators.Dedup.embeddingNearDupsLsh]]
+    * evaluates it per table row. */
   private[operators] def planeDots(vec: Column, planes: Seq[Seq[Double]]): Column =
-    transform(planesLit(planes), plane =>
-      aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x))
+    graft.functions.VectorKernels.planeDotsCol(vec, planes)
 }
