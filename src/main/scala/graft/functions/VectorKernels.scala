@@ -122,6 +122,34 @@ object VectorKernels {
     ExpressionUtils.column(PlaneDots(
       ExpressionUtils.expression(vec), planes.map(_.toArray).toArray))
 
+  /** Static distinct word-n-gram kernel over a token array
+    * (first-occurrence order, space-joined). */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val count = tokens.numElements() - (n - 1)
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](count)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column API: distinct word n-gram shingles of a token-array column. */
+  def wordShinglesCol(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
+
   /** Column API: nearest-centroid list index of a float-array column. */
   def nearestCentroidCol(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(
@@ -215,6 +243,33 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
     copy(child = c)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** Codegen'd distinct word n-gram shingles from a token array — the
+  * per-row step feeding MinHash/Jaccard dedup, where the HOF
+  * formulation (`transform(sequence)` + n× `element_at` + `concat_ws`)
+  * costs interpreted-lambda time on every document. First-occurrence
+  * order, matching `array_distinct(transform(...))`. */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs array<string> tokens, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.wordShingles(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.wordShingles($v, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
 }
 
 /** Codegen'd per-plane dot products (`array<double>` of margins) for

@@ -40,16 +40,17 @@ object Dedup {
       .drop("_fp", "_rn")
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Shingle construction is a codegen'd kernel
+    * ([[graft.functions.WordShingles]]) — the HOF form paid
+    * interpreted-lambda time per token on every document. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val t = tokens(col(textCol))
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("_id"), t.as("_t"))
       .filter(size(col("_t")) >= n)
       .select(col("_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("_t")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(col("_t"), i + o)): _*))))
+        explode(graft.functions.VectorKernels.wordShinglesCol(col("_t"), n))
           .as("shingle"))
   }
 
