@@ -40,6 +40,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-ish subword counting: word-piece boundaries at case/digit
+    // transitions plus punctuation — the tokenizer-vocab stand-in for
+    // per-document token budgeting.
+    QueryDef.sql(
+      "q_text_subwords",
+      s"""SELECT doc_id, CAST(len($toksDuck) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(regexp_split_to_array(
+         |    regexp_replace(trim(text),
+         |      '([a-z])([A-Z])|([A-Za-z])([0-9])', '\\1\\3 \\2\\4', 'g'),
+         |    '[\\s[:punct:]]+'), x -> x <> '')) AS INT) AS n_subwords
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("int").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql(
       "q_text_quality",
       s"""WITH m AS (
