@@ -46,7 +46,49 @@ object PipelineQueries {
       lit("primary").as("identifier_type"))
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("q_pipeline_validate") { (s, d) =>
+    // §3.1 validator pipeline end-to-end. Internal row ids are
+    // nondeterministic but every OUTPUT value is data-derived, so the
+    // mapped rows hash-check against a full SQL re-derivation.
+    QueryDef.sql(
+      "q_pipeline_validate",
+      """WITH localids AS (
+        |  SELECT s_name AS local_subject_id, CAST(s_nationkey AS INT) AS center_id,
+        |         'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_name, CAST((s_nationkey + 1) % 25 AS INT),
+        |         'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16))
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |subjects AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         DATE '2020-01-01' + CAST(s_suppkey AS INT) AS created_at
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+        |         DATE '2019-01-01' + CAST(s_suppkey AS INT)
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |raw AS (
+        |  SELECT c_custkey AS c, c_mktsegment,
+        |    CASE WHEN c_custkey % 4 = 1 THEN s.s_name
+        |         ELSE 'A-' || CAST(c_custkey AS VARCHAR) END AS ref
+        |  FROM customer JOIN supplier s
+        |    ON s.s_suppkey = c_custkey % (SELECT COUNT(*) FROM supplier)),
+        |m AS (
+        |  SELECT r.c, l.gsid, s.created_at
+        |  FROM raw r
+        |  JOIN localids l ON lower(l.local_subject_id) = lower(r.ref)
+        |  JOIN subjects s ON s.gsid = l.gsid),
+        |a AS (
+        |  SELECT c,
+        |    list_transform(list_sort(list(DISTINCT [CAST(created_at AS VARCHAR), gsid])),
+        |                   x -> x[2])[1] AS g1
+        |  FROM m GROUP BY c)
+        |SELECT 'SAMP-' || CAST(r.c AS VARCHAR) AS sample_id,
+        |  r.c_mktsegment AS segment, 'r1' AS batch, r.ref AS subject_ref,
+        |  coalesce(a.g1,
+        |    'GSID-' || upper(substr(md5('NEW:' || lower(r.ref)), 1, 16))) AS global_subject_id
+        |FROM raw r LEFT JOIN a ON a.c = r.c
+        |ORDER BY sample_id""".stripMargin) { (s, d) =>
       val mapping = MappingConfig.fromJson(
         """{"field_mapping": {"sample_id": "sample", "segment": "c_mktsegment"},
           | "static_fields": {"batch": "r1"},
