@@ -74,7 +74,8 @@ object IdentityResolver {
     * iteration propagates group leaders one identifier-hop further
     * (iteration 1 merges direct sharers; 2 covers A~B~C chains — one
     * hop more than the reference's own tests need; raise it for deeper
-    * chains). */
+    * chains, or pass ≤ 0 to iterate to a FIXPOINT, covering unbounded
+    * chains at one comparison action per hop). */
   def resolve(
       candidates: DataFrame,
       registry: Registry,
@@ -134,15 +135,35 @@ object IdentityResolver {
                           // each branch recomputes the match subtree
     var reqLeader = unmatchedCand.select(col("request_id"), col("request_id").as("_leader"))
       .distinct()
-    for (i <- 1 to math.max(1, groupingIterations)) {
-      val idLeader = unmatchedCand.join(reqLeader, "request_id")
+    def hop(prev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val idLeader = unmatchedCand.join(prev, "request_id")
         .groupBy("_nid").agg(min("_leader").as("_id_leader"))
-      reqLeader = unmatchedCand.join(idLeader, "_nid")
+      unmatchedCand.join(idLeader, "_nid")
         .groupBy("request_id").agg(min("_id_leader").as("_leader"))
-      // truncate lineage between iterations (except the last — the
-      // final plan joins it once): without this the plan doubles per
-      // hop and Catalyst/codegen time dwarfs the actual label work
-      if (i < groupingIterations) reqLeader = reqLeader.localCheckpoint(true)
+    }
+    if (groupingIterations > 0) {
+      for (i <- 1 to groupingIterations) {
+        reqLeader = hop(reqLeader)
+        // truncate lineage between iterations (except the last — the
+        // final plan joins it once): without this the plan doubles per
+        // hop and Catalyst/codegen time dwarfs the actual label work
+        if (i < groupingIterations) reqLeader = reqLeader.localCheckpoint(true)
+      }
+    } else {
+      // groupingIterations ≤ 0: iterate to a FIXPOINT — labels are
+      // monotonically non-increasing, so "no label changed" is global
+      // convergence; covers arbitrarily long identifier chains. Each
+      // hop pays one comparison action (bounded by the chain diameter,
+      // with a defensive cap).
+      var changed = 1L
+      var hops = 0
+      while (changed > 0 && hops < 50) {
+        val next = hop(reqLeader).localCheckpoint(true)
+        changed = next.as("n").join(reqLeader.as("p"), "request_id")
+          .filter(col("n._leader") =!= col("p._leader")).count()
+        reqLeader = next
+        hops += 1
+      }
     }
     val groupMint = unmatchedCand.join(reqLeader, "request_id")
       .groupBy("_leader").agg(min("_nid").as("_mint_key"))

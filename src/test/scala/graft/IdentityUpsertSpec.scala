@@ -129,6 +129,24 @@ class IdentityResolverSpec extends SparkSpec {
     assert(log.getAs[String]("created_by") == "tester")
   }
 
+  test("fixpoint grouping converges arbitrarily long identifier chains") {
+    // r1~r2 via x1, r2~r3 via x2, r3~r4 via x3, r4~r5 via x4: diameter 4
+    val cands = Seq(
+      (1L, 1, "x1", "primary"),
+      (2L, 1, "x1", "primary"), (2L, 1, "x2", "secondary"),
+      (3L, 1, "x2", "primary"), (3L, 1, "x3", "secondary"),
+      (4L, 1, "x3", "primary"), (4L, 1, "x4", "secondary"),
+      (5L, 1, "x4", "primary"))
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val fixed = resolve(cands, registry, deterministicMint = true,
+      groupingIterations = 0).collect()
+    assert(fixed.map(_.getAs[String]("gsid")).distinct.length == 1) // ONE group
+    // the default bounded depth (2 hops) cannot unify the whole chain
+    val bounded = resolve(cands, registry, deterministicMint = true,
+      groupingIterations = 2).collect()
+    assert(bounded.map(_.getAs[String]("gsid")).distinct.length > 1)
+  }
+
   test("withdrawn subjects: exact_withdrawn strategy + review; withdraw() appends dated note") {
     val wreg = Registry(
       Seq(("G-W", 5, Date.valueOf("2020-01-01"), true),
