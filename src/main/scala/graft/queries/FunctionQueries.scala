@@ -48,10 +48,10 @@ object FunctionQueries {
          |SELECT l_orderkey, l_linenumber, raw,
          |  s AS cleaned,
          |  CASE WHEN s IS NOT NULL AND regexp_matches(s, '$numRe')
-         |         AND CAST(s AS DOUBLE) BETWEEN -2147483648 AND 2147483647
-         |       THEN CAST(TRUNC(CAST(s AS DOUBLE)) AS INTEGER) END AS as_int,
+         |         AND TRY_CAST(s AS DOUBLE) BETWEEN -2147483648 AND 2147483647
+         |       THEN CAST(TRUNC(TRY_CAST(s AS DOUBLE)) AS INTEGER) END AS as_int,
          |  CASE WHEN s IS NOT NULL AND regexp_matches(s, '$numRe')
-         |       THEN CAST(s AS DOUBLE) END AS as_double,
+         |       THEN TRY_CAST(s AS DOUBLE) END AS as_double,
          |  CASE WHEN s IS NULL THEN NULL
          |       ELSE lower(s) IN ('true','t','yes','y','1') END AS as_bool
          |FROM norm
