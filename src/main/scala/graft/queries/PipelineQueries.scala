@@ -277,6 +277,33 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // §2.11: gap-based sessionization (session_window builtin) —
+    // re-derived in DuckDB as a gaps-and-islands window chain.
+    QueryDef.sql(
+      "q_stream_sessions",
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 1 HOUR OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 1 HOUR AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      graft.streaming.EventStream.sessionWindows(Tables.events(s, d), "1 hour")
+        .orderBy("user_id", "session_start")
+    },
+
     // §2.11: the LabKey-style incremental pull as a batch filter
     // (docs data-flow.md:496-523) — the streaming transforms share this
     // plan (stream≡batch differential in StreamingSpec).

@@ -50,6 +50,23 @@ object EventStream {
     df.filter(col(nsCol) > lit(ns))
   }
 
+  /** Gap-based sessionization via the built-in `session_window` — the
+    * preferred scale path (codegen'd, AQE-planned, identical on
+    * readStream with a watermark). `session_end` is the last event
+    * plus the gap, per Spark's session-window semantics. The
+    * custom-state variant below ([[sessionize]]) keeps the
+    * emit-on-breach behavior a reference-style incremental consumer
+    * would want. */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when `gapMs` elapses between consecutive events (emitted
     * on the event that breaches the gap) or on state timeout. */
