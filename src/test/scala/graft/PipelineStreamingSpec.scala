@@ -40,6 +40,31 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("partitioned MERGE publish rewrites only touched partitions") {
+    import graft.types.TableConfig
+    val dir = Files.createTempDirectory("graft_pmerge").toString + "/table"
+    Seq((1L, "c1", 10.0), (2L, "c1", 20.0), (3L, "c2", 30.0), (4L, "c3", 40.0))
+      .toDF("id", "center", "v")
+      .write.partitionBy("center").parquet(dir)
+    val untouchedFiles = new java.io.File(s"$dir/center=c3").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+
+    // incoming touches c1 only: update id=1, insert id=5
+    val incoming = Seq((1L, "c1", 11.0), (5L, "c1", 50.0)).toDF("id", "center", "v")
+    Sources.publishMergePartitioned(spark, dir, incoming,
+      TableConfig("t", Seq("id"), Seq.empty), "center")
+
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("center"), r.getAs[Double]("v"))).toMap
+    assert(back == Map(
+      1L -> ("c1", 11.0), 2L -> ("c1", 20.0), 5L -> ("c1", 50.0),
+      3L -> ("c2", 30.0), 4L -> ("c3", 40.0)))
+    // untouched partition directory kept its exact files
+    val afterFiles = new java.io.File(s"$dir/center=c3").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(afterFiles == untouchedFiles)
+  }
+
   test("S6/S7 real-path JDBC scan round-trips with predicate pushdown (embedded Derby)") {
     // Derby ships with Spark's jars — an in-JVM database, no network.
     val url = "jdbc:derby:memory:graftdb;create=true"
