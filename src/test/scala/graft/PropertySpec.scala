@@ -54,6 +54,43 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("property: codegen'd cosine kernel is bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(11L)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian() * 3).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def fold(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (acc, x) => acc + x)
+      val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+      val na = sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+      val nb = sqrt(fold(transform(b, x => x.cast("double") * x.cast("double"))))
+      when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    }
+    val out = pairs.select(
+      graft.functions.VectorKernels.cosine($"a.v", $"b.v").as("k"),
+      hofCosine($"a.v", $"b.v").as("h")).collect()
+    out.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("property: word-shingle kernel matches the array_distinct/transform HOF") {
+    val rnd = new scala.util.Random(5L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("id", "text")
+    val t = graft.operators.TextAnalysis.tokens($"text")
+    val hof = array_distinct(transform(
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    val out = docs.filter(size(t) >= 3).select(
+      graft.functions.VectorKernels.wordShinglesCol(t, 3).as("k"), hof.as("h")).collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("salted join equals plain join") {
     val probe = (1 to 500).map(i => (i % 7, i)).toDF("k", "v")
     val build = Seq((0, "a"), (1, "b"), (2, "c"), (6, "d")).toDF("k", "w")
