@@ -7,6 +7,25 @@ import org.apache.spark.sql.SparkSession
   * A warm-up action first so JVM/codegen warm-up is not billed to the
   * first query. */
 object Bench {
+
+  /** The headline subset reported on the final (parse-bearing) JSON
+    * line: the driver keeps only a bounded TAIL of captured output, so
+    * the last line must stay well under ~1.5 KB (BENCH_r01/r02 both
+    * lost their head and parsed as null). The full per-query map is
+    * printed earlier and written to target/bench_full.json. Chosen to
+    * cover every BASELINE.md comparison point plus the heaviest
+    * distinctive operators. */
+  private val headline = Seq(
+    "q_identity_resolve", "q_identity_evolution", "q_pipeline_validate",
+    "q_fn_gsid_deterministic", "q_fuzzy_center_resolve", "q_lookup_local_id",
+    "q_upsert_merged", "q_op_field_mapping", "q_op_null_counts",
+    "q_op_conflicts", "q_dedup_exact_groups", "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_embedding",
+    "q_text_metrics", "q_text_langid", "q_text_winnow",
+    "q_vec_topk_cosine", "q_vec_ann_lsh", "q_vec_ann_ivf",
+    "q_h3_shipping_priority", "q_h5_region_revenue", "q_h10_returned_items",
+    "q_stream_windowed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -21,20 +40,34 @@ object Bench {
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // isolate queries: no cross-query cache residue
+      // Isolate queries AND bound accumulated state: clearCache drops
+      // SQL-cached plans, but localCheckpoint/persist blocks survive it
+      // and pile up across ~80 queries until late queries pay eviction
+      // + GC (driver's r2 bench ran 2-10x the local times for exactly
+      // the checkpoint-heavy late-positioned queries). Unpersist every
+      // RDD explicitly each round.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       q.name -> dt
     }
-    // keep the line SHORT (3-decimal seconds) and print it twice: the
-    // driver parses a bounded tail of the captured output, and a long
-    // single line can lose its head to the window edge (BENCH_r01's
-    // parsed:null) — with two copies the later one is always complete.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def jsonLine(qs: Seq[(String, Double)], total: Double): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+    }
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    println(line)
+    val full = jsonLine(results, total)
+    // full map: printed first (human log) and persisted for dev diffing
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // final line = compact headline subset, guaranteed inside the
+    // driver's tail window (see `headline` scaladoc)
+    val hset = headline.toSet
+    println(jsonLine(results.filter(r => hset(r._1)), total))
     spark.stop()
   }
 }

@@ -69,6 +69,8 @@ object Dedup {
       threshold: Double, maxPostingList: Int = 0): DataFrame = {
     val allSh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    allSh.count() // materialize before the consumers fork (sizes, a, b):
+                  // racing scans of a lazily-cached frame each recompute
     val sh =
       if (maxPostingList <= 0) allSh
       else {
@@ -134,10 +136,15 @@ object Dedup {
     * duplicates of pairs surfaced by other, selective bands). 0 = off. */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 256): DataFrame = {
+    // (band_idx, band_hash, id) is tiny (`bands` rows/doc, no text) but
+    // its lineage embeds the whole signature aggregation — and it feeds
+    // FOUR scans below (bucket-size agg, cap join, self-join x and y).
+    // Checkpoint eagerly so the signature job runs exactly once.
     val banded = signatures.select(col("_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band_idx", "band_hash")))
+      .localCheckpoint(true)
     val capped =
       if (maxBucket <= 0) banded
       else {
@@ -256,12 +263,15 @@ object Dedup {
             transform(flips, i => col("_b0").bitwiseXOR(element_at(masks, i + 1)))))
             .as("_bucket"))
       }
+    // (bucket, id) is tiny but feeds four scans (size agg, cap join,
+    // self-join x/y) — materialize so the probe fan-out runs once
+    val probedM = probed.localCheckpoint(true)
     val capped =
-      if (maxBucket <= 0) probed
+      if (maxBucket <= 0) probedM
       else {
-        val sizes = probed.groupBy("_bucket").agg(count(lit(1)).as("_bsz"))
+        val sizes = probedM.groupBy("_bucket").agg(count(lit(1)).as("_bsz"))
           .filter(col("_bsz") <= maxBucket)
-        probed.join(sizes, Seq("_bucket")).drop("_bsz")
+        probedM.join(sizes, Seq("_bucket")).drop("_bsz")
       }
     val cands = capped.as("x").join(capped.as("y"),
         col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
@@ -313,6 +323,12 @@ object Dedup {
         (0 until 64).map(i =>
           when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
           .as("_sh"))
+      // 16 bytes/doc, but the lineage embeds the token explode + 64-sum
+      // aggregate, and [[simhashPairs]] scans it four times (bucket
+      // sizes, cap join, self-join x/y) — without this the whole
+      // signature job re-runs per scan (driver's r2 bench: 28 s vs
+      // 2.7 s once materialized).
+      .localCheckpoint(true)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3

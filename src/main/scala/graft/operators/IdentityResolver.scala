@@ -118,21 +118,20 @@ object IdentityResolver {
     // subtree) feeds the grouping loop below AND the final join; the
     // loop's iterated self-references would otherwise inline ~2^iters
     // copies of that subtree into one DAG (measured 5-7x slowdown at
-    // sf0.1). Persist the two shared frames — both are
-    // O(batch) rows, never registry-sized.
+    // sf0.1). Eagerly checkpoint the two shared frames — both are
+    // O(batch) rows, never registry-sized — so every downstream
+    // consumer (and each loop hop) starts from truncated lineage
+    // instead of re-analyzing the full match subtree.
     val reqs = requests.join(agg, Seq("request_id"), "left")
       .withColumn("_n", coalesce(col("_n_matches"), lit(0)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // intra-batch grouping of unmatched requests (see scaladoc):
     // iterated label propagation — leader(identifier) = min leader of
     // its requests; leader(request) = min leader of its identifiers.
     val unmatchedCand = cand
       .join(reqs.filter(col("_n") === 0).select("request_id"), Seq("request_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    unmatchedCand.count() // materialize BEFORE the loop forks consumers:
-                          // lazily-cached frames race inside one job and
-                          // each branch recomputes the match subtree
+      .localCheckpoint(true)
     var reqLeader = unmatchedCand.select(col("request_id"), col("request_id").as("_leader"))
       .distinct()
     def hop(prev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

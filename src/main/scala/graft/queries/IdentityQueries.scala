@@ -44,7 +44,7 @@ object IdentityQueries {
     * supplier key: every 7th 'S' subject (s_suppkey % 7 = 3) is
     * withdrawn; every 11th (s_suppkey % 11 = 5) is flagged for review
     * with a note. */
-  private[queries] def flaggedRegistry(s: SparkSession, d: String): IdentityResolver.Registry = {
+  private[graft] def flaggedRegistry(s: SparkSession, d: String): IdentityResolver.Registry = {
     val base = registry(s, d)
     val sup = Tables.supplier(s, d)
     val gS = Gsid.deterministic(concat(lit("S"), col("s_suppkey").cast("string")))
@@ -60,7 +60,7 @@ object IdentityQueries {
     IdentityResolver.Registry(subjects, base.localIds)
   }
 
-  private[queries] def candidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def candidates(s: SparkSession, d: String): DataFrame = {
     val nsupp = Tables.supplier(s, d).count() // tiny dim; driver-side count is fine
     val requests = Tables.customer(s, d).select(
       col("c_custkey").as("request_id"),
