@@ -23,6 +23,32 @@ object Dedup {
 
   import TextAnalysis.{fingerprint, tokens}
 
+  /** Hash family used by the sketching paths (MinHash, SimHash).
+    *
+    *  - [[Fast]]: xxhash64 — one 64-bit hash per token/shingle, the
+    *    throughput choice.
+    *  - [[Portable]]: a 56-bit value parsed from the first 14 hex chars
+    *    of md5, with a second independent 53-bit word from the next 14
+    *    — bit-reproducible in ANSI SQL (DuckDB:
+    *    `('0x' || substr(md5(s), 1, 14))::BIGINT`), so the driver's
+    *    DuckDB oracle can recompute the ENTIRE sketch pipeline and
+    *    hash-gate it. All arithmetic stays strictly inside signed-64
+    *    range (no wrapping, which DuckDB would reject). ~md5-vs-xxhash
+    *    cost per token, same shuffle shape.
+    */
+  sealed trait HashMode
+  case object Fast extends HashMode
+  case object Portable extends HashMode
+
+  /** First 56 bits of md5 as a non-negative BIGINT (see [[Portable]]). */
+  private def md5h56(c: Column): Column =
+    conv(substr(md5(c), lit(1), lit(14)), 16, 10).cast("long")
+
+  /** Independent second word: hex chars 15-28, reduced mod 2^53 so
+    * `h1 + i * h2m` stays < 2^60 for i ≤ 63. */
+  private def md5h53(c: Column): Column =
+    conv(substr(md5(c), lit(15), lit(14)), 16, 10).cast("long") % lit(1L << 53)
+
   /** Exact-duplicate groups: fingerprint, surviving (min) id, count. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
@@ -102,25 +128,40 @@ object Dedup {
     * interpreted lambdas dominate. Documents with fewer than `n`
     * tokens have no shingles and drop out. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int,
-      numHashes: Int): DataFrame =
-    signatureFromShingles(shingles(df, idCol, textCol, n), numHashes)
+      numHashes: Int, mode: HashMode = Fast): DataFrame =
+    signatureFromShingles(shingles(df, idCol, textCol, n), numHashes, mode)
 
   /** Dev/profiling entry: signatures from a precomputed shingle table. */
-  def minhashSignatureFromShingles(sh: DataFrame, numHashes: Int): DataFrame =
-    signatureFromShingles(sh, numHashes)
+  def minhashSignatureFromShingles(sh: DataFrame, numHashes: Int,
+      mode: HashMode = Fast): DataFrame =
+    signatureFromShingles(sh, numHashes, mode)
 
   /** Dev/profiling entry: verification against a precomputed shingle table. */
   def verifyPairsAgainstShingles(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame =
     verifyAgainstShingles(sh, candidates, threshold)
 
-  private def signatureFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val rnd = new scala.util.Random(20260812L)
-    val ab = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-    val aggs = ab.zipWithIndex.map { case ((a, b), i) =>
-      min(xxhash64(col("shingle")) * a + b).as(s"_m$i")
+  private def signatureFromShingles(sh: DataFrame, numHashes: Int,
+      mode: HashMode = Fast): DataFrame = {
+    // hash the shingle ONCE per row (projection below the aggregate);
+    // the N min-aggs then fold cheap linear combinations of the words
+    val (hashed, aggs) = mode match {
+      case Fast =>
+        val rnd = new scala.util.Random(20260812L)
+        val ab = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+        (sh.select(col("_id"), xxhash64(col("shingle")).as("_h1"), lit(0L).as("_h2")),
+          ab.zipWithIndex.map { case ((a, b), i) =>
+            min(col("_h1") * a + b).as(s"_m$i")
+          })
+      case Portable =>
+        // Kirsch-Mitzenmacher family g_i = h1 + i * h2m over the two
+        // independent md5 words — overflow-free, ANSI-reproducible
+        (sh.select(col("_id"), md5h56(col("shingle")).as("_h1"),
+            md5h53(col("shingle")).as("_h2")),
+          (0 until numHashes).map(i =>
+            min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_m$i")))
     }
-    sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("_id").agg(aggs.head, aggs.tail: _*)
       .select(col("_id"),
         array((0 until numHashes).map(i => col(s"_m$i")): _*).as("signature"))
   }
@@ -135,14 +176,24 @@ object Dedup {
     * wholesale (candidates they would have produced are overwhelmingly
     * duplicates of pairs surfaced by other, selective bands). 0 = off. */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
+    // band key: Fast re-hashes the band slice to one 64-bit value;
+    // Portable joins the slice into a CSV string (exact, and trivially
+    // reproducible in SQL via string_agg ORDER BY hash index)
+    def bandKey(b: Column): Column = mode match {
+      case Fast =>
+        xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+      case Portable =>
+        concat_ws(",", transform(
+          slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))
+    }
     // (band_idx, band_hash, id) is tiny (`bands` rows/doc, no text) but
     // its lineage embeds the whole signature aggregation — and it feeds
     // FOUR scans below (bucket-size agg, cap join, self-join x and y).
     // Checkpoint eagerly so the signature job runs exactly once.
     val banded = signatures.select(col("_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey(_)))
         .as(Seq("band_idx", "band_hash")))
       .localCheckpoint(true)
     val capped =
@@ -211,13 +262,13 @@ object Dedup {
     * this is the natural disk-persisted intermediate). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // materialize ONCE before the three consumers fork; without
                // this, parallel stages each recompute the shingle scan
-    val sig = signatureFromShingles(sh, numHashes)
-    val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket)
+    val sig = signatureFromShingles(sh, numHashes, mode)
+    val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket, mode)
     verifyAgainstShingles(sh, cands, threshold)
   }
 
@@ -312,15 +363,20 @@ object Dedup {
     * votes — the whole computation stays in whole-stage codegen
     * (the pure-Column [[simhash64]] form is interpreted lambda work).
     * Token-less documents drop out (no meaningful fingerprint). */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      mode: HashMode = Fast): DataFrame = {
+    val nBits = simhashBits(mode)
     val hashed = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val votes = (0 until 64).map(i =>
+      .withColumn("_h", mode match {
+        case Fast     => xxhash64(col("_tok"))
+        case Portable => md5h56(col("_tok"))
+      })
+    val votes = (0 until nBits).map(i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$i"))
     hashed.groupBy("_id").agg(votes.head, votes.tail: _*)
       .select(col("_id"),
-        (0 until 64).map(i =>
+        (0 until nBits).map(i =>
           when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
           .as("_sh"))
       // 16 bytes/doc, but the lineage embeds the token explode + 64-sum
@@ -331,15 +387,25 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Fast = 64-bit xxhash fingerprints (4 bands x 16 bits); Portable =
+    * 56-bit md5-word fingerprints (4 bands x 14 bits) so every shift,
+    * mask and popcount is reproducible in the DuckDB oracle. */
+  private def simhashBits(mode: HashMode): Int = mode match {
+    case Fast => 64
+    case Portable => 56
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3
     * with 4 bands of 16 bits: pigeonhole guarantees a shared band).
     * `maxBucket` caps band-bucket size like [[minhashCandidates]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val withHash = simhashTable(df, idCol, textCol)
+      maxHamming: Int = 3, maxBucket: Int = 4096, mode: HashMode = Fast): DataFrame = {
+    val bandBits = simhashBits(mode) / 4
+    val bandMask = (1L << bandBits) - 1
+    val withHash = simhashTable(df, idCol, textCol, mode)
     val allBanded = withHash.select(col("_id"), col("_sh"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band_idx", "band_val")))
+        shiftright(col("_sh"), b * bandBits).bitwiseAND(bandMask)): _*)).as(Seq("band_idx", "band_val")))
     val banded =
       if (maxBucket <= 0) allBanded
       else {

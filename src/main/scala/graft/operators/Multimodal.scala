@@ -56,9 +56,16 @@ object Multimodal {
   def mapBatches(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // one digest instance per partition, reset per row
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-        val checksum = bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+        // checksum = first 56 bits of md5(payload) — the same value any
+        // SQL engine derives as ('0x' || substr(md5(payload),1,14))::BIGINT,
+        // so the decode output is oracle-checkable end to end
+        md.reset()
+        val checksum = md.digest(bytes).take(7)
+          .foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL))
         // ??? real decode goes here — deterministic fake features:
         val feats = Array.tabulate(dim)(i =>
           (((checksum >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2 - 1)

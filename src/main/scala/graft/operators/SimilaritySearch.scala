@@ -99,10 +99,34 @@ object SimilaritySearch {
       .limit(maxTrainRows)
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
       .setInitMode("random").fit(train)
-    val centroids = planesLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    ivfTopKWithCentroids(table, queries, k,
+      model.clusterCenters.map(_.toArray.toSeq).toSeq, nProbe, idCol, vecCol)
+  }
 
+  /** IVF with the coarse quantizer seeded from designated DATA rows
+    * (`centroidIds`, ordered ascending) instead of a KMeans fit — the
+    * k-medoid-style degenerate training. Deterministic across scale
+    * factors and expressible in plain SQL (a join against the centroid
+    * rows), so this variant carries the driver's hash gate; the KMeans
+    * variant is pinned by spec (equals-brute-force at full probe). */
+  def ivfTopKSeeded(
+      table: DataFrame, queries: DataFrame, k: Int, centroidIds: Seq[Long],
+      nProbe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = table.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect() // nLists tiny rows
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    ivfTopKWithCentroids(table, queries, k, cents, nProbe, idCol, vecCol)
+  }
+
+  /** Shared IVF core: assignment + probe + rerank against explicit
+    * centroid literals. */
+  def ivfTopKWithCentroids(
+      table: DataFrame, queries: DataFrame, k: Int, centroidSeqs: Seq[Seq[Double]],
+      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nLists = centroidSeqs.length
+    val centroids = planesLit(centroidSeqs)
     val dists = (v: Column) => transform(centroids, c => dist2(v, c))
-    val centroidSeqs = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
     // table-side assignment is per-row over EVERY vector — codegen'd
     // argmin kernel; the query-side probe ranking below stays HOF

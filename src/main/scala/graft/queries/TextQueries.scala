@@ -170,18 +170,86 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // MinHash+LSH near-dup detection (xxhash64 signatures — not
-    // reproducible in ANSI SQL → rows-only check; recall vs the exact
-    // Jaccard pairs is asserted in DedupSpec).
-    QueryDef.rowsOnly("q_dedup_minhash_lsh") { (s, d) =>
+    // MinHash+LSH near-dup detection under the FULL hash gate: the
+    // Portable hash family (md5-derived 56/53-bit words, Kirsch-
+    // Mitzenmacher g_i = h1 + i*h2m) lets DuckDB recompute signatures,
+    // banding, bucket caps, candidates and exact-Jaccard verification
+    // bit-for-bit. Recall vs exact Jaccard additionally pinned in
+    // DedupSpec.
+    QueryDef.sql(
+      "q_dedup_minhash_lsh",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |hs AS (SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT % ${1L << 53} AS h2m
+         |       FROM sh),
+         |sig AS (SELECT doc_id, i, min(h1 + i * h2m) AS s
+         |        FROM hs, UNNEST(range(0, 64)) AS r(i) GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band_idx,
+         |                string_agg(s::VARCHAR, ',' ORDER BY i) AS band_key
+         |         FROM sig GROUP BY doc_id, i // 4),
+         |okband AS (SELECT band_idx, band_key FROM band
+         |           GROUP BY band_idx, band_key HAVING COUNT(*) <= 256),
+         |bandc AS (SELECT b.doc_id, b.band_idx, b.band_key
+         |          FROM band b JOIN okband o USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bandc x JOIN bandc y
+         |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |              AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.id_a
+         |           JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |           GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          mode = Dedup.Portable)
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairs (rows-only for the same reason).
-    QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+    // SimHash near-dup pairs, same Portable treatment: 56-bit md5-word
+    // fingerprints, 4 bands x 14 bits, popcount-verified in both
+    // dialects. Banding discovery (not exhaustive for hamming > 3) is
+    // replicated exactly, so the oracle sees the same pair set.
+    QueryDef.sql(
+      "q_dedup_simhash",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM toks),
+         |votes AS (SELECT doc_id, i,
+         |            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM h, UNNEST(range(0, 56)) AS r(i) GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id,
+         |          CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh
+         |        FROM votes GROUP BY doc_id),
+         |band AS (SELECT doc_id, sh, b AS band_idx, (sh >> (b * 14)) & 16383 AS band_val
+         |         FROM sig, UNNEST(range(0, 4)) AS r(b)),
+         |okband AS (SELECT band_idx, band_val FROM band
+         |           GROUP BY band_idx, band_val HAVING COUNT(*) <= 4096),
+         |bandc AS (SELECT b.doc_id, b.sh, b.band_idx, b.band_val
+         |          FROM band b JOIN okband o USING (band_idx, band_val)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |                x.sh AS sha, y.sh AS shb
+         |         FROM bandc x JOIN bandc y
+         |           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |              AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sha, shb)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 10, mode = Dedup.Portable)
+        .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     },
 
@@ -237,7 +305,15 @@ object TextQueries {
 
     // Multimodal plumbing driven end-to-end: documents' bytes as an
     // opaque payload column → batched (stubbed) decode → features.
-    QueryDef.rowsOnly("q_multimodal_features") { (s, d) =>
+    // The decode kernel's checksum is the first 56 bits of md5(payload),
+    // so the mapPartitions output hash-gates against plain SQL.
+    QueryDef.sql(
+      "q_multimodal_features",
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  ('0x' || substr(md5(text), 1, 14))::BIGINT AS checksum
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = graft.operators.Multimodal.asMediaTable(
         Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", kind = "image", mime = "application/octet-stream")

@@ -59,17 +59,113 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
-    QueryDef.rowsOnly("q_vec_ann_lsh") { (s, d) =>
+    // LSH ANN under the full hash gate: the seeded hyperplanes are
+    // interpolated into the oracle as E-notation DOUBLE literals
+    // (17 significant digits round-trip exactly; plain decimals would
+    // infer DECIMAL in DuckDB and break bit-equality), so bucketing,
+    // margin-guided multiprobe, candidate join and rerank are all
+    // recomputed independently.
+    QueryDef.sql(
+      "q_vec_ann_lsh", {
+        val planes = SimilaritySearch.randomPlanes(6, 64)
+        val pLit = planes.map(_.map(v =>
+            "%.17E".formatLocal(java.util.Locale.ROOT, v))
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        s"""WITH pr AS (SELECT j, p[j] AS pv
+           |            FROM (SELECT $pLit AS p), UNNEST(range(1, 7)) AS r(j)),
+           |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |dots AS (
+           |  SELECT e.vec_id, pr.j,
+           |    list_sum(list_transform(range(1, len(v) + 1),
+           |      i -> CAST(v[i] AS DOUBLE) * pv[i])) AS dot
+           |  FROM e, pr),
+           |bucket AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END) AS BIGINT) AS b
+           |  FROM dots GROUP BY vec_id),
+           |qf AS (SELECT vec_id, j,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), j) AS rn
+           |       FROM dots WHERE vec_id < 20),
+           |probed AS (
+           |  SELECT vec_id AS query_id, b AS bucket FROM bucket WHERE vec_id < 20
+           |  UNION ALL
+           |  SELECT f.vec_id, xor(b.b, (1::BIGINT << (f.j - 1)))
+           |  FROM qf f JOIN bucket b ON b.vec_id = f.vec_id
+           |  WHERE f.rn <= 2),
+           |cand AS (SELECT DISTINCT p.query_id, t.vec_id AS neighbor_id
+           |         FROM probed p JOIN bucket t ON t.b = p.bucket
+           |         WHERE t.vec_id <> p.query_id),
+           |scored AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    list_sum(list_transform(range(1, len(t.v) + 1),
+           |        i -> CAST(t.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(t.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           |      AS score
+           |  FROM cand c
+           |  JOIN e q ON q.vec_id = c.query_id
+           |  JOIN e t ON t.vec_id = c.neighbor_id),
+           |rk AS (SELECT query_id, neighbor_id, score,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+           |       FROM scored)
+           |SELECT query_id, "rank", neighbor_id, score
+           |FROM rk WHERE "rank" <= 5
+           |ORDER BY query_id, "rank"""".stripMargin
+      }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.annTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nBits = 6,
           nProbe = 3)
         .orderBy("query_id", "rank")
     },
 
-    QueryDef.rowsOnly("q_vec_ann_ivf") { (s, d) =>
+    // IVF ANN under the hash gate via the seeded (k-medoid-style)
+    // quantizer: centroids are the vec_id < 8 rows, so the oracle
+    // recomputes assignment, probe ranking and rerank from the data
+    // alone. The KMeans-trained variant (same plan shape) stays
+    // spec-pinned (equals brute force at full probe).
+    QueryDef.sql(
+      "q_vec_ann_ivf",
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS li, v AS cv
+        |      FROM e WHERE vec_id < 8),
+        |ad AS (
+        |  SELECT e.vec_id, c.li,
+        |    list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, li FROM (
+        |             SELECT vec_id, li,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |             FROM ad)
+        |           WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, li FROM (
+        |            SELECT vec_id, li,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |            FROM ad WHERE vec_id < 20)
+        |          WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |         FROM probe p JOIN assign a USING (li)
+        |         WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(range(1, len(t.v) + 1),
+        |        i -> CAST(t.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(t.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      AS score
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e t ON t.vec_id = c.neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+        |       FROM scored)
+        |SELECT query_id, "rank", neighbor_id, score
+        |FROM rk WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
-          nLists = 8, nProbe = 2)
+      SimilaritySearch.ivfTopKSeeded(emb, emb.filter(col("vec_id") < 20), k = 5,
+          centroidIds = 0L until 8L, nProbe = 2)
         .orderBy("query_id", "rank")
     })
 }
