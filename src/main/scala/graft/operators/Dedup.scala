@@ -272,6 +272,23 @@ object Dedup {
     verifyAgainstShingles(sh, cands, threshold)
   }
 
+  /** Benchmark-contamination scan: corpus documents sharing at least
+    * `minShared` word n-grams with any benchmark document — the
+    * eval-set decontamination pass a training pipeline runs before
+    * export. Same posting-list join shape as [[jaccardPairs]]: the
+    * benchmark side is tiny (eval sets are thousands of docs), so at
+    * scale the shingle join broadcasts it; candidates are bounded by
+    * shared shingles, never |corpus| x |bench|. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minShared: Long = 2L): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, n).withColumnRenamed("_id", "doc_id")
+    val bs = shingles(bench, idCol, textCol, n)
+      .select(col("_id").as("bench_id"), col("shingle"))
+    cs.join(bs, "shingle")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicates, exact all-pairs baseline:
     * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     * Quadratic by construction — the differential baseline and the

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & dataset splitting for training-data
+  * curation.
+  *
+  * Everything keys off a content/id hash, never an RNG: at 100 TB a
+  * sample must be reproducible across retried tasks, re-runs and
+  * engines (`rand()` is none of those), must not require a pre-pass
+  * (no count-based reservoir), and must stay stable when the table
+  * grows — a row's split never changes because other rows arrived.
+  * Pure per-row expressions: zero shuffle, prunes into the scan.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, nBuckets): first 56 bits of md5 of the
+    * key, mod nBuckets — reproducible in any SQL engine as
+    * `('0x' || substr(md5(k), 1, 14))::BIGINT % n`. */
+  def hashBucket(key: Column, nBuckets: Int): Column =
+    conv(substr(md5(key.cast("string")), lit(1), lit(14)), 16, 10).cast("long") %
+      lit(nBuckets.toLong)
+
+  /** train/validation/test assignment by hash bucket percentage. */
+  def hashSplit(key: Column, trainPct: Int = 80, validationPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + validationPct, lit("validation"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic fraction sample: keep rows whose 10k-bucket falls
+    * under the fraction. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol), 10000) < lit((fraction * 10000).toLong))
+}

@@ -131,4 +131,32 @@ object TextAnalysis {
       acc.when(s === best, lit(l))
     }.otherwise(lit("unknown"))
   }
+
+  /** PII patterns — RE2-compatible (no lookaround, no backrefs) so the
+    * same pattern string runs in Spark (java.util.regex) and any
+    * RE2-based SQL engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: emails then phone numbers replaced by typed
+    * placeholder tokens. Pure codegen'd expression — streams through
+    * the scan, the mandatory pre-training scrub at 100 TB. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Occurrences of a pattern (group 0 matches). */
+  def patternCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Within-document repetition: fraction of word n-grams that are
+    * repeats (1 - distinct/total) — the Gopher/C4-style repetition
+    * filter. Zero-shuffle column expression; the distinct count reuses
+    * the codegen'd shingle-set kernel. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val total = size(t) - (n - 1)
+    val dist = size(graft.functions.VectorKernels.wordShinglesCol(t, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
+  }
 }

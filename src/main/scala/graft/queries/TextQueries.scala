@@ -280,6 +280,102 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // PII redaction + counting (emails, phone numbers). The corpus is
+    // synthetic word-salad, so deterministic PII is injected into every
+    // 10th document in BOTH dialects — the redaction is exercised on
+    // real matches, not vacuously on zero hits.
+    QueryDef.sql(
+      "q_text_pii_redact", {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 = 0
+           |         THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
+           |         ELSE text END AS s
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(s, '$email')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(s, '$phone')) AS INT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(s, '$email', '<EMAIL>', 'g'),
+           |      '$phone', '<PHONE>', 'g')) AS redacted_fp
+           |FROM t
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val injected = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567")))
+        .otherwise(col("text"))
+      Tables.documents(s, d).select(col("doc_id"), injected.as("s"))
+        .select(col("doc_id"),
+          TextAnalysis.patternCount(col("s"), TextAnalysis.EmailRe).as("n_emails"),
+          TextAnalysis.patternCount(col("s"), TextAnalysis.PhoneRe).as("n_phones"),
+          md5(TextAnalysis.redactPii(col("s"))).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Within-document repetition ratio (Gopher/C4-style repeated
+    // n-gram filter): fraction of word trigrams that are repeats.
+    QueryDef.sql(
+      "q_text_repetition",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents)
+         |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         |  CASE WHEN len(t) - 2 <= 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE)
+         |            - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+         |              / CAST(len(t) - 2 AS DOUBLE) END AS rep_ratio
+         |FROM toks
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination: corpus docs sharing >= 1 word 4-gram
+    // with any benchmark doc (benchmark = every 50th document).
+    QueryDef.sql(
+      "q_dedup_contamination",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1))) AS g(i)
+         |       WHERE len(t) >= 4)
+         |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+         |FROM sh c JOIN sh b ON c.shingle = b.shingle
+         |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 1
+         |ORDER BY c.doc_id, bench_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 4, minShared = 1L)
+        .orderBy("doc_id", "bench_id")
+    },
+
+    // Deterministic hash-bucket dataset split (train/validation/test) —
+    // reproducible across engines, retries and table growth, unlike
+    // rand()-based sampling.
+    QueryDef.sql(
+      "q_sample_split",
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 90
+        |       THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+          graft.operators.Sampling.hashSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal frame-sampling plan + byte-length metadata — the
     // deterministic, ANSI-expressible half of the media pipeline
     // (decode checksums stay rows-only below). One row per sampled

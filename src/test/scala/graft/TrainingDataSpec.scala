@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, Sampling, SimilaritySearch, TextAnalysis}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -182,5 +182,74 @@ class VectorSpec extends SparkSpec {
         nLists = 2, nProbe = 1).collect()
     assert(partial.exists(r => r.getAs[Long]("neighbor_id") == 1L &&
       r.getAs[Double]("score") == 1.0))
+  }
+
+  test("seeded ivf with full probing also equals brute force") {
+    val brute = SimilaritySearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val full = SimilaritySearch.ivfTopKSeeded(vecs, vecs.filter($"vec_id" === 0), k = 4,
+        centroidIds = Seq(0L, 2L), nProbe = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == brute)
+  }
+
+  test("pii redaction replaces emails and phones, counts match") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@x-mail.co.uk or call 555-123-4567 twice 555-000-1111"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.redactPii($"text").as("red"),
+        TextAnalysis.patternCount($"text", TextAnalysis.EmailRe).as("ne"),
+        TextAnalysis.patternCount($"text", TextAnalysis.PhoneRe).as("np"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("red") ==
+      "mail me at <EMAIL> or call <PHONE> twice <PHONE>")
+    assert(out(1L).getAs[Int]("ne") == 1 && out(1L).getAs[Int]("np") == 2)
+    assert(out(2L).getAs[String]("red") == "no pii here")
+    assert(out(2L).getAs[Int]("ne") == 0 && out(2L).getAs[Int]("np") == 0)
+  }
+
+  test("repetition ratio: 0 for all-distinct trigrams, high for looped text") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),               // all trigrams distinct
+      (2L, "x y x y x y x y x y"),           // 2 distinct trigrams of 8
+      (3L, "a b")).toDF("doc_id", "text")    // too short -> 0.0
+    val out = df.select($"doc_id", TextAnalysis.repetitionRatio($"text", 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 1.0 - 2.0 / 8.0)
+    assert(out(3L) == 0.0)
+  }
+
+  test("contamination flags the doc sharing a 4-gram run with the benchmark") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),  // shares 4-gram with bench
+      (11L, "one two three four five")).toDF("doc_id", "text")
+    val bench = Seq(
+      (900L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", n = 4, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_shared")))
+    // exactly one shared 4-gram: 'alpha beta gamma delta'
+    assert(out.toSeq == Seq((10L, 900L, 1L)))
+  }
+
+  test("hash split is deterministic, total and roughly proportioned") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val out = ids.select($"doc_id", Sampling.hashSplit($"doc_id").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 1000L)
+    assert(out("train") > 700 && out("train") < 900)
+    assert(out("validation") > 50 && out("validation") < 160)
+    // determinism: same assignment on re-run
+    val a = ids.select(Sampling.hashSplit($"doc_id").as("s")).collect().map(_.getString(0)).toSeq
+    val b = ids.select(Sampling.hashSplit($"doc_id").as("s")).collect().map(_.getString(0)).toSeq
+    assert(a == b)
+    // sampleByHash subset is stable under table growth
+    val small = Sampling.sampleByHash(ids.filter($"doc_id" < 500), "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.sampleByHash(ids, "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(small == big.filter(_ < 500L))
   }
 }
