@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.defs ++ FunctionQueries.defs ++ OperatorQueries.defs ++
       IdentityQueries.defs ++ UpsertQueries.defs ++ ReportingQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
-      ExtraQueries.defs ++ HeadlineQueries.defs
+      ExtraQueries.defs ++ SourceQueries.defs ++ HeadlineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.Sources
+
+/** Driver-checked round trips through the file sinks (SURVEY.md §2.1
+  * S1/S3/S9/S11/S12): each query writes a table through the sink under
+  * test, reads it back through the matching scan, and aggregates; the
+  * DuckDB oracle computes the same aggregate from the ORIGINAL parquet.
+  * Any loss in the sink/scan round trip (types, precision, timestamp
+  * formats, partition-column restoration) breaks the value hash. */
+object SourceQueries {
+
+  /** Scratch dir inside the repo (the driver may not allow writes
+    * elsewhere); per-SF so sf0.01 and sf0.1 runs don't collide. */
+  private def scratch(sfDir: String, tag: String): String =
+    s"/root/repo/target/roundtrip/${new java.io.File(sfDir).getName}_$tag"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1 CSV scan + S9/S11 CSV sink: orders -> CSV -> read (explicit
+    // schema) -> aggregate. Exercises double, timestamp and string
+    // round-trips through text serialization.
+    QueryDef.sql(
+      "q_source_csv_roundtrip",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_day
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val dir = scratch(d, "csv")
+      Sources.writeCsv(o, dir)
+      Sources.readCsv(s, dir, Some(o.schema))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          max(to_date(col("o_orderdate"))).cast("string").as("max_day"))
+        .orderBy("o_orderstatus")
+    },
+
+    // S12 per-entity JSON sink + S3 JSON scan: orders partitioned by
+    // priority -> JSONL -> read back -> per-partition aggregate. The
+    // partition column is restored from the directory layout.
+    QueryDef.sql(
+      "q_source_json_roundtrip",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val dir = scratch(d, "json")
+      Sources.writePartitionedJson(o, dir, "o_orderpriority")
+      Sources.readJsonLines(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    })
+}

@@ -26,6 +26,15 @@ object Sources {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
 
+  /** S3 (operator): line-delimited JSON scan — the format [[writeJson]]
+    * and [[writePartitionedJson]] produce (one record per line, the
+    * splittable-at-scale layout; `multiLine` documents are not). */
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** S7/S6: JDBC table scan with pushdown. `table` may be a table name
     * or a `(SELECT …) alias` subquery — how the reference's keyed
     * lookups (S8) express server-side. */
