@@ -181,5 +181,26 @@ object FunctionQueries {
           Gsid.deterministic(col("c_name")).as("gsid"),
           Gsid.isValid(Gsid.deterministic(col("c_name"))).as("format_valid"))
         .orderBy("c_custkey")
+    },
+
+    // F12 fixed-length Crockford base32 of a non-negative long — the
+    // codegen'd Base32Encode expression vs a pure shift/mask re-derivation
+    // (32 = 2^5, so digit i is (n >> 5*(L-i)) & 31 in both dialects).
+    QueryDef.sql(
+      "q_fn_base32", {
+        def b32(expr: String, len: Int): String =
+          (1 to len).map(i =>
+            s"substr('${Gsid.Alphabet}', CAST((($expr) >> ${5 * (len - i)}) & 31 AS INT) + 1, 1)")
+            .mkString(" || ")
+        s"""SELECT c_custkey,
+           |  ${b32("c_custkey", 11)} AS b32_id,
+           |  ${b32("c_custkey * 2654435761", 5)} AS b32_short
+           |FROM customer
+           |ORDER BY c_custkey""".stripMargin
+      }) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+          Gsid.base32(col("c_custkey"), 11).as("b32_id"),
+          Gsid.base32(col("c_custkey") * lit(2654435761L), 5).as("b32_short"))
+        .orderBy("c_custkey")
     })
 }

@@ -28,7 +28,10 @@ object PipelineQueries {
       col("c_nationkey").cast("int").as("center_id"),
       concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
       lit("primary").as("identifier_type"))
-    val res1 = IdentityResolver.resolve(batch1, reg0).localCheckpoint(true)
+    // one identifier per request => identifier chains are impossible and
+    // a single grouping hop is provably exact (saves one checkpoint job)
+    val res1 = IdentityResolver.resolve(batch1, reg0, deterministicMint = true,
+      groupingIterations = 1).localCheckpoint(true)
     val links1 = IdentityResolver.links(batch1, res1, reg0.localIds)
     val reg1raw = IdentityResolver.applyBatch(reg0, res1, links1,
       java.sql.Date.valueOf("2024-06-01"))
@@ -149,7 +152,8 @@ object PipelineQueries {
         |FROM j
         |ORDER BY request_id""".stripMargin) { (s, d) =>
       val (_, reg1) = evolutionBatch1(s, d)
-      IdentityResolver.resolve(evolutionBatch2(s, d), reg1)
+      IdentityResolver.resolve(evolutionBatch2(s, d), reg1,
+          deterministicMint = true, groupingIterations = 1) // single-id batch
         .select("request_id", "center_id", "action", "gsid", "match_strategy",
           "confidence", "conflict_resolution", "requires_review")
         .orderBy("request_id")
@@ -191,7 +195,8 @@ object PipelineQueries {
         |ORDER BY global_subject_id""".stripMargin) { (s, d) =>
       val (_, reg1) = evolutionBatch1(s, d)
       val batch2 = evolutionBatch2(s, d)
-      val res2 = IdentityResolver.resolve(batch2, reg1).localCheckpoint(true)
+      val res2 = IdentityResolver.resolve(batch2, reg1, deterministicMint = true,
+        groupingIterations = 1).localCheckpoint(true) // single-id batch
       val links2 = IdentityResolver.links(batch2, res2, reg1.localIds)
       val reg2 = IdentityResolver.applyBatch(reg1, res2, links2,
         java.sql.Date.valueOf("2024-07-01"))
