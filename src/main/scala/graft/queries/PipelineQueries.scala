@@ -543,7 +543,8 @@ object PipelineQueries {
         |ORDER BY local_subject_id, identifier_type, gsid""".stripMargin) { (s, d) =>
       val reg = IdentityQueries.registry(s, d)
       val cands = IdentityQueries.candidates(s, d)
-      val res = IdentityResolver.resolve(cands, reg).localCheckpoint(true)
+      val res = IdentityResolver.resolve(cands, reg, deterministicMint = true,
+        groupingIterations = 1).localCheckpoint(true) // chainless batch
       IdentityResolver.resolutionLog(res, cands) // JSONB payloads already strings
         .orderBy("local_subject_id", "identifier_type", "gsid")
     })

@@ -79,4 +79,25 @@ class PlanAuditSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), p.take(400))
   }
+
+  test("per-row curation ops (pii, repetition, split) stay zero-shuffle scans") {
+    for (q <- Seq("q_text_pii_redact", "q_text_repetition", "q_sample_split")) {
+      val p = planOf(q)
+      // the only exchange allowed is the final presentation sort
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n${p.take(800)}")
+      assert(!p.contains("Window") && !p.contains("Join"), s"$q:\n${p.take(800)}")
+    }
+  }
+
+  test("contamination is an equi-join on shingles, never a cartesian") {
+    val p = planOf("q_dedup_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("seeded ivf broadcasts the probed query side (table side never fans out)") {
+    val p = planOf("q_vec_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
