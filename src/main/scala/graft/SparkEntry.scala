@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.defs ++ FunctionQueries.defs ++ OperatorQueries.defs ++
       IdentityQueries.defs ++ UpsertQueries.defs ++ ReportingQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
-      ExtraQueries.defs ++ SourceQueries.defs ++ HeadlineQueries.defs
+      ExtraQueries.defs ++ SourceQueries.defs ++ TemporalQueries.defs ++
+      HeadlineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the right row with the
+  * greatest timestamp ≤ the left timestamp within the same key (the
+  * temporal enrichment join: "state as of the event").
+  *
+  * Spark has no native ASOF JOIN; the naive formulations both die at
+  * scale — a range-predicate join degenerates to a per-key cartesian
+  * before filtering, and a per-left-row subquery is a point-lookup
+  * loop. This is the scale-correct composition: tag both inputs,
+  * UNION them, and run ONE window pass per key ordered by
+  * (timestamp, side) carrying the last non-null right payload forward.
+  * Cost = one shuffle on the key + a partition-local sort — identical
+  * to a plain groupBy, regardless of how many right rows precede each
+  * left row. Hot keys are ordinary shuffle skew (AQE / salting), not
+  * an algorithmic blowup.
+  *
+  * Tie semantics: a right row at exactly the left timestamp matches
+  * (ts_right ≤ ts_left, inclusive — DuckDB/pandas `merge_asof`
+  * convention). The right side must be unique per (keys, ts); ties
+  * there would make "the" latest row ambiguous — pre-aggregate.
+  *
+  * `payloadCols` must not collide with left column names.
+  */
+object AsOfJoin {
+
+  def backward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
+
+    val l = payloadCols.foldLeft(
+      left.withColumn("_ats", col(leftTsCol)).withColumn("_side", lit(1)))(
+      (df, c) => df.withColumn(c, lit(null)))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTsCol).as("_ats")) ++ payloadCols.map(col): _*)
+      .withColumn("_side", lit(0))
+
+    // right (side 0) sorts before left (side 1) at equal ts => inclusive
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ats"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = l.unionByName(r, allowMissingColumns = true)
+    payloadCols.foldLeft(joined)(
+        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("_side") === 1)
+      .select((leftCols ++ payloadCols).map(col): _*)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Temporal operators over the events table: backward as-of join and
+  * trailing range-frame aggregates — the "state as of" and "activity
+  * in the last hour" building blocks of event-stream feature
+  * pipelines. Both hash-gated: DuckDB has native ASOF JOIN and
+  * identical RANGE-frame semantics. */
+object TemporalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Backward as-of join: each click enriched with the user's most
+    // recent purchase at or before the click. The right side is
+    // pre-aggregated unique per (user, ts) — as-of requires it.
+    QueryDef.sql(
+      "q_asof_purchase",
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.purchase_id, p.ts AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .withColumn("purchase_ts", col("ts"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id", "purchase_ts"))
+        .orderBy("event_id")
+    },
+
+    // Trailing range-frame aggregate: events in the user's last hour
+    // (RANGE frame on epoch micros — peers at equal ts are included
+    // identically in both engines).
+    QueryDef.sql(
+      "q_w_trailing_range",
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d).select(
+          col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    })
+}

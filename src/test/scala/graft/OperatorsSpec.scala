@@ -142,3 +142,32 @@ class ConflictDetectorSpec extends SparkSpec {
     assert(ConflictDetector.detect(incoming, existing, "b").count() == 1)
   }
 }
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  test("backward as-of: latest right at-or-before left ts, per key, null when none") {
+    val left = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 50L)).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", 10L, "a"),   // tie with left id=1 -> inclusive match
+      ("u1", 15L, "b"),
+      ("u2", 60L, "c"))   // after u2's only left row -> no match
+      .toDF("user", "rts", "payload")
+    val out = AsOfJoin.backward(left, right, Seq("user"), "ts", "rts", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
+  }
+
+  test("as-of plans one keyed window pass, not a range join") {
+    val left = Seq((1L, "u1", 10L)).toDF("id", "user", "ts")
+    val right = Seq(("u1", 5L, "x")).toDF("user", "rts", "payload")
+    val p = AsOfJoin.backward(left, right, Seq("user"), "ts", "rts", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(500))
+  }
+}
