@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Temporal operators over the events table: backward as-of join and
   * trailing range-frame aggregates — the "state as of" and "activity
@@ -39,6 +39,38 @@ object TemporalQueries {
       AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts",
           Seq("purchase_id", "purchase_ts"))
         .orderBy("event_id")
+    },
+
+    // Keyless range join via time binning: every sampled error event
+    // opens a 30-minute window; count + sum all events falling inside.
+    // The oracle is the plain inequality join (fine at oracle scale);
+    // the Spark plan is the binned equi-join (no cartesian, plan-pinned
+    // in spec).
+    QueryDef.sql(
+      "q_range_join",
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + 1800000000 AS e_us
+        |  FROM events
+        |  WHERE event_type = 'error' AND event_id % 50 = 0)
+        |SELECT iv.interval_id, COUNT(*) AS n_in_window,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM iv JOIN events e
+        |  ON epoch_us(e.ts) BETWEEN iv.s_us AND iv.e_us
+        |GROUP BY iv.interval_id
+        |ORDER BY interval_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val intervals = ev
+        .filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("interval_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      RangeJoin.pointInInterval(
+          ev.select(col("ts"), col("value")), intervals,
+          "ts", "w_start", "w_end", binMicros = 1800L * 1000000L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("interval_id")
     },
 
     // Trailing range-frame aggregate: events in the user's last hour

@@ -171,3 +171,43 @@ class AsOfJoinSpec extends SparkSpec {
       p.take(500))
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RangeJoin
+  import org.apache.spark.sql.functions._
+
+  private def tsDF(rows: Seq[(Long, String)], c: String) =
+    rows.toDF("id", "_s").select(col("id"), col("_s").cast("timestamp").as(c))
+
+  test("binned range join equals the naive inequality join") {
+    val points = tsDF(Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:29:00"),
+      (3L, "2024-01-01 11:00:01"), (4L, "2024-01-02 00:00:00")), "ts")
+    val intervals = Seq(
+      (100L, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+      (200L, "2024-01-01 10:30:00", "2024-01-01 11:00:01"))
+      .toDF("interval_id", "_s", "_e")
+      .select(col("interval_id"), col("_s").cast("timestamp").as("w_start"),
+        col("_e").cast("timestamp").as("w_end"))
+    val binned = RangeJoin.pointInInterval(points, intervals, "ts", "w_start", "w_end",
+        binMicros = 600L * 1000000L) // 10-min bins, intervals span several
+      .select("id", "interval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("id", "interval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+    assert(binned == Set((1L, 100L), (2L, 100L), (3L, 200L))) // boundaries inclusive
+  }
+
+  test("binned range join plans an equi-join on the bin, not a cartesian") {
+    val points = tsDF(Seq((1L, "2024-01-01 10:00:00")), "ts")
+    val intervals = tsDF(Seq((9L, "2024-01-01 09:00:00")), "w_start")
+      .select(col("id").as("interval_id"), col("w_start"),
+        (col("w_start") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    val p = RangeJoin.pointInInterval(points, intervals, "ts", "w_start", "w_end")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+}
