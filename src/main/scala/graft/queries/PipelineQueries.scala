@@ -325,6 +325,22 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // §2.11: watermarked streaming dedup (at-least-once ingestion →
+    // exactly-once downstream). Redelivery simulated by unioning every
+    // 3rd event back in; duplicates are bit-identical rows, so the
+    // surviving-row choice cannot affect the output.
+    QueryDef.sql(
+      "q_stream_dedup",
+      """SELECT event_id, ts, user_id, event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val redelivered = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+      graft.streaming.EventStream.dedupEvents(redelivered)
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
     // S4/S5: the DSv2 REST source end-to-end (in-JVM fake pages; rows
     // come from executor-side page fetches, one partition per page).
     // DuckDB cannot call the page client → rows-only.

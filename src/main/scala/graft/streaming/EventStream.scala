@@ -50,6 +50,20 @@ object EventStream {
     df.filter(col(nsCol) > lit(ns))
   }
 
+  /** Watermarked streaming dedup: keep the first occurrence of each
+    * key (at-least-once ingestion → exactly-once downstream). On a
+    * stream, `dropDuplicates` state is bounded by the watermark
+    * horizon × key cardinality; the batch form is the same plan minus
+    * the state store. Deterministic output = the distinct key set —
+    * WHICH duplicate survives is arrival-order-dependent on a real
+    * stream, so downstream must key off the dedup columns (the gated
+    * query projects exactly those). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours",
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols)
+
   /** Gap-based sessionization via the built-in `session_window` — the
     * preferred scale path (codegen'd, AQE-planned, identical on
     * readStream with a watermark). `session_end` is the last event

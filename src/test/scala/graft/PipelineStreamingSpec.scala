@@ -238,6 +238,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 2)
   }
 
+  test("streaming dedup drops redelivered events (stream equals batch distinct)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e1 = EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0)
+    val e2 = EventStream.Event(2, ts("2024-01-01 00:10:00"), 2, "view", 2.0)
+    val mem = MemoryStream[EventStream.Event]
+    mem.addData(e1, e2, e1) // at-least-once redelivery of e1
+    val q = EventStream.dedupEvents(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(streamed.toSeq == Seq(1L, 2L))
+    val batch = EventStream.dedupEvents(Seq(e1, e2, e1).toDF())
+      .select("event_id").as[Long].collect().sorted
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
   test("stateful sessionization closes sessions at the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
