@@ -106,5 +106,32 @@ object CoreQueries {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
+    },
+
+    // Salted equi-join under the hash gate: a synthetically skewed key
+    // (70% of lineitem lands on key 0) joined through
+    // SkewJoin.saltedEquiJoin — the oracle is the PLAIN join, proving
+    // salting is result-transparent while the hot key spreads over 8
+    // shuffle buckets.
+    QueryDef.sql(
+      "q_skew_salted",
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |              ELSE CAST(l_orderkey % 25 AS INT) END AS k
+        |  FROM lineitem)
+        |SELECT n.n_name, COUNT(*) AS n
+        |FROM li JOIN nation n ON n.n_nationkey = li.k
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 10 < 7, 0)
+          .otherwise((col("l_orderkey") % 25).cast("int")).as("k"),
+        col("l_orderkey"))
+      val build = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name"))
+      graft.operators.SkewJoin.saltedEquiJoin(li, build, "k", salt = 8,
+          probeSaltSource = col("l_orderkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+        .orderBy("n_name")
     })
 }
