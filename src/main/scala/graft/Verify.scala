@@ -20,6 +20,9 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         spark.catalog.clearCache() // no cross-query cache residue
+        // localCheckpoint blocks survive clearCache; ~90 queries of
+        // accumulation would force eviction+GC on late queries
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
