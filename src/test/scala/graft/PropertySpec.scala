@@ -114,3 +114,34 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }
+
+/** The Portable (SQL-reproducible) hash family must stay strictly
+  * inside signed-64 range for every input — DuckDB throws on int64
+  * overflow, so any wrap would break the oracle at some input. */
+class PortableHashSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("md5-derived words and g_i = h1 + i*h2m never overflow, match 14-hex parse") {
+    val rnd = new scala.util.Random(99L)
+    val inputs = (Seq("", "a", "é世界") ++
+      Seq.fill(200)(rnd.nextString(rnd.nextInt(40)))).distinct
+    val df = inputs.toDF("s").select(
+      col("s"),
+      conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h1"),
+      (conv(substring(md5(col("s")), 15, 14), 16, 10).cast("long") % (1L << 53)).as("h2m"))
+    df.collect().foreach { r =>
+      val (h1, h2m) = (r.getLong(1), r.getLong(2))
+      assert(h1 >= 0 && h1 < (1L << 56))
+      assert(h2m >= 0 && h2m < (1L << 53))
+      // worst-case hash index
+      val g63 = h1 + 63L * h2m
+      assert(g63 >= 0 && g63 < (1L << 60), s"g_63 out of range: $g63")
+      // h1 equals the reference big-integer parse of the first 14 hex chars
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      assert(h1 == java.lang.Long.parseLong(hex, 16))
+    }
+  }
+}
