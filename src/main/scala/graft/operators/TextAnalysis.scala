@@ -58,7 +58,10 @@ object TextAnalysis {
       .withColumnRenamed("pos", "_pos")
       .withColumn("_h", substring(md5(col("col")), 1, 8))
     // ties on the min hash all carry the same fp value, so a plain
-    // min(hash) per window selects identically in both dialects
+    // min(hash) per window selects identically in both dialects.
+    // (Both window functions share one WindowExec over the same sorted
+    // partition — deriving max-pos from the pre-explode string length
+    // instead measured consistently SLOWER, so keep this form.)
     val win = Window.partitionBy("_id").orderBy("_pos")
       .rowsBetween(Window.currentRow, w - 1)
     grams
