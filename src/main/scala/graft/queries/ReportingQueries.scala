@@ -262,5 +262,71 @@ object ReportingQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(100)
+    },
+
+    // Wide reporting: pivot on a low-cardinality column (explicit value
+    // list — at scale an unbounded pivot would need a distinct pre-pass;
+    // pinning the values keeps it one aggregate).
+    QueryDef.sql(
+      "q_rep_pivot",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .select(col("l_returnflag"),
+          col("F_n").as("n_f"), col("O_n").as("n_o"),
+          col("F_qty").as("qty_f"), col("O_qty").as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // Hierarchical totals via ROLLUP; grouping-null keys coalesced to
+    // 'ALL' in both dialects so the comparator's sort keys stay
+    // non-null.
+    QueryDef.sql(
+      "q_rep_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // Exact interpolated percentiles (both engines use the
+    // lower + g*(higher-lower) continuous-quantile formula over
+    // identical doubles).
+    QueryDef.sql(
+      "q_rep_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS p95
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("p50"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)").as("p95"))
+        .orderBy("l_returnflag")
     })
 }
