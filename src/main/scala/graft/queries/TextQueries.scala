@@ -376,6 +376,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Training-sequence packing: assign documents to ~2048-token
+    // chunks per source via a windowed running total — chunk id =
+    // floor(start_offset / budget). Deterministic and partition-
+    // parallel (one window per source); a chunk overflows by at most
+    // one document, the standard streaming-packing trade vs greedy
+    // reset-at-boundary (which is inherently sequential).
+    QueryDef.sql(
+      "q_text_pack",
+      s"""SELECT doc_id, source, n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id
+         |FROM (
+         |  SELECT doc_id, source, CAST(len($toksDuck) AS INT) AS n_tokens,
+         |    SUM(CAST(len($toksDuck) AS INT)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("chunk_id"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal frame-sampling plan + byte-length metadata — the
     // deterministic, ANSI-expressible half of the media pipeline
     // (decode checksums stay rows-only below). One row per sampled
