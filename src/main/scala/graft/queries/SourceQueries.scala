@@ -41,6 +41,29 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     },
 
+    // ORC sink + scan round trip (the columnar alternative container
+    // format Spark ships natively): full-width orders through ORC,
+    // aggregate vs the parquet-derived oracle. Types, timestamps and
+    // column order must survive the container switch exactly.
+    QueryDef.sql(
+      "q_source_orc_roundtrip",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_day
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val dir = scratch(d, "orc")
+      o.write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          min(to_date(col("o_orderdate"))).cast("string").as("min_day"))
+        .orderBy("o_orderpriority")
+    },
+
     // S12 per-entity JSON sink + S3 JSON scan: orders partitioned by
     // priority -> JSONL -> read back -> per-partition aggregate. The
     // partition column is restored from the directory layout.
