@@ -150,16 +150,21 @@ object IdentityResolver {
       }
     } else {
       // groupingIterations ≤ 0: iterate to a FIXPOINT — labels are
-      // monotonically non-increasing, so "no label changed" is global
-      // convergence; covers arbitrarily long identifier chains. Each
-      // hop pays one comparison action (bounded by the chain diameter,
-      // with a defensive cap).
-      var changed = 1L
+      // monotonically non-increasing, so the label SUM strictly
+      // decreases while anything changes and "sum unchanged" is global
+      // convergence; covers arbitrarily long identifier chains at ONE
+      // cheap aggregate job per hop (vs a join + count). DECIMAL sum so
+      // the invariant can't be confused by overflow at any batch size.
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("_leader").cast("decimal(38,0)"))).first().getDecimal(0)
+      var prevSum = labelSum(reqLeader)
       var hops = 0
-      while (changed > 0 && hops < 50) {
+      var converged = false
+      while (!converged && hops < 50) {
         val next = hop(reqLeader).localCheckpoint(true)
-        changed = next.as("n").join(reqLeader.as("p"), "request_id")
-          .filter(col("n._leader") =!= col("p._leader")).count()
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         reqLeader = next
         hops += 1
       }

@@ -300,6 +300,50 @@ object IdentityQueries {
         .orderBy("global_subject_id")
     },
 
+    // FIXPOINT intra-batch grouping under the hash gate: requests form
+    // 5-request identifier chains (request r carries CH-r plus CH-(r+4)
+    // linking to the next request), none match the registry, and
+    // grouping must converge over arbitrarily long chains — the oracle
+    // recomputes the connected components with a recursive min-label
+    // CTE and mints from each component's lexicographic-min identifier.
+    QueryDef.sql(
+      "q_identity_fixpoint",
+      """WITH RECURSIVE reqs AS (
+        |  SELECT c_custkey AS r FROM customer WHERE c_custkey % 4 = 2),
+        |cand AS (
+        |  SELECT r, 'ch-' || CAST(r AS VARCHAR) AS nid FROM reqs
+        |  UNION ALL
+        |  SELECT r, 'ch-' || CAST(r + 4 AS VARCHAR) FROM reqs
+        |  WHERE ((r - 2) // 4) % 5 <> 4),
+        |edges AS (SELECT a.r AS ra, b.r AS rb FROM cand a JOIN cand b USING (nid)),
+        |cc(r, l) AS (
+        |  SELECT r, r FROM reqs
+        |  UNION
+        |  SELECT e.ra, cc.l FROM edges e JOIN cc ON cc.r = e.rb),
+        |comp AS (SELECT r, min(l) AS leader FROM cc GROUP BY r),
+        |mint AS (SELECT c.leader, min(cd.nid) AS mk
+        |         FROM comp c JOIN cand cd ON cd.r = c.r GROUP BY c.leader)
+        |SELECT c.r AS request_id, 'create_new' AS action,
+        |  'GSID-' || upper(substr(md5('NEW:' || m.mk), 1, 16)) AS gsid
+        |FROM comp c JOIN mint m ON m.leader = c.leader
+        |ORDER BY request_id""".stripMargin) { (s, d) =>
+      val reqs = Tables.customer(s, d).filter(col("c_custkey") % 4 === 2)
+        .select(col("c_custkey").as("request_id"),
+          col("c_nationkey").cast("int").as("center_id"))
+      val own = reqs.select(col("request_id"), col("center_id"),
+        concat(lit("CH-"), col("request_id").cast("string")).as("local_subject_id"),
+        lit("primary").as("identifier_type"))
+      val link = reqs
+        .filter(expr("((request_id - 2) div 4) % 5") =!= 4)
+        .select(col("request_id"), col("center_id"),
+          concat(lit("CH-"), (col("request_id") + 4).cast("string")).as("local_subject_id"),
+          lit("secondary").as("identifier_type"))
+      IdentityResolver.resolve(own.unionByName(link), registry(s, d),
+          deterministicMint = true, groupingIterations = 0) // FIXPOINT
+        .select("request_id", "action", "gsid")
+        .orderBy("request_id")
+    },
+
     // A1-shape resolution summary over the same batch.
     QueryDef.sql(
       "q_identity_summary",
