@@ -64,6 +64,25 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ANALYZE-shape per-column statistics (row/null/distinct counts,
+    // native-typed min/max rendered as strings).
+    QueryDef.sql(
+      "q_table_stats", {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_s,
+             |  CAST(MAX($c) AS VARCHAR) AS max_s
+             |FROM orders""".stripMargin
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }) { (s, d) =>
+      graft.operators.TableStats.columnStats(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
     // S12 per-entity JSON sink + S3 JSON scan: orders partitioned by
     // priority -> JSONL -> read back -> per-partition aggregate. The
     // partition column is restored from the directory layout.

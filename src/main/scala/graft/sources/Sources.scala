@@ -104,6 +104,22 @@ object Sources {
     merged
   }
 
+  /** Small-file compaction: rewrite a parquet table dir into
+    * ceil(bytes / targetBytes) files via the snapshot swap. Streaming
+    * sinks and per-batch MERGE publishes accrete small files; at scale
+    * that degrades scan parallelism bookkeeping (footer reads, task
+    * scheduling) long before data volume does — periodic compaction is
+    * part of operating the table. Returns the output file count. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(tableDir)).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    publishSnapshot(spark.read.parquet(tableDir).repartition(n), tableDir)
+    n
+  }
+
   /** Snapshot-table publish: atomic-enough swap via write-new +
     * rename, the plain-parquet stand-in for a transactional MERGE
     * target (SURVEY.md §7.4). */

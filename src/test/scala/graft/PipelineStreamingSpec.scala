@@ -293,3 +293,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 }
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact rewrites many small files into few, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 5000).toDF("x")
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val before = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
+    val n = graft.sources.Sources.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && parquetFiles == 1)
+    val after = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+}
