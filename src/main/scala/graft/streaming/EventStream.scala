@@ -64,6 +64,33 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols)
 
+  /** Streaming MERGE sink (SURVEY §2.11's "foreachBatch + MERGE"):
+    * each micro-batch upserts into a parquet snapshot table through
+    * the same [[graft.operators.UpsertWriter.merge]] the batch loads
+    * use — natural-key dedup within the batch is the caller's contract
+    * (same as the reference's loader). Returns the started query;
+    * state lives in the table, so restarts are idempotent per key. */
+  def mergeSink(stream: DataFrame, tableDir: String,
+      cfg: graft.types.TableConfig,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val exists = try {
+          org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(tableDir))
+        } catch { case _: Throwable => false }
+        val current =
+          if (exists) spark.read.parquet(tableDir)
+          else batch.limit(0)
+        val merged = graft.operators.UpsertWriter.merge(current, batch, cfg).merged
+        graft.sources.Sources.publishSnapshot(merged, tableDir)
+      }
+      .start()
+
   /** Gap-based sessionization via the built-in `session_window` — the
     * preferred scale path (codegen'd, AQE-planned, identical on
     * readStream with a watermark). `session_end` is the last event

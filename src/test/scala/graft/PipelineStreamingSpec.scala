@@ -254,6 +254,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("foreachBatch MERGE sink upserts each micro-batch into the snapshot table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_msink").toString
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.mergeSink(mem.toDF(), s"$dir/table",
+      TableConfig("events", Seq("event_id"), Seq.empty), s"$dir/ckpt")
+    try {
+      mem.addData(EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+                  EventStream.Event(2, ts("2024-01-01 00:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // second micro-batch: update key 2, insert key 3
+      mem.addData(EventStream.Event(2, ts("2024-01-01 00:02:00"), 2, "view", 9.0),
+                  EventStream.Event(3, ts("2024-01-01 00:03:00"), 3, "buy", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/table").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(back == Map(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
+  }
+
   test("stateful sessionization closes sessions at the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
