@@ -120,6 +120,63 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Collapse near-duplicate PAIRS into clusters and elect one survivor
+    * per cluster — the step a real dedup pipeline runs after
+    * pair-finding (Jaccard/MinHash/SimHash all emit pairs; training
+    * corpora need a keep/drop decision per document).
+    *
+    * Min-label connected components by label propagation, iterated to
+    * a FIXPOINT: labels only decrease, so a DECIMAL label-sum compare
+    * is a one-job global convergence test (same trick as
+    * IdentityResolver's intra-batch grouping). The survivor of each
+    * cluster is its minimum id.
+    *
+    * Scale: the loop never touches the corpus — edges are 2·|pairs|
+    * rows and labels are bounded by pair participants, both ≪ |docs|
+    * for any sane threshold; each hop shuffles only those. The corpus
+    * is scanned once at the end, joined against the (small) label
+    * table. Near-dup clusters have tiny diameters in practice, so the
+    * hop count stays low; the fixpoint guard covers adversarial
+    * chains.
+    *
+    * Output: `docs` columns + `cluster_id` (min id of the component)
+    * + `kept` (true iff this doc is the survivor).
+    */
+  def collapseNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val half = pairs.select(col("id_a").cast("long").as("_src"),
+      col("id_b").cast("long").as("_dst"))
+    val edges = half.unionByName(
+        half.select(col("_dst").as("_src"), col("_src").as("_dst")))
+      .distinct().localCheckpoint(true)
+    var lab = edges.select(col("_src").as("_cid")).distinct()
+      .withColumn("_label", col("_cid"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("_label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev = labelSum(lab)
+    var hops = 0
+    while (prev != null && hops < 64) {
+      val nbrMin = edges.join(lab, edges("_dst") === lab("_cid"))
+        .groupBy("_src").agg(min("_label").as("_nbr"))
+      val next = lab
+        .join(nbrMin, lab("_cid") === nbrMin("_src"), "left")
+        .select(col("_cid"),
+          least(col("_label"), coalesce(col("_nbr"), col("_label"))).as("_label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      val converged = s.compareTo(prev) == 0
+      prev = s
+      lab = next
+      hops += 1
+      if (converged) prev = null
+    }
+    docs.join(lab, docs(idCol).cast("long") === lab("_cid"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("_label"), docs(idCol).cast("long")).as("cluster_id"): _*)
+      .withColumn("kept", col(idCol).cast("long") === col("cluster_id"))
+  }
+
   /** MinHash signature: array of `numHashes` minima over a seeded
     * universal-hash family `a_i * xxhash64(shingle) + b_i` (wrapping
     * 64-bit arithmetic). Shingles are exploded and hashed ONCE, then a

@@ -34,4 +34,22 @@ object Sampling {
     * under the fraction. */
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol), 10000) < lit((fraction * 10000).toLong))
+
+  /** Stratified (per-domain) sampling: each stratum keeps its own
+    * fraction — how a training mix is re-weighted (up/down-weighting
+    * web vs books vs code) without an RNG. `rates` maps stratum value →
+    * keep fraction; unlisted strata keep `defaultRate`. The hash keys
+    * on (stratum, id) so a document's fate is independent of its
+    * neighbors' and of the mix config of other strata. Still a pure
+    * per-row filter: zero shuffle, prunes into the scan. */
+  def stratifiedByHash(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val bucket = hashBucket(
+      concat(col(stratumCol), lit(":"), col(keyCol).cast("string")), 10000)
+    val rate = rates.foldLeft(lit((defaultRate * 10000).toLong): Column) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit((v * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
 }

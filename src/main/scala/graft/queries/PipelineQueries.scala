@@ -343,8 +343,15 @@ object PipelineQueries {
 
     // S4/S5: the DSv2 REST source end-to-end (in-JVM fake pages; rows
     // come from executor-side page fetches, one partition per page).
-    // DuckDB cannot call the page client → rows-only.
-    QueryDef.rowsOnly("q_rest_source") { (s, _) =>
+    // DuckDB cannot call the page client, but the synthetic client is a
+    // pure function of the row index (SyntheticRestPages: 4 pages × 25,
+    // center_id = n % 5), so the oracle regenerates the same export
+    // from range(100) — the hash gate covers the whole DSv2 read path.
+    QueryDef.sql(
+      "q_rest_source",
+      """SELECT CAST(i % 5 AS INT) AS center_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT range AS i FROM range(100))
+        |GROUP BY 1 ORDER BY center_id""".stripMargin) { (s, _) =>
       s.read.format("graft.sources.RestDataSource")
         .option("client", "graft.sources.SyntheticRestPages").load()
         .groupBy("center_id").agg(count(lit(1)).as("n"))

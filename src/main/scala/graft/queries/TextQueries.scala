@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Text-analysis + dedup queries over the `documents` table (the
   * training-data-pipeline surface: token counting, quality scoring,
@@ -168,6 +168,42 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup cluster collapse: pairs → connected components →
+    // survivor election (min id). The oracle recomputes the same
+    // Jaccard pairs, then runs min-label CC as a recursive CTE — the
+    // same fixpoint the Spark loop reaches by label propagation.
+    QueryDef.sql(
+      "q_dedup_collapse",
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes sa ON sa.doc_id = id_a
+         |          JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, cc.l FROM edges e JOIN cc ON cc.id = e.b),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM cc GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS kept
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Dedup.collapseNearDuplicates(docs.select("doc_id"), pairs, "doc_id")
+        .select("doc_id", "cluster_id", "kept")
+        .orderBy("doc_id")
     },
 
     // MinHash+LSH near-dup detection under the FULL hash gate: the
@@ -354,6 +390,50 @@ object TextQueries {
           docs.filter(col("doc_id") % 50 === 0),
           "doc_id", "text", n = 4, minShared = 1L)
         .orderBy("doc_id", "bench_id")
+    },
+
+    // Corpus-wide keyword extraction: top-3 terms per document by
+    // inverse-document-frequency weighting. Linear idf (tf·N/df) for
+    // bit-portability — see TextAnalysis.tfidfTopTerms.
+    QueryDef.sql(
+      "q_text_tfidf",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+         |           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER (
+         |             PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |           FROM scored)
+         |SELECT doc_id, term, tf, df, score FROM ranked
+         |WHERE rn <= 3
+         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "term")
+    },
+
+    // Domain-mix stratified sampling: per-source keep rates (the
+    // training-mix reweighting step), gated on the portable md5 hash
+    // so the sampled corpus is engine-reproducible row for row.
+    QueryDef.sql(
+      "q_sample_domain_mix",
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+        |      % 10000
+        |      < CASE CAST(substr(source, 4) AS INT) % 4
+        |          WHEN 0 THEN 10000 WHEN 1 THEN 5000
+        |          WHEN 2 THEN 2500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val rates = (0 until 20).map { i =>
+        s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4)
+      }.toMap
+      Sampling.stratifiedByHash(Tables.documents(s, d), "doc_id", "source",
+          rates, defaultRate = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     },
 
     // Deterministic hash-bucket dataset split (train/validation/test) —

@@ -100,4 +100,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("domain-mix sampling is a zero-shuffle scan filter") {
+    val p = planOf("q_sample_domain_mix")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("tfidf joins corpus size as a broadcast one-row aggregate, not a window") {
+    val p = planOf("q_text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("SinglePartition, Window"), p.take(1200))
+  }
 }

@@ -252,4 +252,42 @@ class VectorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(small == big.filter(_ < 500L))
   }
+
+  test("stratified sampling hits per-stratum rates; a row's fate ignores other strata") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    val mixed = Sampling.stratifiedByHash(docs, "doc_id", "source",
+      Map("web" -> 0.25, "books" -> 1.0))
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("books") == 1000L)                 // rate 1.0 keeps all
+    assert(bySrc("web") > 150 && bySrc("web") < 350) // ~25% of 1000
+    // changing ANOTHER stratum's rate never changes this stratum's picks
+    val webOnly = Sampling.stratifiedByHash(docs, "doc_id", "source",
+        Map("web" -> 0.25, "books" -> 0.0))
+      .filter($"source" === "web").collect().map(_.getLong(0)).toSet
+    assert(mixed.filter($"source" === "web").collect().map(_.getLong(0)).toSet == webOnly)
+  }
+
+  test("near-dup collapse: components get min-id cluster, one survivor each") {
+    val docs = (1L to 8L).toDF("doc_id")
+    // chain 1-2-3 (transitive, no direct 1-3 pair), pair 5-7; 4,6,8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.collapseNearDuplicates(docs, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 6L, true), (7L, 5L, false), (8L, 8L, true)))
+  }
+
+  test("tfidf top terms: corpus-unique term outranks a ubiquitous one") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common common common"),
+      (3L, "common plain words")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: zebra df=1 score 1*3/1=3 beats common tf=2 df=3 score 2
+    assert(top(1L) == "zebra")
+    assert(top(2L) == "common")
+  }
 }
