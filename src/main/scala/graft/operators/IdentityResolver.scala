@@ -102,8 +102,12 @@ object IdentityResolver {
       .join(li, "_nid")
       .join(subj, "_gsid")
 
+    // _n_matches = size(_matched): the collect_set is already the
+    // distinct (created_at, gsid) set and created_at is functionally
+    // dependent on gsid, so counting it is free — a countDistinct
+    // alongside the other aggregates would force Expand (every match
+    // row duplicated per aggregate group) and a second shuffle pass.
     val agg = matches.groupBy("request_id").agg(
-      countDistinct("_gsid").cast("int").as("_n_matches"),
       transform(
         sort_array(collect_set(struct(col("_created_at").as("c"), col("_gsid").as("g")))),
         x => x("g")).as("_matched"),
@@ -111,6 +115,7 @@ object IdentityResolver {
                col("_id_center") =!= 0 && col("_req_center") =!= 0, 1L).otherwise(0L))
         .as("_n_center_conflicts"),
       max(when(col("_withdrawn"), 1L).otherwise(0L)).as("_any_withdrawn"))
+      .withColumn("_n_matches", size(col("_matched")))
 
     val requests = cand.groupBy("request_id").agg(max(col("center_id")).as("center_id"))
 
