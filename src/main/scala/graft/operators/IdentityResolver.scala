@@ -345,8 +345,12 @@ object IdentityResolver {
         Seq("global_subject_id"), "left")
       .groupBy("global_subject_id", "center_id", "center_name", "flagged_for_review",
         "review_notes", "withdrawn", "created_at")
-      .agg(countDistinct("identifier_type").cast("long").as("num_identifier_types"),
-        countDistinct("local_subject_id").cast("long").as("num_local_ids"))
+      // size(collect_set) not countDistinct: TWO distinct columns would
+      // plan Expand with a ×2 row blow-up before the shuffle; both sets
+      // are bounded (identifier types, aliases per subject), so
+      // collecting them in one pass is strictly cheaper.
+      .agg(size(collect_set("identifier_type")).cast("long").as("num_identifier_types"),
+        size(collect_set("local_subject_id")).cast("long").as("num_local_ids"))
 
   /** Step 3 of the reference (`identity_resolution.py:213-268`): link
     * every candidate identifier to its request's chosen GSID, with the

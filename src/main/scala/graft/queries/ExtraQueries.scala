@@ -156,13 +156,19 @@ object ExtraQueries {
          |GROUP BY local_subject_id, identifier_type
          |HAVING COUNT(DISTINCT global_subject_id) > 1
          |ORDER BY local_subject_id""".stripMargin) { (s, d) =>
+      // n_gsids = size of the already-collected distinct set: a
+      // countDistinct alongside collect_set would force the Expand
+      // two-pass distinct aggregation (an extra shuffle) for a number
+      // the set carries for free.
       IdentityQueries.registry(s, d).localIds
         .groupBy("local_subject_id", "identifier_type")
-        .agg(countDistinct("global_subject_id").cast("int").as("n_gsids"),
-          concat_ws(",", sort_array(collect_set("global_subject_id"))).as("gsids"),
+        .agg(sort_array(collect_set("global_subject_id")).as("_gset"),
           concat_ws(",", transform(sort_array(collect_set("center_id")), _.cast("string")))
             .as("centers"))
+        .withColumn("n_gsids", size(col("_gset")))
+        .withColumn("gsids", concat_ws(",", col("_gset")))
         .filter(col("n_gsids") > 1)
+        .select("local_subject_id", "identifier_type", "n_gsids", "gsids", "centers")
         .orderBy("local_subject_id")
     },
 

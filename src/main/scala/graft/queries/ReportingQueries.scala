@@ -101,11 +101,15 @@ object ReportingQueries {
         |GROUP BY o_custkey
         |HAVING COUNT(DISTINCT o_orderstatus) > 1
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      // size(collect_set) instead of a parallel countDistinct — avoids
+      // the Expand two-pass distinct plan (see IdentityResolver.resolve).
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
-          countDistinct("o_orderstatus").cast("int").as("n_statuses"))
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("_set"))
+        .withColumn("statuses", concat_ws(",", col("_set")))
+        .withColumn("n_statuses", size(col("_set")))
         .filter(col("n_statuses") > 1)
+        .select("o_custkey", "statuses", "n_statuses")
         .orderBy("o_custkey")
     },
 
