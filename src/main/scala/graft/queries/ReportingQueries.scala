@@ -332,5 +332,25 @@ object ReportingQueries {
         .agg(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("p50"),
           expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)").as("p95"))
         .orderBy("l_returnflag")
+    },
+
+    // Fixed-width histogram (distribution reporting without a sort):
+    // bucket = floor(x / width), top bucket clamped — one map-side-
+    // combined aggregate, deterministic (IEEE divide + floor are
+    // exact), vs percentile's per-group value sort.
+    QueryDef.sql(
+      "q_rep_histogram",
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9)).cast("int")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("bucket")
     })
 }
