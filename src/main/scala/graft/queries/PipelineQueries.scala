@@ -329,6 +329,25 @@ object PipelineQueries {
     // exactly-once downstream). Redelivery simulated by unioning every
     // 3rd event back in; duplicates are bit-identical rows, so the
     // surviving-row choice cannot affect the output.
+    // §2.11: watermarked stream-stream interval join (click → same-user
+    // purchase within 1h). Batch frames through the identical plan;
+    // the real two-MemoryStream run is spec-gated.
+    QueryDef.sql(
+      "q_stream_join",
+      """SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+        |  c.ts AS l_ts, p.ts AS r_ts
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY l_id, r_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStream.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("l_id", "r_id")
+    },
+
     QueryDef.sql(
       "q_stream_dedup",
       """SELECT event_id, ts, user_id, event_type

@@ -64,6 +64,29 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols)
 
+  /** Watermarked stream-stream interval join: pair each left event
+    * with same-user right events inside [l_ts, l_ts + horizon). The
+    * time bound on BOTH sides plus the watermarks is what lets Spark
+    * evict join state — without it a stream-stream join buffers
+    * forever. State is bounded by watermark-horizon × per-user rate;
+    * the shuffle keys on user_id only (the time predicate filters
+    * post-match). The identical plan runs on batch frames, which is
+    * how the differential gate checks it. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r, col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") < col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming MERGE sink (SURVEY §2.11's "foreachBatch + MERGE"):
     * each micro-batch upserts into a parquet snapshot table through
     * the same [[graft.operators.UpsertWriter.merge]] the batch loads

@@ -254,6 +254,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("stream-stream interval join pairs in-horizon events and equals the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 0.0),
+      EventStream.Event(2, ts("2024-01-01 02:00:00"), 2, "click", 0.0))
+    val buys = Seq(
+      EventStream.Event(10, ts("2024-01-01 00:35:00"), 1, "purchase", 5.0), // in horizon
+      EventStream.Event(11, ts("2024-01-01 01:30:00"), 1, "purchase", 5.0), // past 1h
+      EventStream.Event(12, ts("2024-01-01 02:10:00"), 3, "purchase", 5.0)) // other user
+    val ml = MemoryStream[EventStream.Event]
+    val mr = MemoryStream[EventStream.Event]
+    ml.addData(clicks: _*); mr.addData(buys: _*)
+    val q = EventStream.intervalJoin(ml.toDF(), mr.toDF()).writeStream
+      .format("memory").queryName("sj_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sj_out").select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((1L, 10L)))
+    val batch = EventStream.intervalJoin(clicks.toDF(), buys.toDF())
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == streamed)
+  }
+
   test("foreachBatch MERGE sink upserts each micro-batch into the snapshot table") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_msink").toString
