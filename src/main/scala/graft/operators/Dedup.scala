@@ -315,15 +315,28 @@ object Dedup {
   /** MinHash+LSH near-dup detection, candidates verified with exact
     * n-gram Jaccard (verification touches only candidate pairs).
     * The shingle table feeds both the signatures and the verification,
-    * so it is persisted for the duration of the job (at cluster scale
-    * this is the natural disk-persisted intermediate). */
+    * so it is materialized once: by default as an executor-memory/disk
+    * persist (right for a single job), or — pass `shingleStore` — as a
+    * WRITTEN parquet intermediate. The written form is the 100 TB
+    * shape: it survives executor loss without recomputing the corpus
+    * scan, caps memory pressure at shuffle-file cost, and later jobs
+    * (re-verification at a different threshold, contamination scans)
+    * reuse it for free. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // materialize ONCE before the three consumers fork; without
-               // this, parallel stages each recompute the shingle scan
+      maxBucket: Int = 256, mode: HashMode = Fast,
+      shingleStore: Option[String] = None): DataFrame = {
+    val raw = shingles(df, idCol, textCol, n)
+    val sh = shingleStore match {
+      case Some(dir) =>
+        raw.write.mode("overwrite").parquet(dir)
+        raw.sparkSession.read.parquet(dir)
+      case None =>
+        val p = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize ONCE before the three consumers fork; without
+                  // this, parallel stages each recompute the shingle scan
+        p
+    }
     val sig = signatureFromShingles(sh, numHashes, mode)
     val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket, mode)
     verifyAgainstShingles(sh, cands, threshold)

@@ -86,6 +86,13 @@ class DedupSpec extends SparkSpec {
     val mh = Dedup.minhashDedup(docs, "doc_id", "text", 3, 64, 16, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh == exact)
+    // written-intermediate shingle store (the 100 TB shape) produces
+    // the identical pair set
+    val dir = java.nio.file.Files.createTempDirectory("graft_shingles").toString
+    val mhStored = Dedup.minhashDedup(docs, "doc_id", "text", 3, 64, 16, 0.5,
+        shingleStore = Some(s"$dir/sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhStored == mh)
   }
 
   test("embedding near-dup: LSH-bucketed variant recalls the exact pairs for true near-dups") {
