@@ -286,6 +286,20 @@ class VectorSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 6L, true), (7L, 5L, false), (8L, 8L, true)))
   }
 
+  test("approx_count_distinct (HLL++) lands within its rsd bound across partitions") {
+    // the sketch path for distinct counts at 100 TB (exact
+    // countDistinct shuffles every value; HLL merges fixed-size
+    // buffers). Not oracle-comparable — sketch layouts are
+    // engine-specific — so pinned by accuracy instead: 2% rsd sketch
+    // must land within 3×rsd of the true 100k over 32 partitions.
+    val n = 100000L
+    val ids = spark.range(n).toDF("id").repartition(32)
+    val approx = ids.agg(approx_count_distinct("id", 0.02).as("a"))
+      .first().getLong(0)
+    assert(math.abs(approx - n).toDouble / n < 0.06,
+      s"approx=$approx expected within 6% of $n")
+  }
+
   test("tfidf top terms: corpus-unique term outranks a ubiquitous one") {
     val docs = Seq(
       (1L, "common common zebra"),
