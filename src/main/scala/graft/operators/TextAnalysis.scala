@@ -163,6 +163,32 @@ object TextAnalysis {
       .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
   }
 
+  /** The composed corpus-curation pass a training pipeline actually
+    * runs (C4/Gopher-style): exact-dedup first-wins → token-length
+    * gate → quality-score gate → repetition gate → language gate, in
+    * ONE plan. All metric columns are zero-shuffle scan expressions;
+    * the only shuffle is the dedup window on the 128-bit fingerprint
+    * (16 bytes/doc, never the text). At 100 TB this is a single
+    * scan + one narrow shuffle end to end. */
+  def curate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 5, maxTokens: Int = 10000,
+      minQuality: Double = 0.5, maxRepetition: Double = 0.5,
+      lang: String = "en"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val w = Window.partitionBy(fingerprint(t)).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("rep_ratio", repetitionRatio(t, 3))
+      .withColumn("lang_id", langId(t))
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("quality") >= minQuality && col("rep_ratio") <= maxRepetition &&
+        col("lang_id") === lang)
+      .select(col(idCol), col("n_tokens"), col("quality"), col("rep_ratio"))
+  }
+
   /** Top-k most-distinctive terms per document by inverse-document-
     * frequency weighting (keyword extraction / doc signatures over a
     * corpus).

@@ -392,6 +392,61 @@ object TextQueries {
         .orderBy("doc_id", "bench_id")
     },
 
+    // The composed curation pass (dedup → length → quality →
+    // repetition → language) as ONE gated query — the end-to-end
+    // corpus→clean-corpus funnel a training pipeline runs. Every
+    // fragment reuses a formula already hash-proven by its own query
+    // (q_dedup_first_wins, q_text_quality, q_text_repetition,
+    // q_text_langid).
+    QueryDef.sql(
+      "q_curation_pipeline", {
+        def cnt(m: String) =
+          s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$m', ''))) / ${m.length} AS INT)"
+        val sEn = Seq(" the ", " and ", " is ").map(cnt).mkString(" + ")
+        val sEs = Seq(" el ", " la ", " de ").map(cnt).mkString(" + ")
+        val sFr = Seq(" le ", " et ", " les ").map(cnt).mkString(" + ")
+        val sDe = Seq(" der ", " und ", " die ").map(cnt).mkString(" + ")
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(len($toksDuck) AS INT) AS n_tokens,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |              / length(text) END AS punct_ratio,
+           |    CASE WHEN len($toksDuck) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter($toksDuck,
+           |                x -> lower(x) IN ('the','and','is','of','to','a','in'))) AS DOUBLE)
+           |              / len($toksDuck) END AS stopword_ratio,
+           |    CASE WHEN len($toksDuck) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform($toksDuck, x -> length(x))) AS DOUBLE)
+           |              / len($toksDuck) END AS mean_word_len,
+           |    CASE WHEN len($toksDuck) - 2 <= 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+           |                range(1, len($toksDuck) - 1),
+           |                i -> $toksDuck[i] || ' ' || $toksDuck[i+1] || ' ' || $toksDuck[i+2]))) AS DOUBLE)
+           |              / CAST(len($toksDuck) - 2 AS DOUBLE) END AS rep_ratio,
+           |    $sEn AS s_en, $sEs AS s_es, $sFr AS s_fr, $sDe AS s_de,
+           |    row_number() OVER (
+           |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           |      ORDER BY doc_id) AS rn
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, n_tokens, rn, rep_ratio, s_en, s_es, s_fr, s_de,
+           |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           |     + least(stopword_ratio * 5.0, 1.0)
+           |     + greatest(1.0 - punct_ratio * 10.0, 0.0)
+           |     + (1.0 - least(abs(mean_word_len - 5.0) / 5.0, 1.0))) * 0.25 AS quality
+           |  FROM m)
+           |SELECT doc_id, n_tokens, quality, rep_ratio
+           |FROM scored
+           |WHERE rn = 1 AND n_tokens BETWEEN 5 AND 10000
+           |  AND quality >= 0.5 AND rep_ratio <= 0.5
+           |  AND s_en > 0 AND s_en >= greatest(s_es, s_fr, s_de)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      TextAnalysis.curate(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Corpus-wide keyword extraction: top-3 terms per document by
     // inverse-document-frequency weighting. Linear idf (tf·N/df) for
     // bit-portability — see TextAnalysis.tfidfTopTerms.

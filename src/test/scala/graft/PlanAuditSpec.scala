@@ -101,6 +101,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("curation pipeline is one scan + one narrow shuffle (the dedup window)") {
+    val p = planOf("q_curation_pipeline")
+    // exchanges: the fingerprint window + the final presentation sort —
+    // no join, no extra aggregation shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("domain-mix sampling is a zero-shuffle scan filter") {
     val p = planOf("q_sample_domain_mix")
     assert(!p.contains("Exchange hashpartitioning"), p.take(800))
