@@ -25,7 +25,8 @@ object Bench {
     "q_vec_topk_cosine", "q_vec_ann_lsh", "q_vec_ann_ivf",
     "q_h3_shipping_priority", "q_h5_region_revenue", "q_h10_returned_items",
     "q_stream_windowed", "q_asof_purchase", "q_range_join",
-    "q_text_pii_redact", "q_sample_split", "q_dedup_collapse", "q_text_tfidf")
+    "q_text_pii_redact", "q_sample_split", "q_dedup_collapse", "q_text_tfidf",
+    "q_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
