@@ -144,4 +144,31 @@ class PortableHashSpec extends SparkSpec {
       assert(h1 == java.lang.Long.parseLong(hex, 16))
     }
   }
+
+  test("property: cluster collapse equals union-find on random pair graphs") {
+    // distributed min-label CC vs a reference union-find — random
+    // graphs cover chains, cycles, stars and singletons alike
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference union-find with min-root election
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-root normalization: the cluster id is the min member
+      val expect = (0 until n).groupBy(find).flatMap { case (_, members) =>
+        val m = members.min.toLong; members.map(x => x.toLong -> m)
+      }
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.collapseNearDuplicates(docs, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    }
+  }
 }
