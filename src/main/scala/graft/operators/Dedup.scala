@@ -359,6 +359,74 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental MinHash dedup for continuous ingest: drop new
+    * documents that near-duplicate anything in the ACCUMULATED corpus,
+    * then fold the survivors' signatures into the store.
+    *
+    * The retained state is signatures only — `numHashes` longs per
+    * document, never text or shingles — so the store stays a constant
+    * factor of the corpus row count and each batch costs
+    * O(|batch| + matched candidates), not a re-scan of the corpus.
+    * Candidates come from band buckets (new vs stored ∪ intra-batch);
+    * verification uses the signature-agreement Jaccard ESTIMATE
+    * (fraction of equal minhash components — the standard incremental
+    * trade-off: exact verification would require retaining shingle
+    * sets). Intra-batch duplicates collapse first-wins by id.
+    *
+    * Returns the surviving rows of `batch`. Pair this with
+    * foreachBatch for a streaming corpus ingest.
+    */
+  def incrementalMinhashDedup(batch: DataFrame, idCol: String, textCol: String,
+      signatureStore: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 256,
+      mode: HashMode = Fast): DataFrame = {
+    val spark = batch.sparkSession
+    val storeExists = try {
+      org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(signatureStore), spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(signatureStore))
+    } catch { case _: Throwable => false }
+    val newSig = minhashSignature(batch, idCol, textCol, n, numHashes, mode)
+      .localCheckpoint(true)
+    val stored =
+      if (storeExists) spark.read.parquet(signatureStore)
+      else newSig.limit(0)
+    // candidate pairs via shared band buckets, new-vs-(stored + earlier
+    // new): stored ids are flagged so any stored match kills the new
+    // doc, while intra-batch ties keep the smaller id
+    val all = stored.withColumn("_stored", lit(true))
+      .unionByName(newSig.withColumn("_stored", lit(false)))
+    val cands = minhashCandidates(
+      all.select(col("_id"), col("signature")), bands, numHashes / bands,
+      maxBucket, mode)
+    val est = cands
+      .join(all.select(col("_id").as("id_a"), col("signature").as("_sa"),
+        col("_stored").as("_st_a")), "id_a")
+      .join(all.select(col("_id").as("id_b"), col("signature").as("_sb"),
+        col("_stored").as("_st_b")), "id_b")
+    val estSim = est.withColumn("_est",
+      size(filter(zip_with(col("_sa"), col("_sb"), (x, y) => x === y),
+        b => b)).cast("double") / numHashes)
+      .filter(col("_est") >= threshold)
+    // a new doc dies if it matches a stored doc, or a smaller-id new doc
+    val killed = estSim
+      .select(when(col("_st_a") && !col("_st_b"), col("id_b"))
+        .when(!col("_st_a") && col("_st_b"), col("id_a"))
+        .when(!col("_st_a") && !col("_st_b"),
+          greatest(col("id_a"), col("id_b"))).as("_dead"))
+      .filter(col("_dead").isNotNull).distinct()
+      // eager: the kill set must not lazily reference the store files —
+      // the snapshot swap below replaces them before the caller runs
+      // the returned plan
+      .localCheckpoint(true)
+    val survivors = batch.join(killed, batch(idCol) === killed("_dead"), "left_anti")
+    val keepSig = newSig.join(killed, newSig("_id") === killed("_dead"), "left_anti")
+    val merged = stored.select("_id", "signature")
+      .unionByName(keepSig.select("_id", "signature"))
+    graft.sources.Sources.publishSnapshot(merged, signatureStore)
+    survivors
+  }
+
   /** Embedding-cosine near-duplicates, exact all-pairs baseline:
     * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     * Quadratic by construction — the differential baseline and the

@@ -276,6 +276,27 @@ class VectorSpec extends SparkSpec {
     assert(mixed.filter($"source" === "web").collect().map(_.getLong(0)).toSet == webOnly)
   }
 
+  test("incremental minhash dedup drops cross-batch and intra-batch dupes, keeps novel docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString + "/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "completely different content about spark catalyst plans and shuffle exchanges"
+    val textC = "a third novel document discussing minhash signatures and band buckets"
+    val b1 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val s1 = Dedup.incrementalMinhashDedup(b1, "doc_id", "text", dir, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(1L, 2L)) // empty store: both survive
+    // batch 2: exact dupe of textA (dies vs store), intra-batch dupe
+    // pair (4,5) (larger id dies), novel doc (6) survives
+    val b2 = Seq((3L, textA), (4L, textC), (5L, textC), (6L, "unique snowflake content entirely"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.incrementalMinhashDedup(b2, "doc_id", "text", dir, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(4L, 6L), s"got ${s2.toSeq}")
+    // store now holds signatures for survivors of both batches
+    val stored = spark.read.parquet(dir).select("_id").as[Long].collect().sorted
+    assert(stored.toSeq == Seq(1L, 2L, 4L, 6L))
+  }
+
   test("near-dup collapse: components get min-id cluster, one survivor each") {
     val docs = (1L to 8L).toDF("doc_id")
     // chain 1-2-3 (transitive, no direct 1-3 pair), pair 5-7; 4,6,8 singletons
