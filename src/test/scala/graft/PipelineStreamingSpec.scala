@@ -297,6 +297,33 @@ class StreamingSpec extends SparkSpec {
     assert(back == Map(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
   }
 
+  test("streaming corpus ingest: foreachBatch + incremental minhash dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sing").toString
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keep = graft.operators.Dedup.incrementalMinhashDedup(
+          batch, "doc_id", "text", s"$dir/sigs", threshold = 0.9)
+        keep.write.mode("append").parquet(s"$dir/corpus")
+      }
+      .start()
+    try {
+      mem.addData((1L, textA),
+        (2L, "some other writing about catalyst optimizer rules and codegen"))
+      q.processAllAvailable()
+      mem.addData((3L, textA), // dupe of batch 1 — must be dropped
+        (4L, "novel third topic entirely about parquet row groups"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("stateful sessionization closes sessions at the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
