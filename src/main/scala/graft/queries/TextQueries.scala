@@ -254,6 +254,72 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental MinHash dedup under the hash gate: batch1 (even ids)
+    // seeds the signature store with its intra-batch survivors; batch2
+    // (odd ids) dedups against store + itself. The oracle replays both
+    // runs — Portable signatures, banding, bucket caps, the
+    // signature-agreement estimate and the kill rules — bit-for-bit.
+    QueryDef.sql(
+      "q_dedup_incremental",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |hs AS (SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT % ${1L << 53} AS h2m
+         |       FROM sh),
+         |sig AS (SELECT doc_id, i, min(h1 + i * h2m) AS s
+         |        FROM hs, UNNEST(range(0, 64)) AS r(i) GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band_idx,
+         |                string_agg(s::VARCHAR, ',' ORDER BY i) AS band_key
+         |         FROM sig GROUP BY doc_id, i // 4),
+         |b1band AS (SELECT * FROM band WHERE doc_id % 2 = 0),
+         |ok1 AS (SELECT band_idx, band_key FROM b1band GROUP BY 1,2 HAVING COUNT(*) <= 256),
+         |c1 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |       FROM b1band x JOIN ok1 o USING (band_idx, band_key)
+         |       JOIN b1band y ON y.band_idx = x.band_idx AND y.band_key = x.band_key
+         |                    AND x.doc_id < y.doc_id),
+         |e1 AS (SELECT c.id_a, c.id_b, COUNT(*) AS eq
+         |       FROM c1 c JOIN sig sa ON sa.doc_id = c.id_a
+         |       JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i AND sb.s = sa.s
+         |       GROUP BY 1,2),
+         |kill1 AS (SELECT DISTINCT id_b AS dead FROM e1 WHERE CAST(eq AS DOUBLE)/64 >= 0.5),
+         |store1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         |           AND doc_id NOT IN (SELECT dead FROM kill1)),
+         |all2 AS (SELECT b.*, TRUE AS stored FROM band b JOIN store1 s USING (doc_id)
+         |         UNION ALL
+         |         SELECT b.*, FALSE FROM band b WHERE doc_id % 2 = 1),
+         |ok2 AS (SELECT band_idx, band_key FROM all2 GROUP BY 1,2 HAVING COUNT(*) <= 256),
+         |c2 AS (SELECT DISTINCT x.doc_id AS id_a, x.stored AS st_a,
+         |                       y.doc_id AS id_b, y.stored AS st_b
+         |       FROM all2 x JOIN ok2 o USING (band_idx, band_key)
+         |       JOIN all2 y ON y.band_idx = x.band_idx AND y.band_key = x.band_key
+         |                  AND x.doc_id < y.doc_id),
+         |e2 AS (SELECT c.id_a, c.st_a, c.id_b, c.st_b, COUNT(*) AS eq
+         |       FROM c2 c JOIN sig sa ON sa.doc_id = c.id_a
+         |       JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i AND sb.s = sa.s
+         |       GROUP BY 1,2,3,4),
+         |kill2 AS (SELECT DISTINCT CASE WHEN st_a AND NOT st_b THEN id_b
+         |                 WHEN NOT st_a AND st_b THEN id_a
+         |                 WHEN NOT st_a AND NOT st_b THEN greatest(id_a, id_b) END AS dead
+         |          FROM e2 WHERE CAST(eq AS DOUBLE)/64 >= 0.5 AND NOT (st_a AND st_b))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT dead FROM kill2 WHERE dead IS NOT NULL)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_incsig").toString + "/sigs"
+      // run 1 executes eagerly inside the call (signatures + kill set
+      // are checkpointed, the store is snapshot-published)
+      Dedup.incrementalMinhashDedup(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, threshold = 0.5, mode = Dedup.Portable)
+      Dedup.incrementalMinhashDedup(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", dir, threshold = 0.5, mode = Dedup.Portable)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs, same Portable treatment: 56-bit md5-word
     // fingerprints, 4 bands x 14 bits, popcount-verified in both
     // dialects. Banding discovery (not exhaustive for hamming > 3) is
