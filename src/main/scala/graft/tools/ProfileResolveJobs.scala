@@ -39,8 +39,11 @@ object ProfileResolveJobs {
       col("created_at").as("_created_at"), lit(false).as("_withdrawn"))
     val matches = c.select(col("request_id"), col("center_id").as("_req_center"), col("_nid"))
       .join(li, "_nid").join(subj, "_gsid")
-    val agg = matches.groupBy("request_id").agg(
-      countDistinct("_gsid").cast("int").as("_n_matches"))
+    // mirrors IdentityResolver's Expand-free shape (size of the
+    // collected set, not countDistinct)
+    val agg = matches.groupBy("request_id")
+      .agg(collect_set(col("_gsid")).as("_mset"))
+      .select(col("request_id"), size(col("_mset")).as("_n_matches"))
     val requests = c.groupBy("request_id").agg(max(col("center_id")).as("center_id"))
     val reqs = time("reqs checkpoint") {
       requests.join(agg, Seq("request_id"), "left")
