@@ -38,26 +38,43 @@ object Bench {
     // warm-up: JVM + codegen + parquet footer reads
     Tables.lineitem(spark, sfDir).count()
 
+    var nRun = 0
     val results = SparkEntry.allDefs.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a per-query failure must be LOUD: print it, and record the
+      // query as -1 in the map (a silent catch turns a red query into
+      // a fast-looking number)
+      val err = try { q.fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e) }
       val dt = (System.nanoTime() - t0) / 1e9
+      err.foreach { e =>
+        System.err.println(s"[bench] FAILED ${q.name}: ${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300))
+      }
       // Isolate queries AND bound accumulated state: clearCache drops
       // SQL-cached plans, but localCheckpoint/persist blocks survive it
       // and pile up across ~80 queries until late queries pay eviction
       // + GC (driver's r2 bench ran 2-10x the local times for exactly
       // the checkpoint-heavy late-positioned queries). Unpersist every
-      // RDD explicitly each round.
+      // RDD explicitly each round, and periodically force a GC so the
+      // ContextCleaner actually releases shuffle files / broadcasts
+      // (they are weak-reference-cleaned, i.e. only on GC — a 24g heap
+      // may otherwise not GC for the whole run).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      q.name -> dt
+      nRun += 1
+      if (nRun % 8 == 0) System.gc()
+      q.name -> (if (err.isDefined) -1.0 else dt)
     }
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def jsonLine(qs: Seq[(String, Double)], total: Double): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    if (nFailed > 0)
+      System.err.println(s"[bench] $nFailed queries FAILED (value -1 in the map)")
     val full = jsonLine(results, total)
     // full map: printed first (human log) and persisted for dev diffing
     println(full)

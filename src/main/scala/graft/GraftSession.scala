@@ -18,6 +18,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Size-based coalescing, not parallelism-first: a shuffle carrying
+      // a few hundred KB collapses to ONE task instead of fanning out to
+      // defaultParallelism tasks whose scheduling overhead dwarfs the
+      // work. Map-side parallelism (scans, partial aggregates) is
+      // untouched; genuinely large shuffles still split at the advisory
+      // size — the same sizing logic that holds at 100 TB, where
+      // parallelism-first would be a no-op anyway.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -93,10 +93,12 @@ object Dedup {
     * diverges from the exact oracle, so it is opt-in. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxPostingList: Int = 0): DataFrame = {
+    // lazy localCheckpoint: the shingle scan feeds three consumers
+    // (sizes, a, b); the first stage to touch it materializes the
+    // blocks (per-partition block locks make racing scans wait, not
+    // recompute) and the plan is truncated — no separate count job
     val allSh = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    allSh.count() // materialize before the consumers fork (sizes, a, b):
-                  // racing scans of a lazily-cached frame each recompute
+      .localCheckpoint(false)
     val sh =
       if (maxPostingList <= 0) allSh
       else {
@@ -144,33 +146,55 @@ object Dedup {
     */
   def collapseNearDuplicates(docs: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
+    // The loop frames hold a few rows per near-dup pair — orders of
+    // magnitude below the corpus. Their partitioning comes out of the
+    // distinct() shuffle, which AQE coalesces by SIZE (see
+    // GraftSession: parallelismFirst=false) — a few hundred pairs run
+    // the loop as one task per hop instead of shuffle-partition-count
+    // tasks of scheduling overhead (driver bench: 22 s of ~pure job
+    // overhead on a ~500-row frame), while a 100 TB pair set still
+    // splits at the advisory size. Lazy checkpoint: materialized by
+    // the first labelSum, no separate job, lineage truncated for the
+    // loop either way.
     val half = pairs.select(col("id_a").cast("long").as("_src"),
       col("id_b").cast("long").as("_dst"))
     val edges = half.unionByName(
         half.select(col("_dst").as("_src"), col("_src").as("_dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var lab = edges.select(col("_src").as("_cid")).distinct()
       .withColumn("_label", col("_cid"))
-      .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("_label").cast("decimal(38,0)"))).first().getDecimal(0)
+    def hop(prev: DataFrame): DataFrame = {
+      val nbrMin = edges.join(prev, edges("_dst") === prev("_cid"))
+        .groupBy("_src").agg(min("_label").as("_nbr"))
+      prev.as("l")
+        .join(nbrMin, col("l._cid") === nbrMin("_src"), "left")
+        .select(col("l._cid").as("_cid"),
+          least(col("l._label"), coalesce(col("_nbr"), col("l._label"))).as("_label"))
+    }
     var prev = labelSum(lab)
     var hops = 0
-    while (prev != null && hops < 64) {
-      val nbrMin = edges.join(lab, edges("_dst") === lab("_cid"))
-        .groupBy("_src").agg(min("_label").as("_nbr"))
-      val next = lab
-        .join(nbrMin, lab("_cid") === nbrMin("_src"), "left")
-        .select(col("_cid"),
-          least(col("_label"), coalesce(col("_nbr"), col("_label"))).as("_label"))
-        .localCheckpoint(true)
+    var converged = prev == null // empty pair set: nothing to propagate
+    while (!converged && hops < 64) {
+      // TWO hops per convergence check: labels are monotonically
+      // non-increasing, so "sum unchanged across a double hop" still
+      // implies a fixpoint, at half the driver-side job barriers. Lazy
+      // checkpoint: the labelSum action materializes the hop result in
+      // the same job (plan still truncates, no 2^N re-analysis).
+      val next = hop(hop(lab)).localCheckpoint(false)
       val s = labelSum(next)
-      val converged = s.compareTo(prev) == 0
+      converged = s.compareTo(prev) == 0
       prev = s
       lab = next
-      hops += 1
-      if (converged) prev = null
+      hops += 2
     }
+    // fail LOUD on cap truncation: silently returning partial labels
+    // would split one near-dup cluster into several survivors
+    if (!converged)
+      throw new IllegalStateException(
+        s"near-dup collapse did not converge within $hops hops — " +
+          "component diameter exceeds the cap; raise it or pre-bucket the pairs")
     docs.join(lab, docs(idCol).cast("long") === lab("_cid"), "left")
       .select(docs.columns.map(docs(_)) :+
         coalesce(col("_label"), docs(idCol).cast("long")).as("cluster_id"): _*)
@@ -248,11 +272,12 @@ object Dedup {
     // (band_idx, band_hash, id) is tiny (`bands` rows/doc, no text) but
     // its lineage embeds the whole signature aggregation — and it feeds
     // FOUR scans below (bucket-size agg, cap join, self-join x and y).
-    // Checkpoint eagerly so the signature job runs exactly once.
+    // Lazy checkpoint: the first scan materializes it inside its own
+    // job (no separate checkpoint job), the other three reuse the blocks.
     val banded = signatures.select(col("_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey(_)))
         .as(Seq("band_idx", "band_hash")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val capped =
       if (maxBucket <= 0) banded
       else {
@@ -332,10 +357,9 @@ object Dedup {
         raw.write.mode("overwrite").parquet(dir)
         raw.sparkSession.read.parquet(dir)
       case None =>
-        val p = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count() // materialize ONCE before the three consumers fork; without
-                  // this, parallel stages each recompute the shingle scan
-        p
+        // lazy localCheckpoint (see jaccardPairs): materialized once by
+        // the first consuming stage, no separate count job
+        raw.localCheckpoint(false)
     }
     val sig = signatureFromShingles(sh, numHashes, mode)
     val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket, mode)
@@ -381,15 +405,13 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 256,
       mode: HashMode = Fast): DataFrame = {
     val spark = batch.sparkSession
-    val storeExists = try {
-      org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(signatureStore), spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(signatureStore))
-    } catch { case _: Throwable => false }
+    val storeExists = graft.sources.Sources.snapshotExists(spark, signatureStore)
+    // lazy: the kill-set checkpoint below is the materializing action,
+    // so signatures + candidates + kill set all land in ONE job
     val newSig = minhashSignature(batch, idCol, textCol, n, numHashes, mode)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val stored =
-      if (storeExists) spark.read.parquet(signatureStore)
+      if (storeExists) graft.sources.Sources.readSnapshot(spark, signatureStore)
       else newSig.limit(0)
     // candidate pairs via shared band buckets, new-vs-(stored + earlier
     // new): stored ids are flagged so any stored match kills the new
@@ -421,8 +443,12 @@ object Dedup {
       .localCheckpoint(true)
     val survivors = batch.join(killed, batch(idCol) === killed("_dead"), "left_anti")
     val keepSig = newSig.join(killed, newSig("_id") === killed("_dead"), "left_anti")
+    // Idempotent store update: a foreachBatch RETRY (the at-least-once
+    // contract) re-presents ids the store already holds — anti-join
+    // them out so replays never accumulate duplicate signature rows.
     val merged = stored.select("_id", "signature")
-      .unionByName(keepSig.select("_id", "signature"))
+      .unionByName(keepSig.select("_id", "signature")
+        .join(stored.select("_id"), Seq("_id"), "left_anti"))
     graft.sources.Sources.publishSnapshot(merged, signatureStore)
     survivors
   }
@@ -470,8 +496,8 @@ object Dedup {
             .as("_bucket"))
       }
     // (bucket, id) is tiny but feeds four scans (size agg, cap join,
-    // self-join x/y) — materialize so the probe fan-out runs once
-    val probedM = probed.localCheckpoint(true)
+    // self-join x/y) — lazy checkpoint so the probe fan-out runs once
+    val probedM = probed.localCheckpoint(false)
     val capped =
       if (maxBucket <= 0) probedM
       else {
@@ -538,8 +564,8 @@ object Dedup {
       // aggregate, and [[simhashPairs]] scans it four times (bucket
       // sizes, cap join, self-join x/y) — without this the whole
       // signature job re-runs per scan (driver's r2 bench: 28 s vs
-      // 2.7 s once materialized).
-      .localCheckpoint(true)
+      // 2.7 s once materialized). Lazy: no separate checkpoint job.
+      .localCheckpoint(false)
   }
 
   /** Fast = 64-bit xxhash fingerprints (4 bands x 16 bits); Portable =

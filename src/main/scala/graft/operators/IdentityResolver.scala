@@ -123,20 +123,24 @@ object IdentityResolver {
     // subtree) feeds the grouping loop below AND the final join; the
     // loop's iterated self-references would otherwise inline ~2^iters
     // copies of that subtree into one DAG (measured 5-7x slowdown at
-    // sf0.1). Eagerly checkpoint the two shared frames — both are
+    // sf0.1). LAZY localCheckpoint the two shared frames — both are
     // O(batch) rows, never registry-sized — so every downstream
-    // consumer (and each loop hop) starts from truncated lineage
-    // instead of re-analyzing the full match subtree.
+    // consumer (and each loop hop) starts from truncated lineage.
+    // Lazy, not eager: the plan truncates immediately either way, but
+    // eager spends a whole Spark job per checkpoint — under a loaded
+    // scheduler those fixed job barriers dominate (driver bench ran
+    // this 10-20x local time); lazy folds materialization into the
+    // first consuming job and later branches reuse the cached blocks.
     val reqs = requests.join(agg, Seq("request_id"), "left")
       .withColumn("_n", coalesce(col("_n_matches"), lit(0)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // intra-batch grouping of unmatched requests (see scaladoc):
     // iterated label propagation — leader(identifier) = min leader of
     // its requests; leader(request) = min leader of its identifiers.
     val unmatchedCand = cand
       .join(reqs.filter(col("_n") === 0).select("request_id"), Seq("request_id"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var reqLeader = unmatchedCand.select(col("request_id"), col("request_id").as("_leader"))
       .distinct()
     def hop(prev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -151,7 +155,7 @@ object IdentityResolver {
         // truncate lineage between iterations (except the last — the
         // final plan joins it once): without this the plan doubles per
         // hop and Catalyst/codegen time dwarfs the actual label work
-        if (i < groupingIterations) reqLeader = reqLeader.localCheckpoint(true)
+        if (i < groupingIterations) reqLeader = reqLeader.localCheckpoint(false)
       }
     } else {
       // groupingIterations ≤ 0: iterate to a FIXPOINT — labels are
@@ -166,13 +170,22 @@ object IdentityResolver {
       var hops = 0
       var converged = false
       while (!converged && hops < 50) {
-        val next = hop(reqLeader).localCheckpoint(true)
+        // lazy: labelSum is the materializing action — one job per hop
+        // instead of a checkpoint job plus the sum job
+        val next = hop(reqLeader).localCheckpoint(false)
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
         reqLeader = next
         hops += 1
       }
+      // fail LOUD if the cap truncated an unconverged chain — silent
+      // truncation would mint multiple GSIDs for one linked group
+      if (!converged)
+        throw new IllegalStateException(
+          s"intra-batch grouping did not converge within $hops hops — " +
+            "identifier chains deeper than the cap; raise the cap or " +
+            "split the batch")
     }
     val groupMint = unmatchedCand.join(reqLeader, "request_id")
       .groupBy("_leader").agg(min("_nid").as("_mint_key"))

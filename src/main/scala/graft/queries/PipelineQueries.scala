@@ -29,14 +29,18 @@ object PipelineQueries {
       concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
       lit("primary").as("identifier_type"))
     // one identifier per request => identifier chains are impossible and
-    // a single grouping hop is provably exact (saves one checkpoint job)
+    // a single grouping hop is provably exact (saves one checkpoint job).
+    // All checkpoints LAZY: plans truncate at the batch boundary (the
+    // correctness requirement) while materialization folds into the one
+    // job the consumer runs — eager variants cost ~8 scheduler barriers
+    // per evolution query, which a loaded driver bills at seconds each.
     val res1 = IdentityResolver.resolve(batch1, reg0, deterministicMint = true,
-      groupingIterations = 1).localCheckpoint(true)
+      groupingIterations = 1).localCheckpoint(false)
     val links1 = IdentityResolver.links(batch1, res1, reg0.localIds)
     val reg1raw = IdentityResolver.applyBatch(reg0, res1, links1,
       java.sql.Date.valueOf("2024-06-01"))
     (batch1, IdentityResolver.Registry(
-      reg1raw.subjects.localCheckpoint(true), reg1raw.localIds.localCheckpoint(true)))
+      reg1raw.subjects.localCheckpoint(false), reg1raw.localIds.localCheckpoint(false)))
   }
 
   /** Batch 2: odd custkeys presenting batch 1's identifiers. */
@@ -196,7 +200,7 @@ object PipelineQueries {
       val (_, reg1) = evolutionBatch1(s, d)
       val batch2 = evolutionBatch2(s, d)
       val res2 = IdentityResolver.resolve(batch2, reg1, deterministicMint = true,
-        groupingIterations = 1).localCheckpoint(true) // single-id batch
+        groupingIterations = 1).localCheckpoint(false) // single-id batch
       val links2 = IdentityResolver.links(batch2, res2, reg1.localIds)
       val reg2 = IdentityResolver.applyBatch(reg1, res2, links2,
         java.sql.Date.valueOf("2024-07-01"))
@@ -586,7 +590,7 @@ object PipelineQueries {
       val reg = IdentityQueries.registry(s, d)
       val cands = IdentityQueries.candidates(s, d)
       val res = IdentityResolver.resolve(cands, reg, deterministicMint = true,
-        groupingIterations = 1).localCheckpoint(true) // chainless batch
+        groupingIterations = 1).localCheckpoint(false) // chainless batch
       IdentityResolver.resolutionLog(res, cands) // JSONB payloads already strings
         .orderBy("local_subject_id", "identifier_type", "gsid")
     })

@@ -112,24 +112,97 @@ object Sources {
     * part of operating the table. Returns the output file count. */
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val live = resolveSnapshot(spark, tableDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(tableDir)).getLength
+      new java.net.URI(live), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(live)).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    publishSnapshot(spark.read.parquet(tableDir).repartition(n), tableDir)
+    publishSnapshot(spark.read.parquet(live).repartition(n), tableDir)
     n
   }
 
-  /** Snapshot-table publish: atomic-enough swap via write-new +
-    * rename, the plain-parquet stand-in for a transactional MERGE
-    * target (SURVEY.md §7.4). */
-  def publishSnapshot(df: DataFrame, tableDir: String): Unit = {
-    val tmp = tableDir + ".staging"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), df.sparkSession.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(tableDir)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  /** Snapshot-table publish, ATOMIC for readers: versioned-directory
+    * layout with a pointer-file swap — the plain-parquet stand-in for
+    * the reference's Postgres transaction boundary
+    * (`table-loader/services/loader.py:213-234`).
+    *
+    * Layout: `tableRoot/_current` (pointer, contains the live version
+    * dir name) + `tableRoot/v-<stamp>/…parquet`. A publish writes a
+    * NEW version dir, then swaps the pointer with
+    * `FileContext.rename(OVERWRITE)` (atomic on HDFS and POSIX local
+    * FS). Readers resolve the pointer first ([[readSnapshot]]), so
+    * they observe either the old or the new version — never a missing
+    * or partially-written table (the old delete-target-then-rename had
+    * exactly that window). Live data is never deleted in-line: only
+    * versions OLDER than the previous one are pruned, so a reader
+    * mid-scan of the prior version keeps its files. Two concurrent
+    * publishers each write distinct version dirs; the last pointer
+    * swap wins whole — lost-update, never corruption (the reference
+    * serializes through Postgres; a snapshot table has no lock to
+    * take).
+    *
+    * Version stamp is a monotonic counter parsed from existing version
+    * dirs (+1), not a wall-clock read, so publishes stay reproducible
+    * and prune order is total. */
+  def publishSnapshot(df: DataFrame, tableRoot: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableRoot)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val versions = listVersions(fs, root)
+    val next = (versions.map(_._1) :+ 0L).max + 1
+    val vdir = f"v-$next%012d"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir")
+    // atomic pointer swap: write sidecar, rename OVER the pointer
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$next")
+    val out = fs.create(tmp, true)
+    try out.write(vdir.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune: keep the new and the immediately-previous version (a
+    // reader resolved to it may still be scanning); delete older
+    versions.map(_._1).sorted.dropRight(1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f"v-$v%012d"), true)
+    }
   }
+
+  /** Resolve a snapshot root to its live data directory: follow the
+    * `_current` pointer if present; otherwise (pre-versioning layout,
+    * or a plain parquet dir) the root itself. */
+  def resolveSnapshot(spark: SparkSession, tableRoot: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableRoot), conf)
+    val ptr = new org.apache.hadoop.fs.Path(tableRoot, "_current")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      s"$tableRoot/$v"
+    } else tableRoot
+  }
+
+  /** Read the live version of a snapshot table published by
+    * [[publishSnapshot]] (or a plain parquet dir — same call). */
+  def readSnapshot(spark: SparkSession, tableRoot: String): DataFrame =
+    spark.read.parquet(resolveSnapshot(spark, tableRoot))
+
+  /** True if the snapshot root has a live version (pointer or plain
+    * parquet files) — the existence probe incremental consumers use. */
+  def snapshotExists(spark: SparkSession, tableRoot: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableRoot), conf)
+      val root = new org.apache.hadoop.fs.Path(tableRoot)
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_current")) || fs.exists(root)
+    } catch { case _: Throwable => false }
+  }
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("v-") =>
+        (java.lang.Long.parseLong(st.getPath.getName.stripPrefix("v-")), st.getPath)
+    }
 }

@@ -101,13 +101,9 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val exists = try {
-          org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
-            .exists(new org.apache.hadoop.fs.Path(tableDir))
-        } catch { case _: Throwable => false }
         val current =
-          if (exists) spark.read.parquet(tableDir)
+          if (graft.sources.Sources.snapshotExists(spark, tableDir))
+            graft.sources.Sources.readSnapshot(spark, tableDir)
           else batch.limit(0)
         val merged = graft.operators.UpsertWriter.merge(current, batch, cfg).merged
         graft.sources.Sources.publishSnapshot(merged, tableDir)

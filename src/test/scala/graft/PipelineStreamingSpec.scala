@@ -32,12 +32,41 @@ class SourcesSpec extends SparkSpec {
     assert(dirs.toSet == Set("gsid=G1", "gsid=G2"))
   }
 
-  test("publishSnapshot swaps the table directory atomically-enough") {
+  test("publishSnapshot swaps the live version atomically via the pointer") {
     val dir = Files.createTempDirectory("graft_snap").toString + "/table"
     Sources.publishSnapshot(Seq(1, 2, 3).toDF("x"), dir)
-    assert(spark.read.parquet(dir).count() == 3)
+    assert(Sources.readSnapshot(spark, dir).count() == 3)
     Sources.publishSnapshot(Seq(4, 5).toDF("x"), dir)
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(Sources.readSnapshot(spark, dir).count() == 2)
+    // old version pruning keeps the immediately-previous version only
+    Sources.publishSnapshot(Seq(6).toDF("x"), dir)
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v-")).sorted
+    assert(versions.length == 2 && Sources.readSnapshot(spark, dir).count() == 1)
+  }
+
+  test("publishSnapshot never exposes a missing or partial table to a concurrent reader") {
+    val dir = Files.createTempDirectory("graft_snap_conc").toString + "/table"
+    Sources.publishSnapshot(Seq.fill(50)(1).toDF("x"), dir)
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          // every observed snapshot must be a COMPLETE version: 50 rows
+          // of a single constant value, never empty, never mixed
+          val rows = Sources.readSnapshot(spark, dir).collect()
+          if (rows.length != 50 || rows.map(_.getInt(0)).distinct.length != 1)
+            failure = Some(s"partial snapshot: ${rows.length} rows")
+        } catch { case e: Throwable => failure = Some(s"reader failed: ${e.getMessage}") }
+      }
+    })
+    reader.start()
+    for (v <- 2 to 6 if failure.isEmpty)
+      Sources.publishSnapshot(Seq.fill(50)(v).toDF("x"), dir)
+    stop = true
+    reader.join(30000)
+    assert(failure.isEmpty, failure.getOrElse(""))
   }
 
   test("partitioned MERGE publish rewrites only touched partitions") {
@@ -292,7 +321,7 @@ class StreamingSpec extends SparkSpec {
                   EventStream.Event(3, ts("2024-01-01 00:03:00"), 3, "buy", 3.0))
       q.processAllAvailable()
     } finally q.stop()
-    val back = spark.read.parquet(s"$dir/table").collect()
+    val back = Sources.readSnapshot(spark, s"$dir/table").collect()
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
     assert(back == Map(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
   }
@@ -371,13 +400,13 @@ class CompactionSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val df = (1 to 5000).toDF("x")
     df.repartition(40).write.parquet(dir)
-    def parquetFiles = new java.io.File(dir).listFiles()
+    def parquetFiles = new java.io.File(Sources.resolveSnapshot(spark, dir)).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(parquetFiles == 40)
     val before = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
     val n = graft.sources.Sources.compact(spark, dir, targetBytes = 1L << 30)
     assert(n == 1 && parquetFiles == 1)
-    val after = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
+    val after = Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).sorted
     assert(after.toSeq == before.toSeq)
   }
 }

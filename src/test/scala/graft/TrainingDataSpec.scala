@@ -293,7 +293,8 @@ class VectorSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(s2.toSeq == Seq(4L, 6L), s"got ${s2.toSeq}")
     // store now holds signatures for survivors of both batches
-    val stored = spark.read.parquet(dir).select("_id").as[Long].collect().sorted
+    val stored = graft.sources.Sources.readSnapshot(spark, dir)
+      .select("_id").as[Long].collect().sorted
     assert(stored.toSeq == Seq(1L, 2L, 4L, 6L))
   }
 
