@@ -20,7 +20,7 @@ object Bench {
     "q_fn_gsid_deterministic", "q_fuzzy_center_resolve", "q_lookup_local_id",
     "q_upsert_merged", "q_op_field_mapping", "q_op_null_counts",
     "q_op_conflicts", "q_dedup_exact_groups", "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_embedding",
+    "q_dedup_minhash_lsh", "q_dedup_minhash_fast", "q_dedup_simhash", "q_dedup_embedding",
     "q_text_metrics", "q_text_langid", "q_text_winnow",
     "q_vec_topk_cosine", "q_vec_ann_lsh", "q_vec_ann_ivf",
     "q_h3_shipping_priority", "q_h5_region_revenue", "q_h10_returned_items",

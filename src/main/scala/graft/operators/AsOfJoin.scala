@@ -34,23 +34,29 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
+    val reserved = Seq("_ats", "_side", "_p")
+    require(reserved.intersect(leftCols ++ payloadCols ++ keys).isEmpty,
+      s"column names $reserved are reserved by the as-of join")
 
-    val l = payloadCols.foldLeft(
-      left.withColumn("_ats", col(leftTsCol)).withColumn("_side", lit(1)))(
-      (df, c) => df.withColumn(c, lit(null)))
+    // ALL payloads travel in ONE struct, so the matched row is taken
+    // atomically: a right row whose payload value is legitimately NULL
+    // still wins the match (the struct itself is non-null) instead of
+    // last(ignoreNulls) silently carrying an older row's value forward.
     val r = right.select(
-      (keys.map(col) :+ col(rightTsCol).as("_ats")) ++ payloadCols.map(col): _*)
+      (keys.map(col) :+ col(rightTsCol).as("_ats")) :+
+        struct(payloadCols.map(col): _*).as("_p"): _*)
       .withColumn("_side", lit(0))
+    val l = left.withColumn("_ats", col(leftTsCol)).withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(r.schema("_p").dataType))
 
     // right (side 0) sorts before left (side 1) at equal ts => inclusive
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = l.unionByName(r, allowMissingColumns = true)
-    payloadCols.foldLeft(joined)(
-        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select((leftCols ++ payloadCols).map(col): _*)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col("_p")(c).as(c)): _*)
   }
 }

@@ -31,9 +31,11 @@ object Sampling {
   }
 
   /** Deterministic fraction sample: keep rows whose 10k-bucket falls
-    * under the fraction. */
+    * under the fraction. Rounded, not truncated: 0.29 * 10000 is
+    * 2899.999… in binary — truncation would silently shift the keep
+    * threshold off the intended integer. */
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
-    df.filter(hashBucket(col(keyCol), 10000) < lit((fraction * 10000).toLong))
+    df.filter(hashBucket(col(keyCol), 10000) < lit(math.round(fraction * 10000)))
 
   /** Stratified (per-domain) sampling: each stratum keeps its own
     * fraction — how a training mix is re-weighted (up/down-weighting
@@ -46,9 +48,9 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     val bucket = hashBucket(
       concat(col(stratumCol), lit(":"), col(keyCol).cast("string")), 10000)
-    val rate = rates.foldLeft(lit((defaultRate * 10000).toLong): Column) {
+    val rate = rates.foldLeft(lit(math.round(defaultRate * 10000)): Column) {
       case (acc, (k, v)) =>
-        when(col(stratumCol) === k, lit((v * 10000).toLong)).otherwise(acc)
+        when(col(stratumCol) === k, lit(math.round(v * 10000))).otherwise(acc)
     }
     df.filter(bucket < rate)
   }

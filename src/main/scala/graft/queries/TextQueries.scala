@@ -254,6 +254,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The PRODUCTION MinHash path: Fast mode (xxhash64 family), the
+    // default users run. The Portable gate above verifies the pipeline
+    // bit-for-bit; this entry exists so the bench reports the Fast
+    // number too (candidate recall vs exact Jaccard is pinned in
+    // DedupSpec). rows-only: the xxhash64 family is not reproducible
+    // in the oracle by design.
+    QueryDef.rowsOnly("q_dedup_minhash_fast") { (s, d) =>
+      Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          mode = Dedup.Fast)
+        .orderBy("id_a", "id_b")
+    },
+
     // Incremental MinHash dedup under the hash gate: batch1 (even ids)
     // seeds the signature store with its intra-batch survivors; batch2
     // (odd ids) dedups against store + itself. The oracle replays both

@@ -32,6 +32,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * task — like the reference's one-session-per-worker REST pools —
   * so nothing needs to be serializable but the class name.
   */
+/** Page-client contract — what a PRODUCTION REDCap/NocoDB HTTP client
+  * must provide so it drops into the DSv2 source unchanged:
+  *
+  *  - `fetchPage(i)` must be DETERMINISTIC and IDEMPOTENT per page
+  *    index (offset/limit or stable-cursor pagination): the source
+  *    retries failed fetches ([[RestDataSource.RetriesOption]],
+  *    exponential backoff) and Spark itself re-runs lost tasks, so a
+  *    page may be fetched more than once. Token-chained APIs (cursor
+  *    only obtainable from the previous page) should resolve the
+  *    token→page map in the client's constructor or expose
+  *    offset-based pagination server-side.
+  *  - transient failures (HTTP 429/5xx, timeouts) should surface as
+  *    exceptions — the source's retry wrapper handles them; permanent
+  *    failures (4xx auth/shape) should be thrown as-is after the
+  *    retry budget, failing the task loudly.
+  *  - rate limiting is the client's concern (the reference throttles
+  *    per worker, `redcap_client.py:53-170`): with one client per
+  *    executor task, a per-instance limiter yields the same per-worker
+  *    shape; cluster-wide budgets need a shared token bucket.
+  *  - clients are instantiated per task by CLASS NAME — carry config
+  *    via constructor defaults or system properties, not captured
+  *    driver state.
+  */
 trait RestPages {
   /** Full schema of the export. */
   def schema: StructType
@@ -46,10 +69,33 @@ trait RestPages {
 
 object RestDataSource {
   val ClientOption = "client"
+  /** Max retries per page fetch (transient-failure budget), default 3. */
+  val RetriesOption = "maxRetries"
+  /** Initial backoff in ms, doubled per retry, default 100. */
+  val BackoffOption = "retryBackoffMs"
 
   private[sources] def instantiate(className: String): RestPages =
     Class.forName(className).getDeclaredConstructor().newInstance()
       .asInstanceOf[RestPages]
+
+  /** Retry `f` up to `maxRetries` times with exponential backoff —
+    * the transient-failure envelope around every page fetch. */
+  private[sources] def withRetry[A](maxRetries: Int, backoffMs: Long)(f: => A): A = {
+    var attempt = 0
+    var delay = backoffMs
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(f)
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    out.get
+  }
 }
 
 /** Deterministic synthetic page client (4 pages × 25 records) — the
@@ -86,20 +132,24 @@ private class RestTable(clientClass: String, override val schema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(clientClass, schema)
+    new RestScanBuilder(clientClass, schema,
+      options.getInt(RestDataSource.RetriesOption, 3),
+      options.getLong(RestDataSource.BackoffOption, 100L))
 }
 
-private class RestScanBuilder(clientClass: String, full: StructType)
+private class RestScanBuilder(clientClass: String, full: StructType,
+    retries: Int, backoffMs: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RestScan(clientClass, full, required)
+  override def build(): Scan = new RestScan(clientClass, full, required, retries, backoffMs)
 }
 
 private case class RestInputPartition(page: Int) extends InputPartition
 
-private class RestScan(clientClass: String, full: StructType, required: StructType)
+private class RestScan(clientClass: String, full: StructType, required: StructType,
+    retries: Int, backoffMs: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -109,23 +159,25 @@ private class RestScan(clientClass: String, full: StructType, required: StructTy
   // one partition per page — the driver only asks for the page COUNT;
   // page BODIES are fetched on executors
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until RestDataSource.instantiate(clientClass).pageCount)
+    (0 until RestDataSource.withRetry(retries, backoffMs)(
+        RestDataSource.instantiate(clientClass).pageCount))
       .map(RestInputPartition(_): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(clientClass, full, required)
+    new RestReaderFactory(clientClass, full, required, retries, backoffMs)
 }
 
 private class RestReaderFactory(clientClass: String, full: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, retries: Int, backoffMs: Long)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[RestInputPartition].page
     new PartitionReader[InternalRow] {
       private val indices = required.fieldNames.map(full.fieldIndex)
       private val toCatalyst =
         CatalystTypeConverters.createToCatalystConverter(required)
-      private val rows = RestDataSource.instantiate(clientClass)
-        .fetchPage(page).iterator
+      private val rows = RestDataSource.withRetry(retries, backoffMs)(
+        RestDataSource.instantiate(clientClass).fetchPage(page)).iterator
       private var current: InternalRow = _
 
       override def next(): Boolean =

@@ -160,9 +160,12 @@ object Sources {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune: keep the new and the immediately-previous version (a
-    // reader resolved to it may still be scanning); delete older
-    versions.map(_._1).sorted.dropRight(1).foreach { v =>
+    // prune: keep the new version plus the TWO most recent previous
+    // ones (a reader that resolved the pointer may still be scanning;
+    // two publish cycles of slack is the retention window — the same
+    // bounded-retention trade a table format's VACUUM makes); delete
+    // older
+    versions.map(_._1).sorted.dropRight(2).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, f"v-$v%012d"), true)
     }
   }

@@ -51,18 +51,27 @@ object EventStream {
   }
 
   /** Watermarked streaming dedup: keep the first occurrence of each
-    * key (at-least-once ingestion → exactly-once downstream). On a
-    * stream, `dropDuplicates` state is bounded by the watermark
-    * horizon × key cardinality; the batch form is the same plan minus
-    * the state store. Deterministic output = the distinct key set —
-    * WHICH duplicate survives is arrival-order-dependent on a real
-    * stream, so downstream must key off the dedup columns (the gated
-    * query projects exactly those). */
+    * key (at-least-once ingestion → exactly-once downstream).
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates(keys)`: with
+    * plain dropDuplicates the event-time column is absent from the
+    * dedup keys, so the state store never evicts — state grows with
+    * the full key history. The WithinWatermark form expires a key's
+    * state once the watermark passes its event time, bounding state by
+    * horizon × arrival rate (duplicates are assumed to arrive within
+    * the watermark delay — true for at-least-once redelivery). The
+    * batch form is the same plan minus the state store. Deterministic
+    * output = the distinct key set — WHICH duplicate survives is
+    * arrival-order-dependent on a real stream, so downstream must key
+    * off the dedup columns (the gated query projects exactly those).
+    * (Spark rejects the WithinWatermark form on batch frames, where
+    * there is no state to bound — plain dropDuplicates is the exact
+    * batch equivalent.) */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours",
-      keyCols: Seq[String] = Seq("event_id")): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicates(keyCols)
+      keyCols: Seq[String] = Seq("event_id")): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
 
   /** Watermarked stream-stream interval join: pair each left event
     * with same-user right events inside [l_ts, l_ts + horizon). The

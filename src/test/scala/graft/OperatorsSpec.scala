@@ -170,6 +170,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(500))
   }
+
+  test("matched right row with NULL payload wins atomically (no carry-forward)") {
+    val left = Seq((1L, "u1", 20L)).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", 5L, Some("old")),
+      ("u1", 15L, None: Option[String])) // the as-of match, payload NULL
+      .toDF("user", "rts", "payload")
+    val out = AsOfJoin.backward(left, right, Seq("user"), "ts", "rts", Seq("payload"))
+      .collect()
+    // must take the 15L row's null, NOT resurrect "old" from 5L
+    assert(out.length == 1 && out(0).getAs[String]("payload") == null)
+  }
+
+  test("reserved working-column collisions are rejected") {
+    val left = Seq((1L, "u1", 10L, "x")).toDF("id", "user", "ts", "_ats")
+    val right = Seq(("u1", 5L, "p")).toDF("user", "rts", "payload")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("user"), "ts", "rts", Seq("payload"))
+    }
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {

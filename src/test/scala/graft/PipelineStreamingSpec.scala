@@ -38,11 +38,14 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readSnapshot(spark, dir).count() == 3)
     Sources.publishSnapshot(Seq(4, 5).toDF("x"), dir)
     assert(Sources.readSnapshot(spark, dir).count() == 2)
-    // old version pruning keeps the immediately-previous version only
+    // pruning keeps the live version + two previous; older are deleted
     Sources.publishSnapshot(Seq(6).toDF("x"), dir)
+    Sources.publishSnapshot(Seq(7, 8).toDF("x"), dir)
     val versions = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("v-")).sorted
-    assert(versions.length == 2 && Sources.readSnapshot(spark, dir).count() == 1)
+    assert(versions.length == 3 && !versions.contains("v-000000000001"),
+      versions.mkString(","))
+    assert(Sources.readSnapshot(spark, dir).count() == 2)
   }
 
   test("publishSnapshot never exposes a missing or partial table to a concurrent reader") {
@@ -142,6 +145,26 @@ class RestSourceSpec extends SparkSpec {
     val grouped = rest.groupBy("center_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(grouped == (0 until 5).map(_ -> 20L).toMap)
+  }
+
+  test("transient page-fetch failures are retried with backoff and succeed") {
+    graft.sources.FlakyRestPages.reset()
+    val df = spark.read.format("graft.sources.RestDataSource")
+      .option("client", "graft.sources.FlakyRestPages")
+      .option("maxRetries", "3").option("retryBackoffMs", "1").load()
+    // every page throws twice before succeeding; the read must still
+    // return the complete export
+    assert(df.count() == 100)
+    assert(graft.sources.FlakyRestPages.totalFailures.get() >= 8) // 2 per page x 4
+  }
+
+  test("a permanent failure exhausts the retry budget and fails loudly") {
+    graft.sources.FlakyRestPages.reset()
+    val df = spark.read.format("graft.sources.RestDataSource")
+      .option("client", "graft.sources.AlwaysFailingRestPages")
+      .option("maxRetries", "2").option("retryBackoffMs", "1").load()
+    val e = intercept[Exception] { df.count() }
+    assert(e.getMessage != null)
   }
 }
 
