@@ -150,6 +150,63 @@ object VectorKernels {
   def wordShinglesCol(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Static winnowing kernel (Schleimer et al.): hash every character
+    * k-gram (first 8 hex chars of md5 — exactly Spark/DuckDB
+    * `substr(md5(gram),1,8)`), then collect the DISTINCT minimum of
+    * every w-wide sliding window, first-occurrence order. Character
+    * semantics use UTF8String.substringSQL, matching both dialects on
+    * multi-byte text. Returns an empty array when there are fewer than
+    * w k-grams (no complete window). */
+  def winnow(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = text.numChars() - (k - 1)
+    if (m < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val hashes = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
+      val cs = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        cs(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        cs(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      hashes(i) = new String(cs)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j <= m - w) {
+      var minH = hashes(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (hashes(t).compareTo(minH) < 0) minH = hashes(t)
+        t += 1
+      }
+      seen.add(minH)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column API: winnowing fingerprints of a string column. */
+  def winnowCol(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFps(ExpressionUtils.expression(text), k, w))
+
   /** Column API: nearest-centroid list index of a float-array column. */
   def nearestCentroidCol(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(
@@ -270,6 +327,31 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** Codegen'd winnowing fingerprint selection — the per-document step
+  * is a tight two-pass loop (hash m k-grams, min over m-w+1 windows)
+  * that the HOF formulation pays interpreted-lambda time for on every
+  * position of every document (measured ~4.5 s vs ~1 s at sf0.1). */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps needs a string column, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.winnow(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.winnow($v, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
+  override def prettyName: String = "winnow_fps"
 }
 
 /** Codegen'd per-plane dot products (`array<double>` of margins) for

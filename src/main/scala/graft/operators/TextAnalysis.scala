@@ -40,36 +40,27 @@ object TextAnalysis {
     * shares at least one selected fingerprint, and selection density
     * is ~2/(w+1) regardless of document size.
     *
-    * Output: (idCol, fp) distinct rows. Scale shape: one explode (text
-    * length × ~1 row per char), a per-document window min — partitioned
-    * by document, so no global shuffle pressure — and a distinct on
-    * (id, 8-char hash). The k-gram hash is a truncated md5 so the
-    * whole derivation is reproducible in ANSI SQL for the oracle. */
+    * Output: (idCol, fp) distinct rows. Scale shape: ZERO shuffle —
+    * the whole selection (k-gram hashes, sliding-window minima,
+    * per-document dedup) happens inside one codegen'd kernel
+    * ([[graft.functions.WinnowFps]]), because every window is
+    * document-local. The earlier explode + WindowExec form shuffled
+    * text-length × |docs| rows on _id and re-sorted them just to
+    * compute a per-row neighborhood min; rows never needed to leave
+    * their document. The k-gram hash is a truncated md5 so the whole
+    * derivation is reproducible in ANSI SQL for the oracle. */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val grams = df
+    // spread documents across cores first (same reason as Dedup
+    // .shingles): a small input file otherwise plans one scan task and
+    // the whole kernel runs single-threaded
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("_id"), norm.as("_t"))
-      .filter(length(col("_t")) >= k)
-      .select(col("_id"),
-        posexplode(transform(sequence(lit(1), length(col("_t")) - (k - 1)),
-          i => col("_t").substr(i, lit(k)))))
-      .withColumnRenamed("pos", "_pos")
-      .withColumn("_h", substring(md5(col("col")), 1, 8))
-    // ties on the min hash all carry the same fp value, so a plain
-    // min(hash) per window selects identically in both dialects.
-    // (Both window functions share one WindowExec over the same sorted
-    // partition — deriving max-pos from the pre-explode string length
-    // instead measured consistently SLOWER, so keep this form.)
-    val win = Window.partitionBy("_id").orderBy("_pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("_sel", min(col("_h")).over(win))
-      .withColumn("_maxpos", max(col("_pos")).over(Window.partitionBy("_id")))
-      .filter(col("_pos") <= col("_maxpos") - (w - 1)) // only complete windows
-      .select(col("_id").as(idCol), col("_sel").as("fp"))
-      .distinct()
+      // complete windows only: at least w k-grams = length >= w+k-1
+      .filter(length(col("_t")) >= w + k - 1)
+      .select(col("_id").as(idCol),
+        explode(graft.functions.VectorKernels.winnowCol(col("_t"), k, w)).as("fp"))
   }
 
   /** Ratio of non-alphanumeric, non-space chars. */
