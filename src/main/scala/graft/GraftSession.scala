@@ -18,14 +18,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Size-based coalescing, not parallelism-first: a shuffle carrying
-      // a few hundred KB collapses to ONE task instead of fanning out to
-      // defaultParallelism tasks whose scheduling overhead dwarfs the
-      // work. Map-side parallelism (scans, partial aggregates) is
-      // untouched; genuinely large shuffles still split at the advisory
-      // size — the same sizing logic that holds at 100 TB, where
-      // parallelism-first would be a no-op anyway.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Parallelism-first coalescing (Spark's default, kept explicit
+      // after an A/B): a few-hundred-KB loop frame still collapses to
+      // ONE task (total/parallelism falls below minPartitionSize), but
+      // a mid-size shuffle keeps ~defaultParallelism tasks instead of
+      // being squeezed to ceil(size/advisory) — size-first measured a
+      // uniform 1.5-3x wall-clock penalty on every shuffle-bearing
+      // query at sf0.1 (post-shuffle work serialized onto 1-3 cores)
+      // while buying the tiny-frame loops nothing the lazy-checkpoint
+      // + explicit-repartition fixes hadn't already bought.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
