@@ -143,21 +143,72 @@ object Dedup {
     *
     * Output: `docs` columns + `cluster_id` (min id of the component)
     * + `kept` (true iff this doc is the survivor).
+    *
+    * Adaptive execution, same result either way: the PAIR set of a
+    * near-dup pass is orders of magnitude below the corpus (a pair
+    * needs Jaccard ≥ t), so when it fits comfortably on the driver
+    * (≤ `maxLocalEdges`, default 4M ≈ 64 MB — the same order as a
+    * broadcast-join build side) the components are solved with one
+    * union-find pass and broadcast back, replacing an O(diameter)
+    * job loop with a single collect. Past the threshold the
+    * distributed min-label propagation loop runs — each hop shuffles
+    * only the pair participants, never the corpus.
     */
   def collapseNearDuplicates(docs: DataFrame, pairs: DataFrame,
-      idCol: String): DataFrame = {
-    // The loop frames hold a few rows per near-dup pair — orders of
-    // magnitude below the corpus. Their partitioning comes out of the
-    // distinct() shuffle, which AQE coalesces by SIZE (see
-    // GraftSession: parallelismFirst=false) — a few hundred pairs run
-    // the loop as one task per hop instead of shuffle-partition-count
-    // tasks of scheduling overhead (driver bench: 22 s of ~pure job
-    // overhead on a ~500-row frame), while a 100 TB pair set still
-    // splits at the advisory size. Lazy checkpoint: materialized by
-    // the first labelSum, no separate job, lineage truncated for the
-    // loop either way.
+      idCol: String, maxLocalEdges: Long = 4000000L): DataFrame = {
+    val spark = docs.sparkSession
     val half = pairs.select(col("id_a").cast("long").as("_src"),
       col("id_b").cast("long").as("_dst"))
+      .distinct().localCheckpoint(false)
+    val nEdges = half.count()
+    val lab: DataFrame =
+      if (nEdges <= maxLocalEdges) localComponents(spark, half.collect())
+      else distributedComponents(half)
+    docs.join(broadcastIfSmall(lab, nEdges <= maxLocalEdges),
+        docs(idCol).cast("long") === lab("_cid"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("_label"), docs(idCol).cast("long")).as("cluster_id"): _*)
+      .withColumn("kept", col(idCol).cast("long") === col("cluster_id"))
+  }
+
+  private def broadcastIfSmall(df: DataFrame, small: Boolean): DataFrame =
+    if (small) org.apache.spark.sql.functions.broadcast(df) else df
+
+  /** Union-find with path halving over a collected edge list; emits
+    * (_cid, _label = min member id of the component). */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    val members = new java.util.HashSet[Long]()
+    edges.foreach { r => members.add(r.getLong(0)); members.add(r.getLong(1)) }
+    members.forEach { m =>
+      val root = find(m)
+      minOf.merge(root, m, (x, y) => math.min(x, y))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](members.size)
+    members.forEach { m => out += ((m, minOf.get(find(m)))) }
+    import spark.implicits._
+    out.toSeq.toDF("_cid", "_label")
+  }
+
+  /** Distributed min-label propagation to a fixpoint (the > maxLocalEdges
+    * path; labels only decrease so a DECIMAL label-sum compare is a
+    * one-job global convergence test). */
+  private def distributedComponents(half: DataFrame): DataFrame = {
     val edges = half.unionByName(
         half.select(col("_dst").as("_src"), col("_src").as("_dst")))
       .distinct().localCheckpoint(false)
@@ -195,10 +246,7 @@ object Dedup {
       throw new IllegalStateException(
         s"near-dup collapse did not converge within $hops hops — " +
           "component diameter exceeds the cap; raise it or pre-bucket the pairs")
-    docs.join(lab, docs(idCol).cast("long") === lab("_cid"), "left")
-      .select(docs.columns.map(docs(_)) :+
-        coalesce(col("_label"), docs(idCol).cast("long")).as("cluster_id"): _*)
-      .withColumn("kept", col(idCol).cast("long") === col("cluster_id"))
+    lab
   }
 
   /** MinHash signature: array of `numHashes` minima over a seeded

@@ -166,9 +166,16 @@ class PortableHashSpec extends SparkSpec {
       }
       val docs = (0L until n.toLong).toDF("doc_id")
       val pairs = edges.toDF("id_a", "id_b")
+      // both execution paths must agree with the reference: the
+      // driver-side union-find (default threshold) and the distributed
+      // label-propagation loop (forced via maxLocalEdges = 0)
       val got = graft.operators.Dedup.collapseNearDuplicates(docs, pairs, "doc_id")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect)
+      val gotDist = graft.operators.Dedup
+        .collapseNearDuplicates(docs, pairs, "doc_id", maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expect)
     }
   }
 }
