@@ -180,6 +180,90 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("quality"), col("rep_ratio"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-
+    * window prep step of a RAG / pretraining pipeline (split every
+    * document into `chunkTokens`-token windows advancing by
+    * `chunkTokens - overlap`, keeping provenance).
+    *
+    * Chunk count per doc is `1 + max(0, ceil((n - chunkTokens) /
+    * stride))` — the final window is allowed to be short rather than
+    * re-reading earlier tokens, so chunks tile the document exactly
+    * once plus the configured overlap.
+    *
+    * Scale: ZERO shuffle — tokenize, a per-row `sequence` explode
+    * (output rows ≈ input tokens / stride, each carrying only its own
+    * slice), and `slice`/`array_join` are all codegen'd scan
+    * expressions; provenance (doc id, chunk index, token count)
+    * travels with each row. Output order is whatever the scan gives —
+    * sort downstream if needed. */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): got overlap=$overlap chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      // integer ceil((n - C) / S) via floor((n - C + S - 1) / S); the
+      // double division is exact at token-count magnitudes (< 2^53)
+      .withColumn("_nc", lit(1) + greatest(lit(0),
+        floor((col("_n") - chunkTokens + stride - 1).cast("double") / stride).cast("int")))
+      .select(col("doc_id"), col("_t"), col("_n"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride)
+          .cast("int").as("chunk_tokens"),
+        array_join(slice(col("_t"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Corpus-level repeated-span removal — the exact-substring dedup
+    * step (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") in its scalable k-gram form: any word k-gram
+    * occurring in at least `minDocs` distinct documents marks its k
+    * token positions as duplicated in EVERY document that contains
+    * it, and the cleaned text is the surviving tokens in order.
+    *
+    * Scale shape (all keys are ids/hashes, never text on the wire):
+    * grams ≈ tokens rows but each reduced to a 16-hex-char md5 key
+    * before any shuffle; the duplicated-gram table is posting-list
+    * bounded (HAVING count ≥ minDocs); covered positions ≤ k × dup
+    * occurrences; the anti-join and the per-doc rebuild shuffle
+    * (doc, pos) pairs. The md5 key keeps the whole derivation
+    * reproducible in ANSI SQL.
+    *
+    * Output: doc_id, n_tokens, n_dup (positions covered), clean_text
+    * ('' when everything was duplicated). Every input doc appears. */
+  def dropRepeatedSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val pos = base.select(col("doc_id"), posexplode(col("_t")))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_tok")
+    val grams = base.filter(col("_n") >= k)
+      .select(col("doc_id"), col("_n"),
+        posexplode(transform(sequence(lit(1), col("_n") - (k - 1)),
+          i => substring(md5(array_join(slice(col("_t"), i, lit(k)), " ")), 1, 16))))
+      .select(col("doc_id"), col("pos").as("_gpos"), col("col").as("_gh"))
+    val dup = grams.select("doc_id", "_gh").distinct()
+      .groupBy("_gh").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_gh")
+    val covered = grams.join(dup, "_gh")
+      .select(col("doc_id"),
+        explode(sequence(col("_gpos"), col("_gpos") + (k - 1))).as("_pos"))
+      .distinct()
+    val kept = pos.join(covered, Seq("doc_id", "_pos"), "left_anti")
+    val clean = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("clean_text"))
+    base.select("doc_id", "_n").join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_n").cast("int").as("n_tokens"),
+        (col("_n") - coalesce(col("_kept"), lit(0L))).cast("int").as("n_dup"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Top-k most-distinctive terms per document by inverse-document-
     * frequency weighting (keyword extraction / doc signatures over a
     * corpus).

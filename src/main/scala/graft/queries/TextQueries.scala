@@ -619,6 +619,62 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Fixed-size token-window chunking with overlap (64-token chunks,
+    // 16-token overlap): the RAG / pretraining context-window prep.
+    // Zero shuffle — tokenize + sequence-explode + slice are all scan
+    // expressions; the oracle replays the same window arithmetic.
+    QueryDef.sql(
+      "q_text_chunk",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |nc AS (SELECT doc_id, t, n,
+         |         1 + greatest(0, (n - 64 + 48 - 1) // 48) AS m FROM base),
+         |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |         CAST(least(64, n - i * 48) AS INT) AS chunk_tokens,
+         |         array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+         |       FROM nc, UNNEST(range(0, m)) AS g(i))
+         |SELECT doc_id, chunk_idx, chunk_tokens, chunk_text FROM ch
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Corpus-level repeated-span removal (exact-substring dedup in
+    // k-gram form): any 5-gram present in >= 2 distinct docs marks its
+    // positions duplicated everywhere; cleaned text = surviving tokens
+    // in order. The oracle replays gram hashing, coverage expansion
+    // and the ordered rebuild.
+    QueryDef.sql(
+      "q_dedup_spans",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |        FROM toks, UNNEST(range(1, len(t) + 1)) AS g(i)),
+         |grams AS (SELECT doc_id, i - 1 AS gpos,
+         |            substr(md5(array_to_string(t[i : i + 4], ' ')), 1, 16) AS gh
+         |          FROM toks, UNNEST(range(1, len(t) - 3)) AS g(i)
+         |          WHERE len(t) >= 5),
+         |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM grams)
+         |        GROUP BY gh HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT g.doc_id, r.p
+         |        FROM grams g JOIN dup USING (gh),
+         |             UNNEST(range(g.gpos, g.gpos + 5)) AS r(p)),
+         |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+         |         LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.pos
+         |         WHERE c.p IS NULL),
+         |clean AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |            string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |          FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+         |  CAST(len(t.t) - COALESCE(c.n_kept, 0) AS INT) AS n_dup,
+         |  COALESCE(c.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN clean c ON c.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dropRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
     // Multimodal frame-sampling plan + byte-length metadata — the
     // deterministic, ANSI-expressible half of the media pipeline
     // (decode checksums stay rows-only below). One row per sampled

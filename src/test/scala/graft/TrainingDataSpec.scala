@@ -333,4 +333,40 @@ class VectorSpec extends SparkSpec {
     assert(top(1L) == "zebra")
     assert(top(2L) == "common")
   }
+
+  test("chunking tiles tokens with the configured overlap; short docs get one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // under one chunk
+      (3L, "")                                        // no tokens: dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1) // stride 3
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: starts 0,3,6,9 -> 1 + ceil((10-4)/3) = 3 chunks at 0,3,6
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // every consecutive pair shares exactly `overlap` tokens
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(4, 4, 4))
+    assert(out.filter(_._1 == 2L).map(x => (x._3, x._4)).toSeq == Seq((3, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("repeated-span removal drops cross-doc 5-gram runs, keeps unique text in order") {
+    val shared = "one two three four five six" // 6 tokens: two dup 5-grams
+    val docs = Seq(
+      (1L, s"intro $shared tail one"),
+      (2L, s"$shared closing words here"),
+      (3L, "completely unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dropRepeatedSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // the shared 6-token run is fully covered in both docs; the rest survives
+    assert(out(1L) == ((9, 6, "intro tail one")))
+    assert(out(2L) == ((9, 6, "closing words here")))
+    assert(out(3L)._2 == 0)
+    assert(out(3L)._3 == "completely unrelated content with no overlap at all")
+  }
 }
