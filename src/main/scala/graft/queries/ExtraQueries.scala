@@ -343,5 +343,24 @@ object ExtraQueries {
       ConflictResolver.cascadeCenterUpdates(reg.subjects, resolutions)
         .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd"))
         .orderBy("global_subject_id")
+    },
+
+    // Z-order (Morton) curve value over (customer, order-day) — the
+    // multi-dimensional clustering key behind writeZOrdered's
+    // scan-pruning layout. Pure bit arithmetic, replayed term-for-term
+    // in the oracle; the layout win itself (per-file min/max envelope
+    // shrinkage) is asserted in LayoutSpec.
+    QueryDef.sql(
+      "q_layout_zorder",
+      s"""SELECT o_orderkey,
+         |  ${graft.operators.Layout.zValueSql(
+               "o_custkey", "datediff('day', DATE '1992-01-01', o_orderdate)", 16)}
+         |    AS zval
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.operators.Layout.zValue(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")), 16).as("zval"))
+        .orderBy("o_orderkey")
     })
 }
