@@ -54,4 +54,24 @@ object Sampling {
     }
     df.filter(bucket < rate)
   }
+
+  /** EXACTLY-k-per-stratum sample: rank rows inside each stratum by
+    * their md5 (a uniform, reproducible permutation; ties broken by
+    * the key itself) and keep the first k — how a fixed-size eval/dev
+    * set is carved per domain. Unlike the rate-based samplers this
+    * needs one keyed shuffle (the per-stratum window), but the window
+    * ranks (stratum-hash) pairs — 16 bytes + key per row, never
+    * payload columns, which join back by key afterward… here the
+    * input frame IS ranked directly since Spark prunes the window to
+    * its partition/order keys. Deterministic under retries, stable
+    * row set when other strata change. */
+  def exactKPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col(stratumCol), lit(":"), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

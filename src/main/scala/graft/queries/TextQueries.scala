@@ -570,6 +570,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Exactly-k-per-stratum sample: md5-permutation rank inside each
+    // source, keep the first 5 — the fixed-size per-domain eval-set
+    // carve. Deterministic under retries; the oracle replays the
+    // ranking.
+    QueryDef.sql(
+      "q_sample_exact_k",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.exactKPerStratum(Tables.documents(s, d), "doc_id", "source", 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Deterministic hash-bucket dataset split (train/validation/test) —
     // reproducible across engines, retries and table growth, unlike
     // rand()-based sampling.

@@ -334,6 +334,21 @@ class VectorSpec extends SparkSpec {
     assert(top(2L) == "common")
   }
 
+  test("exact-k sample: k per stratum, selection independent of other strata") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"s${i % 4}")).toDF("id", "dom")
+    val picked = Sampling.exactKPerStratum(docs, "id", "dom", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(picked.groupBy(_._1).forall(_._2.length == 3))
+    // dropping a whole other stratum must not change this stratum's picks
+    val without = Sampling.exactKPerStratum(docs.filter($"dom" =!= "s3"), "id", "dom", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(picked.filter(_._1 != "s3").toSet == without)
+    // k larger than the stratum keeps everything
+    val all = Sampling.exactKPerStratum(docs, "id", "dom", 100).count()
+    assert(all == 40L)
+  }
+
   test("chunking tiles tokens with the configured overlap; short docs get one chunk") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
