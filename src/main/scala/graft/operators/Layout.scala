@@ -22,14 +22,23 @@ object Layout {
     * truncated to `bits` low bits (caller scales/normalizes first —
     * rank, bucket id, day number, …). Bit i of x lands at 2i, bit i of
     * y at 2i+1. Pure codegen'd bit arithmetic. */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
-    val xs = x.cast("long").bitwiseAND((1L << bits) - 1)
-    val ys = y.cast("long").bitwiseAND((1L << bits) - 1)
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(1L), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(1L), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * position i*dims + d. `dims * bits` must stay within the sign-safe
+    * 63 bits of a long. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val dims = cols.length
+    require(dims >= 2, s"need at least 2 dimensions: $dims")
+    require(bits >= 1 && dims * bits <= 63,
+      s"dims*bits must be in [1,63]: $dims*$bits")
+    val masked = cols.map(_.cast("long").bitwiseAND((1L << bits) - 1))
+    (for {
+      i <- 0 until bits
+      (c, d) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(1L), i * dims + d))
+      .reduce(_ bitwiseOR _)
   }
 
   /** The matching oracle-side SQL expression (same truncation, same

@@ -16,6 +16,16 @@ class LayoutSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("zValueN interleaves three dimensions round-robin") {
+    import spark.implicits._
+    // (1,0,0)->bit0, (0,1,0)->bit1, (0,0,1)->bit2, (2,0,0)->bit3(=1<<(1*3+0))
+    val out = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 0L), (3L, 3L, 3L))
+      .toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("z")), 4).as("m"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 4L, 8L, 63L))
+  }
+
   test("z-ordered layout shrinks per-file envelopes in BOTH dimensions vs linear sort") {
     val orders = Tables.orders(spark, sf001)
       .select(col("o_orderkey"), col("o_custkey"),

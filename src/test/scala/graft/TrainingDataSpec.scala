@@ -368,6 +368,26 @@ class VectorSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("chunking property: dropping the overlap prefix of every later chunk reconstructs the doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 20L).map { i =>
+      (i, (0 until (1 + rnd.nextInt(50))).map(j => s"w${rnd.nextInt(99)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (c, o) = (7, 3)
+    val rebuilt = TextAnalysis.chunkDocuments(docs, "doc_id", "text", c, o)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1).map { case (id, chs) =>
+        val toks = chs.sortBy(_._2).zipWithIndex.flatMap { case ((_, _, t), idx) =>
+          val ts = t.split(" ").toSeq
+          if (idx == 0) ts else ts.drop(o)
+        }
+        id -> toks.mkString(" ")
+      }
+    val expect = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == expect)
+  }
+
   test("repeated-span removal drops cross-doc 5-gram runs, keeps unique text in order") {
     val shared = "one two three four five six" // 6 tokens: two dup 5-grams
     val docs = Seq(
