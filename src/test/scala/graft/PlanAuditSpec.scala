@@ -116,6 +116,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("chunking and z-order are zero-shuffle scan expressions") {
+    for (q <- Seq("q_text_chunk", "q_layout_zorder")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n${p.take(800)}")
+      assert(!p.contains("Join"), s"$q:\n${p.take(800)}")
+    }
+  }
+
+  test("exact-k sample costs exactly the one per-stratum window shuffle") {
+    val p = planOf("q_sample_exact_k")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("repeated-span removal joins on gram/position keys, never a cartesian") {
+    val p = planOf("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("tfidf joins corpus size as a broadcast one-row aggregate, not a window") {
     val p = planOf("q_text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
