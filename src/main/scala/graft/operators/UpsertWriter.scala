@@ -55,12 +55,19 @@ object UpsertWriter {
       curCols.contains(c) && !key.contains(c) &&
         !cfg.immutableFields.contains(c) && !TableConfig.systemColumns.contains(c))
 
+    // presence flags sit OUTSIDE the _in_/_ex_ prefix namespace so no
+    // prefixed data column can shadow them (a column named `p`
+    // prefixed to `_ex_p` collided with the old `_ex_p` flag); only a
+    // key column literally named like a flag could still collide —
+    // guard rather than silently mis-merge
+    require(!key.exists(c => c == "_present_in" || c == "_present_ex"),
+      "key columns _present_in/_present_ex collide with merge working columns")
     val inc = incoming.select(
-      key.map(incoming(_)) ++ Seq(lit(true).as("_in_p")) ++
+      key.map(incoming(_)) ++ Seq(lit(true).as("_present_in")) ++
         incCols.filterNot(key.contains).map(c => incoming(c).as(s"_in_$c")) ++
         updatable.map(c => norm(incoming, c).as(s"_inn_$c")): _*)
     val cur = current.select(
-      key.map(current(_)) ++ Seq(lit(true).as("_ex_p")) ++
+      key.map(current(_)) ++ Seq(lit(true).as("_present_ex")) ++
         curCols.filterNot(key.contains).map(c => current(c).as(s"_ex_$c")) ++
         updatable.map(c => norm(current, c).as(s"_exn_$c")): _*)
 
@@ -70,8 +77,8 @@ object UpsertWriter {
       updatable.map(c => c -> !(col(s"_inn_$c") <=> col(s"_exn_$c")))
     val anyDiff = if (diffs.isEmpty) lit(false) else diffs.map(_._2).reduce(_ || _)
 
-    val status = when(col("_ex_p").isNull, lit("insert"))
-      .when(col("_in_p").isNull, lit("orphaned"))
+    val status = when(col("_present_ex").isNull, lit("insert"))
+      .when(col("_present_in").isNull, lit("orphaned"))
       .when(anyDiff, lit("update"))
       .otherwise(lit("unchanged"))
     val withStatus = j.withColumn("_status", status)

@@ -153,11 +153,21 @@ object Sources {
     val next = (versions.map(_._1) :+ 0L).max + 1
     val vdir = f"v-$next%012d"
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir")
-    // atomic pointer swap: write sidecar, rename OVER the pointer
+    // atomic pointer swap: write a temp pointer, rename OVER the live
+    // one. BOTH steps go through FileContext: the FileSystem API on a
+    // local FS is ChecksumFileSystem, whose create() leaves a .crc
+    // sidecar that rename() (raw FS) does NOT move — a concurrent
+    // reader then validates the new pointer against the stale sidecar
+    // and fails with a checksum error. FileContext writes raw (no
+    // sidecar); any sidecar left by an older writer is dropped first.
     val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$next")
-    val out = fs.create(tmp, true)
-    try out.write(vdir.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(vdir.getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(root, "._current.crc"), false)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // prune: keep the new version plus the TWO most recent previous
