@@ -167,5 +167,54 @@ object VectorQueries {
       SimilaritySearch.ivfTopKSeeded(emb, emb.filter(col("vec_id") < 20), k = 5,
           centroidIds = 0L until 8L, nProbe = 2)
         .orderBy("query_id", "rank")
+    },
+
+    // SemDeDup (arXiv:2303.09540) under the full hash gate: the oracle
+    // re-derives the medoid assignment (vec_id < 8 rows as centroids,
+    // same argmin as q_vec_ann_ivf), the within-cluster priority
+    // (centroid distance DESC, id), the pairwise cosines against every
+    // higher-priority member, and the keep/drop verdict. MAX over
+    // bit-identical doubles is order-independent, so the whole verdict
+    // column is exactly comparable.
+    QueryDef.sql(
+      "q_dedup_semantic",
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+        |      FROM e WHERE vec_id < 8),
+        |ad AS (
+        |  SELECT e.vec_id, c.li,
+        |    list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, li, d FROM (
+        |             SELECT vec_id, li, d,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |             FROM ad)
+        |           WHERE rn = 1),
+        |rk AS (SELECT vec_id, CAST(li AS INT) AS cluster_id, d,
+        |         CAST(row_number() OVER (PARTITION BY li ORDER BY d DESC, vec_id)
+        |           AS INT) AS centroid_rank
+        |       FROM assign),
+        |pr AS (
+        |  SELECT b.vec_id,
+        |    max(list_sum(list_transform(range(1, len(ea.v) + 1),
+        |        i -> CAST(ea.v[i] AS DOUBLE) * CAST(eb.v[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(ea.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(eb.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      AS mps
+        |  FROM rk a
+        |  JOIN rk b ON a.cluster_id = b.cluster_id AND a.centroid_rank < b.centroid_rank
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  GROUP BY b.vec_id)
+        |SELECT r.vec_id, r.cluster_id, r.centroid_rank,
+        |  coalesce(pr.mps, -2.0) AS max_prior_sim,
+        |  coalesce(pr.mps, -2.0) < 0.45 AS kept
+        |FROM rk r LEFT JOIN pr ON pr.vec_id = r.vec_id
+        |ORDER BY r.vec_id""".stripMargin) { (s, d) =>
+      graft.operators.SemanticDedup.semanticDedup(
+          Tables.embeddings(s, d), centroidIds = 0L until 8L, tau = 0.45)
+        .orderBy("vec_id")
     })
 }

@@ -200,6 +200,45 @@ class VectorSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("semantic dedup drops the near-identical cluster member, keeps extremes") {
+    import graft.operators.SemanticDedup
+    // centroids = rows 0 and 3: cluster A = {0,1,2,4-ish}, cluster B = {3}
+    val out = SemanticDedup.semanticDedup(vecs, centroidIds = Seq(0L, 3L), tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster_id"), r.getAs[Int]("centroid_rank"),
+         r.getAs[Boolean]("kept"))).toMap
+    // cluster A = {0,1,2} around centroid (1,0,0,0): 2 sits FARTHEST
+    // from the centroid -> top priority, survives; 0 and 1 (cos ~0.994
+    // and 1.0 to it) are its near-centroid duplicates and both drop —
+    // the paper's keep-the-extreme rule
+    assert(out(2L)._3 && out(2L)._2 == 1)
+    assert(!out(0L)._3 && !out(1L)._3)
+    // cluster B = {3, 4} (4 is nearer the (0,0,1,0) medoid than the
+    // (1,0,0,0) one): cos(3,4) = 0 < tau, both survive
+    assert(out(3L)._3 && out(4L)._3)
+    // rank-1 member of every cluster is kept by construction
+    out.values.groupBy(_._1).foreach { case (_, ms) =>
+      assert(ms.filter(_._2 == 1).forall(_._3))
+    }
+    // survivors() returns exactly the kept rows
+    val surv = SemanticDedup.survivors(vecs, Seq(0L, 3L), 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == out.filter(_._2._3).keySet)
+  }
+
+  test("semantic dedup at tau > 1 keeps everything; pairwise only within cluster") {
+    import graft.operators.SemanticDedup
+    val all = SemanticDedup.semanticDedup(vecs, centroidIds = Seq(0L, 3L), tau = 1.5)
+    assert(all.filter(!col("kept")).count() == 0)
+    // near-identical vectors 0/2 (cos ~0.994) in DIFFERENT clusters are
+    // never compared: each is its own medoid, so both survive tau=0.95
+    // — the clustering really does bound the pairwise scope
+    val split = SemanticDedup.semanticDedup(
+      vecs.filter($"vec_id".isin(0L, 2L)), centroidIds = Seq(0L, 2L), tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(split(0L) && split(2L))
+  }
+
   test("pii redaction replaces emails and phones, counts match") {
     val df = Seq(
       (1L, "mail me at a.b+c@x-mail.co.uk or call 555-123-4567 twice 555-000-1111"),
