@@ -142,6 +142,45 @@ object TextAnalysis {
   def patternCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
+  /** Hashing-trick linear quality model — the fastText-style
+    * classifier plumbing of model-based corpus filtering (DCLM /
+    * FineWeb-edu shape): every token hashes into one of `nBuckets`
+    * weight slots (56-bit md5 word mod buckets — the classic feature
+    * hashing trick, no vocabulary to build or broadcast), each slot
+    * carries an integer weight in [-2^19, 2^19) derived from md5 of
+    * the slot index, and the document logit is the exact BIGINT sum of
+    * its tokens' slot weights. The md5-derived weights are a SEEDED,
+    * DETERMINISTIC STAND-IN for trained coefficients (this container
+    * has no labeled quality data): swapping in a trained weight table
+    * turns the weight expression into a broadcast join on bucket id —
+    * same plan, same cost shape.
+    *
+    * All arithmetic until the final scale is exact integers (|logit| ≤
+    * n_tokens·2^19 — overflow-free for any real document), then ONE
+    * IEEE division to [-1, 1] — bit-reproducible across engines, no
+    * sum-of-doubles ordering hazard.
+    *
+    * Scale: pure per-row scan expression — tokenize, hash, fold; ZERO
+    * shuffle, no model state. */
+  def hashedModelLogit(text: Column, nBuckets: Int = 1024): Column =
+    aggregate(
+      transform(tokens(text), t => {
+        val bucket =
+          conv(substr(md5(t), lit(1), lit(14)), 16, 10).cast("long") % nBuckets
+        conv(substr(md5(concat(lit("w:"), bucket.cast("string"))),
+          lit(1), lit(14)), 16, 10).cast("long") % lit(1L << 20) - lit(1L << 19)
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Mean slot weight of the document's tokens, scaled to [-1, 1];
+    * 0.0 for the empty document. */
+  def hashedModelScore(text: Column, nBuckets: Int = 1024): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(hashedModelLogit(text, nBuckets).cast("double")
+        / (n.cast("double") * lit((1L << 19).toDouble)))
+  }
+
   /** Within-document repetition: fraction of word n-grams that are
     * repeats (1 - distinct/total) — the Gopher/C4-style repetition
     * filter. Zero-shuffle column expression; the distinct count reuses

@@ -548,6 +548,43 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Model-based quality filtering, fastText-classifier shape: the
+    // hashing trick (md5 token -> weight slot) plus an integer weight
+    // per slot; the oracle re-derives bucket ids, slot weights, the
+    // exact BIGINT logit sum and the one-division score — no
+    // sum-of-doubles ordering hazard anywhere.
+    QueryDef.sql(
+      "q_text_model_quality",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+         |tw AS (SELECT doc_id,
+         |         ('0x' || substr(md5('w:' ||
+         |             CAST(('0x' || substr(md5(term), 1, 14))::BIGINT % 1024 AS VARCHAR)),
+         |           1, 14))::BIGINT % 1048576 - 524288 AS w
+         |       FROM toks),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+         |          CAST(SUM(w) AS BIGINT) AS logit
+         |        FROM tw GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |         coalesce(a.n_tokens, 0) AS n_tokens,
+         |         coalesce(a.logit, 0) AS logit,
+         |         CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |              THEN CAST(a.logit AS DOUBLE) / (a.n_tokens * 524288.0)
+         |              ELSE 0.0 END AS score
+         |       FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, n_tokens, logit, score, score > 0.0 AS kept
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = col("text")
+      val score = coalesce(TextAnalysis.hashedModelScore(t), lit(0.0))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          coalesce(TextAnalysis.tokenCount(t), lit(0)).as("n_tokens"),
+          coalesce(TextAnalysis.hashedModelLogit(t), lit(0L)).as("logit"),
+          score.as("score"),
+          (score > 0.0).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // Domain-mix stratified sampling: per-source keep rates (the
     // training-mix reweighting step), gated on the portable md5 hash
     // so the sampled corpus is engine-reproducible row for row.

@@ -16,6 +16,21 @@ class TextAnalysisSpec extends SparkSpec {
       one(TextAnalysis.fingerprint($"text"), "hello world"))
   }
 
+  test("hashed model score: exact integer logit, linear in repeats, bounded") {
+    val one = Seq("hello").toDF("text")
+      .select(TextAnalysis.hashedModelLogit($"text").as("l")).collect()(0).getLong(0)
+    val five = Seq("hello hello hello hello hello").toDF("text")
+      .select(TextAnalysis.hashedModelLogit($"text").as("l"),
+        TextAnalysis.hashedModelScore($"text").as("s")).collect()(0)
+    assert(five.getLong(0) == 5 * one)               // logit linear in token count
+    assert(five.getDouble(1) == one.toDouble / (1L << 19)) // mean slot weight scaled
+    assert(math.abs(five.getDouble(1)) <= 1.0)
+    val empty = Seq("  ").toDF("text")
+      .select(TextAnalysis.hashedModelLogit($"text").as("l"),
+        TextAnalysis.hashedModelScore($"text").as("s")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getDouble(1) == 0.0)
+  }
+
   test("language ID heuristic picks marker-dominant language") {
     assert(one(TextAnalysis.langId($"text"), "the cat is on the mat and the dog") == "en")
     assert(one(TextAnalysis.langId($"text"), "el perro y la casa de madrid") == "es")
