@@ -338,4 +338,58 @@ object TextAnalysis {
       .filter(col("_rn") <= k)
       .select("doc_id", "term", "tf", "df", "score")
   }
+
+  /** Corpus-trained bigram language-model scoring — the KenLM-style
+    * perplexity filter restructured for exact differential arithmetic:
+    * rather than summing per-token log-probs (`ln` differs at the ULP
+    * across math libraries), each document reports order-independent
+    * exact statistics of its transition probabilities
+    * `p(b|a) = c(a,b) / c(a,·)` under the corpus's own bigram counts:
+    *
+    *  - `min_prob` — the document's weakest transition (MIN over
+    *    bit-identical IEEE quotients; sentinel 2.0 for < 2 tokens);
+    *  - `rare_count` — transitions with `p < tau` (exact integer);
+    *  - `kept` — `rare_count / n_bigrams ≤ 1/rareDen`, evaluated as
+    *    the integer cross-product `rare_count · rareDen ≤ n_bigrams`
+    *    (no division at all).
+    *
+    * A noisy / incoherent / wrong-language document trips many
+    * low-probability transitions against the corpus LM; this is the
+    * CCNet/KenLM quality gate with the log-sum swapped for robust
+    * order statistics.
+    *
+    * Scale: bigram extraction is a zero-shuffle scan expression
+    * (`zip_with` over adjacent slices — no self-join); counting is two
+    * keyed shuffles (bigram, context) that partial-aggregate
+    * map-side; the count lookup re-shuffles the occurrence stream on
+    * the same keys (vocabulary tables are Zipf-bounded — far smaller
+    * than the corpus — and broadcastable when they fit); the per-doc
+    * rollup keys on doc id. Token strings can be md5-reduced before
+    * the shuffle at extreme scale, exactly like the shingle pipeline. */
+  def bigramLmStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tau: Double = 0.05, rareDen: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val bi = docs.select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.a").as("a"), col("_bg.b").as("b"))
+    val ctx = bi.groupBy("a").agg(count(lit(1)).as("ca"))
+    val big = bi.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val scored = bi.join(big, Seq("a", "b")).join(ctx, Seq("a"))
+      .withColumn("p", col("cab").cast("double") / col("ca").cast("double"))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_bigrams"),
+      min(col("p")).as("min_prob"),
+      sum(when(col("p") < tau, 1L).otherwise(0L)).as("rare_count"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("min_prob"), lit(2.0)).as("min_prob"),
+        coalesce(col("rare_count"), lit(0L)).as("rare_count"),
+        (coalesce(col("rare_count"), lit(0L)) * rareDen <=
+          coalesce(col("n_bigrams"), lit(0))).as("kept"))
+  }
 }

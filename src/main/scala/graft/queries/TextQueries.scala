@@ -548,6 +548,36 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Corpus-trained bigram LM quality gate (KenLM/CCNet shape with
+    // robust order statistics instead of log-prob sums): the oracle
+    // re-trains the same bigram model from the corpus and re-derives
+    // every transition probability, the per-doc MIN, the rare-
+    // transition count, and the division-free keep verdict.
+    QueryDef.sql(
+      "q_text_lm_rare",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |bi AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+         |       FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+         |ctx AS (SELECT a, COUNT(*) AS ca FROM bi GROUP BY 1),
+         |big AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY 1, 2),
+         |sc AS (SELECT bi.doc_id, CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) AS p
+         |       FROM bi JOIN big USING (a, b) JOIN ctx USING (a)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+         |          MIN(p) AS min_prob,
+         |          CAST(SUM(CASE WHEN p < 0.033 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS rare_count
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(min_prob, 2.0) AS min_prob,
+         |  coalesce(rare_count, 0) AS rare_count,
+         |  coalesce(rare_count, 0) * 2 <= coalesce(n_bigrams, 0) AS kept
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramLmStats(Tables.documents(s, d), "doc_id", "text",
+          tau = 0.033, rareDen = 2)
+        .orderBy("doc_id")
+    },
+
     // Model-based quality filtering, fastText-classifier shape: the
     // hashing trick (md5 token -> weight slot) plus an integer weight
     // per slot; the oracle re-derives bucket ids, slot weights, the

@@ -31,6 +31,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getDouble(1) == 0.0)
   }
 
+  test("bigram LM stats: corpus-trained probs, rare transitions flag the outlier") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // transitions the corpus supports
+      (2L, "a z"),           // a->z seen once out of c(a,.)=4
+      (3L, "q")).toDF("doc_id", "text") // no bigrams at all
+    val out = TextAnalysis.bigramLmStats(docs, "doc_id", "text", tau = 0.5, rareDen = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bigrams"), r.getAs[Double]("min_prob"),
+         r.getAs[Long]("rare_count"), r.getAs[Boolean]("kept"))).toMap
+    // corpus counts: c(a,b)=3, c(b,a)=2, c(a,z)=1; c(a,.)=4, c(b,.)=2
+    assert(out(1L) == ((5, 0.75, 0L, true)))   // min p = 3/4, none rare
+    assert(out(2L) == ((1, 0.25, 1L, false)))  // p(a->z)=1/4 < tau, 1*2 > 1
+    assert(out(3L) == ((0, 2.0, 0L, true)))    // sentinel min_prob, trivially kept
+  }
+
   test("language ID heuristic picks marker-dominant language") {
     assert(one(TextAnalysis.langId($"text"), "the cat is on the mat and the dog") == "en")
     assert(one(TextAnalysis.langId($"text"), "el perro y la casa de madrid") == "es")
