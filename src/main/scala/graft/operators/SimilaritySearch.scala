@@ -204,4 +204,90 @@ object SimilaritySearch {
     * evaluates it per table row. */
   private[operators] def planeDots(vec: Column, planes: Seq[Seq[Double]]): Column =
     graft.functions.VectorKernels.planeDotsCol(vec, planes)
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI'11) — the compression
+  // layer of IVF-PQ, the standard billion-scale ANN memory layout: a
+  // D-dim vector splits into `m` subvectors, each quantized to its
+  // nearest entry of a per-subspace codebook, so the stored
+  // representation shrinks from D floats to m small codes and query
+  // distances evaluate against codes (ADC), never raw vectors.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace codebooks from designated data rows (medoid-style
+    * degenerate training, like [[ivfTopKSeeded]]): codebook j's entry
+    * c is the j-th subvector of the row with the c-th smallest id in
+    * `centroidIds` — deterministic and SQL-reproducible. Production
+    * would per-subspace-KMeans a bounded sample instead (swap the
+    * literals; the encode/search plans don't change).
+    * Returns m × k × (dim/m) doubles. */
+  def pqCodebooks(table: DataFrame, centroidIds: Seq[Long], m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val rows = table.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect() // k tiny rows
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map(j => rows.map(r => r.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+  }
+
+  /** PQ-encode every vector: per subspace, the argmin-distance
+    * codebook entry (ties to the lowest code — same kernel as IVF
+    * assignment, run on the subvector). Output carries the original
+    * vector, the code array, and its display string.
+    *
+    * Scale: pure per-row expression work against broadcast codebook
+    * literals — ZERO shuffle; the encoded table is m bytes/vector. */
+  def pqEncode(table: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { j =>
+      graft.functions.VectorKernels.nearestCentroidCol(
+        slice(col(vecCol), lit(j * sub + 1), lit(sub)), codebooks(j)).as(s"c$j")
+    }
+    table.select(col(idCol) +: col(vecCol).as("_v") +: codeCols: _*)
+      .select(col(idCol), col("_v"),
+        array((0 until m).map(j => col(s"c$j")): _*).as("codes"),
+        concat_ws("-", (0 until m).map(j => col(s"c$j").cast("string")): _*)
+          .as("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the query keeps its
+    * exact vector; each table row is represented ONLY by its codes,
+    * and the distance is Σ_j ‖q_subvec(j) − codebook[j][code_j]‖² —
+    * summed in subspace order so the float result is reproducible.
+    *
+    * Scale: the scan side carries m codes per row (not D floats); the
+    * query side is a broadcast handful. At billion scale this nests
+    * inside IVF lists ([[ivfTopKWithCentroids]] probes, then ADC
+    * instead of exact rerank) — composing the two is exactly this
+    * method applied to a probed candidate set. */
+  def pqTopK(table: DataFrame, queries: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val enc = pqEncode(table, codebooks, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    // fixed left-to-right sum over subspaces (j unrolled at plan time:
+    // no nested lambda capture, same association as the oracle's
+    // list_sum over an ORDER BY j list)
+    val adc = (0 until m).map { j =>
+      val cbJ = array(codebooks(j).map(c => array(c.map(lit): _*)): _*)
+      val cent = element_at(cbJ, element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(slice(col("_qv"), lit(j * sub + 1), lit(sub)), cent,
+        (x, cc) => { val d = x.cast("double") - cc; d * d }),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
 }

@@ -216,5 +216,77 @@ object VectorQueries {
       graft.operators.SemanticDedup.semanticDedup(
           Tables.embeddings(s, d), centroidIds = 0L until 8L, tau = 0.45)
         .orderBy("vec_id")
+    },
+
+    // Product quantization encode (Jégou et al. TPAMI'11): 64 dims ->
+    // 4 subspaces x 4-entry seeded-medoid codebooks. The oracle
+    // re-derives every subspace codebook from the data rows, every
+    // subvector distance, and the argmin code with the same (d, ci)
+    // tie-break as the kernel.
+    QueryDef.sql(
+      "q_vec_pq_encode",
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+        |       FROM e WHERE vec_id < 4),
+        |sub AS (SELECT e.vec_id, s.j, cb.ci,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
+        |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
+        |best AS (SELECT vec_id, j, ci FROM (
+        |           SELECT vec_id, j, ci,
+        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+        |           FROM sub) WHERE rn = 1)
+        |SELECT vec_id, string_agg(CAST(ci AS VARCHAR), '-' ORDER BY j) AS code
+        |FROM best GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cbs = SimilaritySearch.pqCodebooks(emb, 0L until 4L, m = 4)
+      SimilaritySearch.pqEncode(emb, cbs)
+        .select(col("vec_id"), col("code"))
+        .orderBy("vec_id")
+    },
+
+    // ADC search over the PQ codes: queries keep exact vectors, table
+    // rows exist only as codes; distance = sum of per-subspace
+    // query-to-codebook-entry distances in subspace order (list_sum
+    // over an ORDER BY j list = the plan-time-unrolled left fold).
+    QueryDef.sql(
+      "q_vec_pq_search",
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+        |       FROM e WHERE vec_id < 4),
+        |sub AS (SELECT e.vec_id, s.j, cb.ci,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
+        |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
+        |best AS (SELECT vec_id, j, ci FROM (
+        |           SELECT vec_id, j, ci,
+        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+        |           FROM sub) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |dj AS (SELECT q.query_id, b.vec_id AS neighbor_id, b.j,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(qv[b.j * 16 + i] AS DOUBLE) - CAST(cv[b.j * 16 + i] AS DOUBLE))
+        |           * (CAST(qv[b.j * 16 + i] AS DOUBLE) - CAST(cv[b.j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM q CROSS JOIN best b JOIN cb ON cb.ci = b.ci
+        |  WHERE b.vec_id <> q.query_id),
+        |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
+        |        FROM dj GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+        |           AS "rank"
+        |       FROM adc)
+        |SELECT query_id, "rank", neighbor_id, adc_dist
+        |FROM rk WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cbs = SimilaritySearch.pqCodebooks(emb, 0L until 4L, m = 4)
+      SimilaritySearch.pqTopK(emb, emb.filter(col("vec_id") < 5), cbs, k = 5)
+        .orderBy("query_id", "rank")
     })
 }

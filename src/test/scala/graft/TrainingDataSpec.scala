@@ -230,6 +230,24 @@ class VectorSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("PQ: codes quantize to nearest codebook entry; ADC exact on codebook points") {
+    // codebooks from rows 0 and 3: subspace 0 entries {(1,0),(0,0)},
+    // subspace 1 entries {(0,0),(1,0)}
+    val cbs = SimilaritySearch.pqCodebooks(vecs, Seq(0L, 3L), m = 2)
+    assert(cbs == Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 0.0)),
+                      Seq(Seq(0.0, 0.0), Seq(1.0, 0.0))))
+    val codes = SimilaritySearch.pqEncode(vecs, cbs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("code")).toMap
+    assert(codes == Map(0L -> "0-0", 1L -> "0-0", 2L -> "0-0",
+                        3L -> "1-1", 4L -> "1-0"))
+    // ADC from query 0: rows whose subvectors ARE codebook entries get
+    // their TRUE squared L2 (1 -> 0.0, 3 -> 2.0, 4's recon (0,0,0,0) -> 1.0)
+    val adc = SimilaritySearch.pqTopK(vecs, vecs.filter($"vec_id" === 0), cbs, k = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist")))
+    assert(adc.toSeq.sorted == Seq((1, 1L, 0.0), (2, 2L, 0.0), (3, 4L, 1.0), (4, 3L, 2.0)))
+  }
+
   test("semantic dedup drops the near-identical cluster member, keeps extremes") {
     import graft.operators.SemanticDedup
     // centroids = rows 0 and 3: cluster A = {0,1,2,4-ish}, cluster B = {3}
