@@ -339,6 +339,36 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** Tokenizer-vocabulary induction: the top-`topN` corpus tokens by
+    * occurrence count with document frequency and CUMULATIVE corpus
+    * coverage — the "how big must the vocab be" curve every tokenizer
+    * build starts from (the word-level analogue of a BPE vocab pass).
+    *
+    * Exactness: counts and the running total are BIGINT; coverage is
+    * one IEEE division per row. Scale: one (term, doc) shuffle, one
+    * term shuffle (both map-side combining), corpus total as a
+    * broadcast one-row aggregate (the W1 pattern); the global
+    * rank/cumsum window runs AFTER the top-N cut, on a frame bounded
+    * by `topN`, never on the full Zipf tail. */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val counts = tf.groupBy("term").agg(
+      sum("c").as("n_occurrences"), count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_occurrences").as("_tot"))
+    val top = counts.orderBy(col("n_occurrences").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("n_occurrences").desc, col("term"))
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("_cum", sum("n_occurrences").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("n_occurrences"), col("n_docs"),
+        (col("_cum").cast("double") / col("_tot").cast("double")).as("coverage"))
+  }
+
   /** Corpus-trained bigram language-model scoring — the KenLM-style
     * perplexity filter restructured for exact differential arithmetic:
     * rather than summing per-token log-probs (`ln` differs at the ULP

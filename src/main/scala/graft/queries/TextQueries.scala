@@ -548,6 +548,32 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Tokenizer-vocab induction: top-100 tokens with document
+    // frequency and cumulative corpus coverage (exact BIGINT counts,
+    // one IEEE division per row).
+    QueryDef.sql(
+      "q_text_vocab",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |counts AS (SELECT term, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         |             CAST(COUNT(*) AS BIGINT) AS n_docs
+         |           FROM tf GROUP BY 1),
+         |total AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS tot FROM counts),
+         |top AS (SELECT term, n_occurrences, n_docs,
+         |          CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS INT)
+         |            AS "rank"
+         |        FROM counts),
+         |cum AS (SELECT "rank", term, n_occurrences, n_docs,
+         |          CAST(SUM(n_occurrences) OVER (ORDER BY "rank") AS BIGINT) AS c
+         |        FROM top WHERE "rank" <= 100)
+         |SELECT "rank", term, n_occurrences, n_docs,
+         |  CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
+         |FROM cum CROSS JOIN total
+         |ORDER BY "rank"""".stripMargin) { (s, d) =>
+      TextAnalysis.buildVocab(Tables.documents(s, d), "doc_id", "text", topN = 100)
+        .orderBy("rank")
+    },
+
     // Corpus-trained bigram LM quality gate (KenLM/CCNet shape with
     // robust order statistics instead of log-prob sums): the oracle
     // re-trains the same bigram model from the corpus and re-derives

@@ -31,6 +31,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getDouble(1) == 0.0)
   }
 
+  test("vocab induction: rank by count then term, exact cumulative coverage") {
+    val docs = Seq((1L, "b a b c b a"), (2L, "a x")).toDF("doc_id", "text")
+    val out = TextAnalysis.buildVocab(docs, "doc_id", "text", topN = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("term"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("coverage")))
+    // counts: b=3, a=3, c=1, x=1 (8 total); ties break term-ascending
+    assert(out.toSeq.sorted == Seq(
+      (1, "a", 3L, 2L, 3.0 / 8),
+      (2, "b", 3L, 1L, 6.0 / 8),
+      (3, "c", 1L, 1L, 7.0 / 8)))
+  }
+
   test("bigram LM stats: corpus-trained probs, rare transitions flag the outlier") {
     val docs = Seq(
       (1L, "a b a b a b"),   // transitions the corpus supports
