@@ -26,7 +26,8 @@ object Bench {
     "q_h3_shipping_priority", "q_h5_region_revenue", "q_h10_returned_items",
     "q_stream_windowed", "q_asof_purchase", "q_range_join",
     "q_text_pii_redact", "q_sample_split", "q_dedup_collapse", "q_text_tfidf",
-    "q_curation_pipeline", "q_dedup_incremental")
+    "q_curation_pipeline", "q_dedup_incremental", "q_dedup_semantic",
+    "q_vec_pq_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

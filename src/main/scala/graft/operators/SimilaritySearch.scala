@@ -290,4 +290,57 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
+
+  /** IVF-PQ: the billion-scale composition — vectors live in IVF lists
+    * as PQ codes, queries probe `nProbe` lists and evaluate ADC against
+    * only the probed candidates. Index memory is m codes + 1 list id
+    * per vector; per-query work is |probed lists| · (m lookups), and
+    * the candidate join shuffles (list, id, codes) — never raw vectors.
+    * Both layers are the independently hash-gated pieces
+    * ([[ivfTopKWithCentroids]] probe, [[pqTopK]] ADC); recall is pinned
+    * by spec. `coarseIds`/`pqIds` designate data rows for the coarse
+    * quantizer and subspace codebooks (production: bounded-sample
+    * KMeans literals, same plans). */
+  def ivfPqTopK(table: DataFrame, queries: DataFrame, k: Int,
+      coarseIds: Seq[Long], pqIds: Seq[Long], m: Int = 4, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = table.filter(col(idCol).isin(coarseIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect() // nLists tiny rows
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cbs = pqCodebooks(table, pqIds, m, idCol, vecCol)
+    val sub = cbs.head.head.length
+    val nLists = cents.length
+
+    val enc = pqEncode(table, cbs, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"),
+        graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
+          .as("_list"))
+
+    val centroids = planesLit(cents)
+    val probeLists = {
+      val pairs = zip_with(
+        transform(centroids, c => dist2(col(vecCol), c)),
+        sequence(lit(0), lit(nLists - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))
+      transform(slice(sort_array(pairs), 1, nProbe), s => s("i").cast("int"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(probeLists).as("_list"))
+
+    val adc = (0 until m).map { j =>
+      val cbJ = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
+      val cent = element_at(cbJ, element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(slice(col("_qv"), lit(j * sub + 1), lit(sub)), cent,
+        (x, cc) => { val d = x.cast("double") - cc; d * d }),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.join(broadcast(q), "_list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
 }

@@ -261,6 +261,23 @@ class VectorSpec extends SparkSpec {
     assert(adc.toSeq.sorted == Seq((1, 1L, 0.0), (2, 2L, 0.0), (3, 4L, 1.0), (4, 3L, 2.0)))
   }
 
+  test("IVF-PQ: full probe reproduces ADC ranking; nProbe=1 restricts to own list") {
+    val cbs = SimilaritySearch.pqCodebooks(vecs, Seq(0L, 3L), m = 2)
+    val adcFull = SimilaritySearch.pqTopK(vecs, vecs.filter($"vec_id" === 0), cbs, k = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    val ivfpqFull = SimilaritySearch.ivfPqTopK(vecs, vecs.filter($"vec_id" === 0), k = 4,
+        coarseIds = Seq(0L, 3L), pqIds = Seq(0L, 3L), m = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    assert(ivfpqFull == adcFull) // probing every list degrades to plain ADC
+    // nProbe=1: query 0 sees only its own coarse list {1, 2}
+    val own = SimilaritySearch.ivfPqTopK(vecs, vecs.filter($"vec_id" === 0), k = 4,
+        coarseIds = Seq(0L, 3L), pqIds = Seq(0L, 3L), m = 2, nProbe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(own == Set(1L, 2L))
+  }
+
   test("semantic dedup drops the near-identical cluster member, keeps extremes") {
     import graft.operators.SemanticDedup
     // centroids = rows 0 and 3: cluster A = {0,1,2,4-ish}, cluster B = {3}
