@@ -143,4 +143,36 @@ class PlanAuditSpec extends SparkSpec {
       p.take(1200))
     assert(!p.contains("SinglePartition, Window"), p.take(1200))
   }
+
+  test("PQ encode is a zero-shuffle scan using the codegen'd argmin kernel") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cbs = graft.operators.SimilaritySearch.pqCodebooks(emb, 0L until 4L, m = 4)
+    val p = graft.operators.SimilaritySearch.pqEncode(emb, cbs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(p.contains("nearest_centroid"), p.take(1200))
+  }
+
+  test("hashed model score is a zero-shuffle scan expression") {
+    val p = Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextAnalysis.hashedModelScore(
+          org.apache.spark.sql.functions.col("text")).as("score"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
+  test("semantic dedup: within-cluster equi-joins only, never a cartesian") {
+    val p = planOf("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("nearest_centroid"), p.take(1500))
+  }
+
+  test("vocab induction: global rank/cumsum window only after the top-N cut") {
+    val p = planOf("q_text_vocab")
+    // the top-N cut plans as TakeOrderedAndProject, so the
+    // single-partition window upstream of the final sort sees <= N rows
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
