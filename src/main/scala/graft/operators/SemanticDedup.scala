@@ -45,9 +45,17 @@ object SemanticDedup {
     * [[SimilaritySearch.ivfTopK]]'s bounded-sample fit for production
     * (same plan shape; the assignment kernel takes any literals).
     */
+  /** `maxCluster` bounds the quadratic core on adversarial corpora
+    * (every embedding identical → one cluster → |corpus|² pairs):
+    * only the `maxCluster` highest-priority members act as the
+    * comparison set, so pairs ≤ |cluster|·maxCluster. Every row still
+    * gets a verdict — overflow rows are judged against the capped
+    * priority set, exactly like [[Dedup]]'s band-bucket `maxBucket`.
+    * Default = no cap (exact semantics, what the oracle gates). */
   def semanticDedup(
       table: DataFrame, centroidIds: Seq[Long], tau: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCluster: Int = Int.MaxValue): DataFrame = {
     val cents = table.filter(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).cast("long"), col(vecCol)).collect() // nClusters tiny rows
       .sortBy(_.getLong(0))
@@ -75,8 +83,9 @@ object SemanticDedup {
     // within-cluster pairs, higher-priority side a vs candidate b:
     // one shuffle on cluster_id; |pairs| ≤ Σ |cluster|² is the bounded
     // quadratic core
-    val a = rk.select(col("cluster_id"), col("centroid_rank").as("_ra"),
-      col("_v").as("_va"))
+    val a = rk.filter(col("centroid_rank") <= maxCluster)
+      .select(col("cluster_id"), col("centroid_rank").as("_ra"),
+        col("_v").as("_va"))
     val b = rk.select(col("cluster_id"), col("centroid_rank").as("_rb"),
       col("_id").as("_ib"), col("_v").as("_vb"))
     val prior = a.join(b, "cluster_id")

@@ -255,6 +255,22 @@ object SimilaritySearch {
           .as("code"))
   }
 
+  /** ADC distance of a query vector column against a codes column —
+    * per-subspace lookup distances summed in subspace order (j
+    * unrolled at plan time: fixed left-to-right association, no
+    * nested lambda capture). */
+  private def adcDist(codebooks: Seq[Seq[Seq[Double]]], qv: Column,
+      codes: Column): Column = {
+    val sub = codebooks.head.head.length
+    codebooks.indices.map { j =>
+      val cbJ = array(codebooks(j).map(c => array(c.map(lit): _*)): _*)
+      val cent = element_at(cbJ, element_at(codes, j + 1) + 1)
+      aggregate(zip_with(slice(qv, lit(j * sub + 1), lit(sub)), cent,
+        (x, cc) => { val d = x.cast("double") - cc; d * d }),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+  }
+
   /** ADC (asymmetric distance computation) top-k: the query keeps its
     * exact vector; each table row is represented ONLY by its codes,
     * and the distance is Σ_j ‖q_subvec(j) − codebook[j][code_j]‖² —
@@ -267,21 +283,10 @@ object SimilaritySearch {
     * method applied to a probed candidate set. */
   def pqTopK(table: DataFrame, queries: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     val enc = pqEncode(table, codebooks, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    // fixed left-to-right sum over subspaces (j unrolled at plan time:
-    // no nested lambda capture, same association as the oracle's
-    // list_sum over an ORDER BY j list)
-    val adc = (0 until m).map { j =>
-      val cbJ = array(codebooks(j).map(c => array(c.map(lit): _*)): _*)
-      val cent = element_at(cbJ, element_at(col("codes"), j + 1) + 1)
-      aggregate(zip_with(slice(col("_qv"), lit(j * sub + 1), lit(sub)), cent,
-        (x, cc) => { val d = x.cast("double") - cc; d * d }),
-        lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
+    val adc = adcDist(codebooks, col("_qv"), col("codes"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
     enc.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -309,7 +314,6 @@ object SimilaritySearch {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cbs = pqCodebooks(table, pqIds, m, idCol, vecCol)
-    val sub = cbs.head.head.length
     val nLists = cents.length
 
     val enc = pqEncode(table, cbs, idCol, vecCol)
@@ -328,13 +332,7 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       explode(probeLists).as("_list"))
 
-    val adc = (0 until m).map { j =>
-      val cbJ = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
-      val cent = element_at(cbJ, element_at(col("codes"), j + 1) + 1)
-      aggregate(zip_with(slice(col("_qv"), lit(j * sub + 1), lit(sub)), cent,
-        (x, cc) => { val d = x.cast("double") - cc; d * d }),
-        lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
+    val adc = adcDist(cbs, col("_qv"), col("codes"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
     enc.join(broadcast(q), "_list")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -342,5 +340,86 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** Persist the IVF-PQ index: codes land in parquet PARTITIONED BY
+    * coarse list id (`dir/codes/_list=N/`), centroids and codebooks as
+    * tiny side tables — the on-disk inverted file. A search probing
+    * `nProbe` lists then scans ONLY those partitions (static partition
+    * pruning), which is what makes a billion-vector index serve
+    * point queries without touching the corpus: I/O per query is
+    * nProbe/nLists of the (already m-bytes-per-vector) code table. */
+  def writeIvfPqIndex(table: DataFrame, dir: String,
+      coarseIds: Seq[Long], pqIds: Seq[Long], m: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val cents = table.filter(col(idCol).isin(coarseIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect() // nLists tiny rows
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cbs = pqCodebooks(table, pqIds, m, idCol, vecCol)
+    pqEncode(table, cbs, idCol, vecCol)
+      .select(col(idCol).as("_id"), col("codes"),
+        graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
+          .as("_list"))
+      .write.mode("overwrite").partitionBy("_list").parquet(s"$dir/codes")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("_list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (e, c) => (j, c, e) } }
+      .toDF("subspace", "code", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Query a persisted IVF-PQ index. The query set is collected to the
+    * driver (searches are a broadcast handful by contract — the corpus
+    * side is the index) to compute each query's `nProbe` nearest lists
+    * and plant a STATIC `_list IN (...)` predicate, so the parquet
+    * scan prunes to the probed partitions before any task launches. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
+      .map(r => r.getAs[Int]("_list") -> r.getSeq[Double](1))
+      .sortBy(_._1).map(_._2.toSeq).toSeq
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect() // m*k tiny rows
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"), r.getSeq[Double](2)))
+    val cbs = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+
+    // tiny query set by contract: probe selection runs driver-side so
+    // the list predicate is static (= partition pruning, not a runtime
+    // filter the scan can't see)
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def d2(v: Seq[Double], c: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = qRows.map { case (qid, v) =>
+      qid -> cents.indices.map(i => (d2(v, cents(i)), i)).sorted.take(nProbe)
+        .map(_._2)
+    }
+    val probed = probes.flatMap(_._2).distinct.sorted
+    val qdf = probes.flatMap { case (qid, ls) => ls.map(l => (qid, l)) }
+      .toSeq.toDF("query_id", "_list")
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv")), "query_id")
+
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("_list").isin(probed: _*))
+    val adc = adcDist(cbs, col("_qv"), col("codes"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("_id"))
+    codes.join(broadcast(qdf), "_list")
+      .filter(col("_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("_id").as("neighbor_id"),
+        col("adc_dist"))
   }
 }

@@ -278,6 +278,43 @@ class VectorSpec extends SparkSpec {
     assert(own == Set(1L, 2L))
   }
 
+  test("IVF-PQ index on disk: search matches in-memory, scan prunes to probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    SimilaritySearch.writeIvfPqIndex(vecs, dir,
+      coarseIds = Seq(0L, 3L), pqIds = Seq(0L, 3L), m = 2)
+    val fromIndex = SimilaritySearch.searchIvfPqIndex(spark, dir,
+        vecs.filter($"vec_id" === 0), k = 4, nProbe = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    val inMemory = SimilaritySearch.ivfPqTopK(vecs, vecs.filter($"vec_id" === 0), k = 4,
+        coarseIds = Seq(0L, 3L), pqIds = Seq(0L, 3L), m = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    assert(fromIndex == inMemory)
+    // nProbe=1 from query 0: only list 0 is read — the partition
+    // filter is STATIC, visible in the scan, and prunes list 1's files
+    val one = SimilaritySearch.searchIvfPqIndex(spark, dir,
+      vecs.filter($"vec_id" === 0), k = 4, nProbe = 1)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "expected the _list predicate to reach the scan as a partition filter")
+    assert(one.collect().map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
+    // the same static IN predicate, in isolation (no AQE wrapper):
+    // exactly ONE of the two list partitions' files survives pruning
+    val pruned = spark.read.parquet(s"$dir/codes").filter($"_list".isin(0))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    val all = spark.read.parquet(s"$dir/codes").queryExecution.executedPlan
+      .collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get.relation.location.inputFiles.length
+    val kept = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+    assert(kept < all && kept >= 1,
+      s"expected pruning: $kept of $all files scanned")
+  }
+
   test("semantic dedup drops the near-identical cluster member, keeps extremes") {
     import graft.operators.SemanticDedup
     // centroids = rows 0 and 3: cluster A = {0,1,2,4-ish}, cluster B = {3}
@@ -302,6 +339,28 @@ class VectorSpec extends SparkSpec {
     val surv = SemanticDedup.survivors(vecs, Seq(0L, 3L), 0.95)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(surv == out.filter(_._2._3).keySet)
+  }
+
+  test("semantic dedup maxCluster caps the comparison set, verdicts still total") {
+    import graft.operators.SemanticDedup
+    // uncapped: 2 (rank 1) kills both 0 and 1; with maxCluster = 1 the
+    // comparison set is just rank-1, so verdicts are identical here,
+    // and every row still gets one
+    val capped = SemanticDedup.semanticDedup(vecs, Seq(0L, 3L), tau = 0.95,
+        maxCluster = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(capped.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(capped == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    // cap below the duplicate depth: rank-2 (id 0) is no longer a
+    // comparer, but is still judged against rank-1 — id 1 (rank 3,
+    // cos(1, 2) ~0.994) still drops via the capped set
+    val one = SemanticDedup.semanticDedup(vecs, Seq(0L, 3L), tau = 0.999,
+        maxCluster = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    // at tau .999 only the exact pair (0,1) is a duplicate, and neither
+    // is rank 1, so the CAPPED comparison set misses it: documented
+    // recall trade-off of the cap
+    assert(one == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true, 4L -> true))
   }
 
   test("semantic dedup at tau > 1 keeps everything; pairwise only within cluster") {
