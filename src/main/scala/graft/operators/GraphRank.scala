@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity-graph centrality over a document corpus — the
+  * crawl-prioritization / representative-document signal (PageRank is
+  * the classic frontier-ranking function; over a near-dup similarity
+  * graph the same iteration scores how "central" a document is in its
+  * duplication neighborhood, which downstream feeds survivor election
+  * and diversity re-weighting).
+  *
+  * Differential-exactness design: the damped power iteration runs in
+  * INTEGER arithmetic — ranks are BIGINTs at a fixed scale, each
+  * neighbor contribution is one integer division `r div deg`, and the
+  * damping is `(85·Σ) div 100` — so three iterations are
+  * bit-reproducible in any engine (floating-point PageRank sums in
+  * nondeterministic order and never hashes equal). Rank mass is
+  * bounded by N·scale, so 85·Σ stays far inside int64.
+  *
+  * Scale: the graph lives as an edge table (src, dst) — 2·|pairs|
+  * rows, orders of magnitude below the corpus for any sane edge
+  * threshold (same posture as [[Dedup.collapseNearDuplicates]]). Each
+  * iteration is one keyed join of contributions onto edges + one
+  * map-side-combining groupBy on dst — shuffle volume proportional to
+  * |edges|, never |corpus|·|corpus|. The expensive part (the shingle
+  * posting-list self-join that DISCOVERS the edges) is materialized
+  * once and reused by all iterations.
+  *
+  * The reference has no graph operators; this extends SURVEY.md §2.13.
+  */
+object GraphRank {
+
+  /** Edges = document pairs sharing ≥ `minShared` word `n`-gram
+    * shingles (the [[Dedup.contamination]] posting-list join turned
+    * corpus-vs-itself), symmetrized. */
+  def similarityEdges(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minShared: Long = 2L): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    val pairs = sh.select(col("_id").as("ia"), col("shingle"))
+      .join(sh.select(col("_id").as("ib"), col("shingle")), "shingle")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+    pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+  }
+
+  /** `iters` rounds of integer-arithmetic damped power iteration over
+    * the similarity graph; returns (doc_id, degree, rank). Documents
+    * with no edges settle at the base mass `(15·scale) div 100`. */
+  def similarityCentrality(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minShared: Long = 2L, iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    val nodes = docs.select(col(idCol).as("doc_id"))
+    // the edge table feeds deg + every iteration: materialize it once
+    val edges = similarityEdges(docs, idCol, textCol, n, minShared)
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+
+    var r = nodes.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, "doc_id")
+        .select(col("doc_id").as("src"), expr("r div degree").as("c"))
+      val mass = edges.join(contrib, "src")
+        .groupBy(col("dst").as("doc_id")).agg(sum("c").as("m"))
+      r = nodes.join(mass, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(15L * scale / 100L) +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    r.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"),
+        col("r").as("rank"))
+  }
+}

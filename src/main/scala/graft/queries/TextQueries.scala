@@ -548,6 +548,49 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Similarity-graph centrality: integer-arithmetic damped power
+    // iteration (PageRank shape) over the shared-shingle graph — every
+    // rank is a BIGINT at fixed scale, every step an integer division,
+    // so three iterations hash equal across engines (a float PageRank
+    // never would). The oracle unrolls the same three iterations.
+    QueryDef.sql(
+      "q_graph_centrality", {
+        val iter = (t: Int) =>
+          s"""c$t AS (SELECT r$t.doc_id, r$t.r // degree AS c
+             |        FROM r$t JOIN deg USING (doc_id)),
+             |m$t AS (SELECT e.dst AS doc_id, CAST(SUM(c$t.c) AS BIGINT) AS m
+             |        FROM e JOIN c$t ON c$t.doc_id = e.src GROUP BY 1),
+             |r${t + 1} AS (SELECT n0.doc_id,
+             |          150000000 + (85 * COALESCE(m$t.m, 0)) // 100 AS r
+             |        FROM n0 LEFT JOIN m$t USING (doc_id)),""".stripMargin
+        s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+           |       WHERE len(t) >= 3),
+           |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+           |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2),
+           |e AS (SELECT ia AS src, ib AS dst FROM common WHERE c >= 2
+           |      UNION ALL
+           |      SELECT ib, ia FROM common WHERE c >= 2),
+           |deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+           |        FROM e GROUP BY 1),
+           |n0 AS (SELECT doc_id FROM documents),
+           |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS r FROM n0),
+           |${iter(0)}
+           |${iter(1)}
+           |${iter(2)}
+           |fin AS (SELECT 1)
+           |SELECT n0.doc_id, COALESCE(deg.degree, 0) AS degree, r3.r AS "rank"
+           |FROM n0 LEFT JOIN deg USING (doc_id) JOIN r3 USING (doc_id)
+           |ORDER BY n0.doc_id""".stripMargin
+      }) { (s, d) =>
+      graft.operators.GraphRank.similarityCentrality(
+          Tables.documents(s, d), "doc_id", "text", n = 3, minShared = 2L,
+          iters = 3)
+        .orderBy("doc_id")
+    },
+
     // Tokenizer-vocab induction: top-100 tokens with document
     // frequency and cumulative corpus coverage (exact BIGINT counts,
     // one IEEE division per row).

@@ -31,6 +31,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getDouble(1) == 0.0)
   }
 
+  test("graph centrality: mutual pair is a fixed point, isolated doc settles at base") {
+    import graft.operators.GraphRank
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),  // shares 3 shingles with 1
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val out = GraphRank.similarityCentrality(docs, "doc_id", "text",
+        n = 3, minShared = 2L, iters = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("rank"))).toMap
+    // 1 <-> 2: deg 1 each; contribution = r div 1 = r, so
+    // r' = 0.15e9 + (85 * 1e9) div 100 = 1e9 — the symmetric pair is an
+    // exact fixed point of the integer iteration
+    assert(out(1L) == ((1L, 1000000000L)))
+    assert(out(2L) == ((1L, 1000000000L)))
+    // isolated: no inbound mass, settles at (15 * scale) div 100
+    assert(out(3L) == ((0L, 150000000L)))
+  }
+
   test("vocab induction: rank by count then term, exact cumulative coverage") {
     val docs = Seq((1L, "b a b c b a"), (2L, "a x")).toDF("doc_id", "text")
     val out = TextAnalysis.buildVocab(docs, "doc_id", "text", topN = 3)
