@@ -74,4 +74,38 @@ object Sampling {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Leakage-free train/holdout split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — a near-duplicate of a holdout example
+    * sitting in train is the classic eval-contamination failure that a
+    * per-document split cannot prevent. Clusters come from
+    * [[Dedup.collapseNearDuplicates]] (min-member-id labels); the fate
+    * comes from the md5 bucket of the CLUSTER id, so every member
+    * inherits it atomically, and singleton docs (their own cluster)
+    * degrade to the plain hash split.
+    *
+    * Scale: collapse's cost profile (edge-graph CC, corpus touched
+    * once) plus a per-row hash — the split itself adds zero shuffle. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      trainPct: Int = 90): DataFrame =
+    Dedup.collapseNearDuplicates(docs, pairs, idCol)
+      .withColumn("split",
+        when(hashBucket(concat(lit("cluster:"), col("cluster_id").cast("string")),
+          100) < trainPct, lit("train")).otherwise(lit("holdout")))
+
+  /** Deterministic corpus shuffle into `nShards` output shards — the
+    * final pre-training step (examples must arrive in pseudo-random
+    * order, identically on every re-run): shard = md5 bucket of the
+    * key, position = md5-permutation rank within the shard. One keyed
+    * window per shard; the md5 rank is 16 bytes + key per row. */
+  def shuffleToShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("shuf:"), col(keyCol).cast("string")))
+    val shard = hashBucket(concat(lit("shard:"), col(keyCol).cast("string")), nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc, col(keyCol).asc)
+    df.withColumn("shard", shard.cast("int"))
+      .withColumn("_h", h)
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
 }

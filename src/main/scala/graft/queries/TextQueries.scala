@@ -548,6 +548,64 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Leakage-free split: near-dup clusters are the split unit, so a
+    // near-duplicate of a holdout doc can never sit in train. Oracle =
+    // the collapse recursive-CTE CC + the md5 cluster-bucket fate.
+    QueryDef.sql(
+      "q_sample_leakage_free",
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes sa ON sa.doc_id = id_a
+         |          JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, cc.l FROM edges e JOIN cc ON cc.id = e.b),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM cc GROUP BY id),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5('cluster:' || CAST(cluster_id AS VARCHAR)), 1, 14))::BIGINT
+         |            % 100 < 90
+         |       THEN 'train' ELSE 'holdout' END AS split
+         |FROM lab
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Sampling.leakageFreeSplit(docs.select("doc_id"), pairs, "doc_id", trainPct = 90)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic corpus shuffle into shards: shard + intra-shard
+    // position are pure md5 functions of the key — identical on every
+    // re-run and engine, no RNG.
+    QueryDef.sql(
+      "q_sample_shuffle_shards",
+      """WITH b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+        |      % 8 AS INT) AS shard,
+        |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        |FROM b
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.shuffleToShards(Tables.documents(s, d).select("doc_id"), "doc_id", 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    },
+
     // Similarity-graph centrality: integer-arithmetic damped power
     // iteration (PageRank shape) over the shared-shingle graph — every
     // rank is a BIGINT at fixed scale, every step an integer division,

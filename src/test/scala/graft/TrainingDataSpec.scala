@@ -455,6 +455,37 @@ class VectorSpec extends SparkSpec {
     assert(small == big.filter(_ < 500L))
   }
 
+  test("leakage-free split: every near-dup cluster member shares one fate") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val out = Sampling.leakageFreeSplit(docs.select("doc_id"), pairs, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L) // one cluster
+    assert(out(1L)._2 == out(2L)._2)             // one fate
+    assert(out(3L)._1 == 3L)                     // singleton cluster
+  }
+
+  test("shuffle-to-shards: positions are a permutation per shard, stable on re-run") {
+    val ids = (0L until 300L).toDF("doc_id")
+    val out = Sampling.shuffleToShards(ids, "doc_id", 4).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    assert(out.length == 300)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    val again = Sampling.shuffleToShards(ids, "doc_id", 4).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    assert(out.sortBy(_._3).toSeq == again.sortBy(_._3).toSeq)
+    // the shard-local order is a real shuffle, not id order
+    assert(out.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq !=
+      out.filter(_._1 == 0).map(_._3).sorted.toSeq)
+  }
+
   test("stratified sampling hits per-stratum rates; a row's fate ignores other strata") {
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
       .toDF("doc_id", "source")
