@@ -548,6 +548,32 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Percentile-band length trim: keep documents inside the exact
+    // interpolated [p10, p90] token-length band — outlier-length
+    // filtering with the thresholds LEARNED from the corpus, not
+    // hard-coded. The percentile scalars join as a broadcast one-row
+    // aggregate (the W1 pattern); the trim is then a scan filter.
+    QueryDef.sql(
+      "q_text_length_band",
+      s"""WITH lens AS (SELECT doc_id, CAST(len($toksDuck) AS INT) AS n_tokens
+         |              FROM documents),
+         |band AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.1) AS lo,
+         |                quantile_cont(CAST(n_tokens AS DOUBLE), 0.9) AS hi
+         |         FROM lens)
+         |SELECT doc_id, n_tokens, lo, hi
+         |FROM lens CROSS JOIN band
+         |WHERE n_tokens >= lo AND n_tokens <= hi
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lens = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val band = lens.agg(
+        expr("percentile(CAST(n_tokens AS DOUBLE), 0.1)").as("lo"),
+        expr("percentile(CAST(n_tokens AS DOUBLE), 0.9)").as("hi"))
+      lens.crossJoin(broadcast(band))
+        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+        .orderBy("doc_id")
+    },
+
     // Leakage-free split: near-dup clusters are the split unit, so a
     // near-duplicate of a holdout doc can never sit in train. Oracle =
     // the collapse recursive-CTE CC + the md5 cluster-bucket fate.
