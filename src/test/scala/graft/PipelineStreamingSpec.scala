@@ -376,6 +376,44 @@ class StreamingSpec extends SparkSpec {
     assert(corpus.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("streaming corpus curation: foreachBatch quality gates + incremental dedup") {
+    // the full continuous-ingest shape: per micro-batch, model/heuristic
+    // quality gates run as scan expressions, THEN the survivor set
+    // passes incremental dedup against the accumulated store — cheap
+    // per-row filters before the stateful operator, same order as the
+    // batch curation plan
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_scur").toString
+    val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val gated = batch.filter(
+          graft.operators.TextAnalysis.tokenCount(col("text")) >= 5 &&
+          graft.operators.TextAnalysis.repetitionRatio(col("text"), 3) <= 0.5)
+        val keep = graft.operators.Dedup.incrementalMinhashDedup(
+          gated, "doc_id", "text", s"$dir/sigs", threshold = 0.9)
+        keep.write.mode("append").parquet(s"$dir/corpus")
+      }
+      .start()
+    try {
+      mem.addData((1L, good),
+        (2L, "too short"),                       // fails the length gate
+        (3L, "spam spam spam spam spam spam spam spam spam spam")) // repetition
+      q.processAllAvailable()
+      mem.addData((4L, good),                    // near-dup of 1 across batches
+        (5L, "novel second topic entirely about parquet row groups and stats"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus.toSeq == Seq(1L, 5L))
+  }
+
   test("stateful sessionization closes sessions at the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
