@@ -92,4 +92,16 @@ object Multimodal {
     import spark.implicits._
     mapBatches(media.as[MediaRow]).toDF()
   }
+
+  /** Exact media dedup by content hash — byte-identical payloads
+    * (re-ingested files, mirrored URLs) collapse to the lowest id.
+    * The shuffle key is the 128-bit md5 of the payload, never the
+    * payload itself: at 100 TB of media the wide binary column stays
+    * in the scan and only 16 bytes + id travel. Perceptual (near-dup)
+    * media hashing slots into the same shape with the SimHash banding
+    * of [[Dedup]] over decoder-derived features. */
+  def dedupExact(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.groupBy(md5(col(payloadCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 }

@@ -953,5 +953,30 @@ object TextQueries {
       graft.operators.Multimodal.extractFeatures(s, media)
         .select("media_id", "kind", "n_bytes", "checksum")
         .orderBy("media_id")
+    },
+
+    // Exact media dedup by content hash, exercised on a simulated
+    // re-ingest (every payload arrives twice under different ids):
+    // byte-identical media collapse to the lowest id; only the 16-byte
+    // md5 + id ever shuffle, never the payload.
+    QueryDef.sql(
+      "q_multimodal_dedup",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |g AS (SELECT md5(text) AS content_hash, min(media_id) AS keep_id,
+        |        COUNT(*) AS dup_count
+        |      FROM media GROUP BY 1)
+        |SELECT content_hash, keep_id, dup_count
+        |FROM g
+        |ORDER BY content_hash""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      val reingested = docs.unionByName(
+        docs.select((col("media_id") + 1000000L).as("media_id"), col("payload")))
+      graft.operators.Multimodal.dedupExact(reingested)
+        .orderBy("content_hash")
     })
 }
