@@ -200,6 +200,26 @@ object Sources {
   def readSnapshot(spark: SparkSession, tableRoot: String): DataFrame =
     spark.read.parquet(resolveSnapshot(spark, tableRoot))
 
+  /** Retained snapshot versions, ascending — the live one plus up to
+    * two priors (publishSnapshot's retention window). */
+  def snapshotVersions(spark: SparkSession, tableRoot: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, new org.apache.hadoop.fs.Path(tableRoot)).map(_._1).sorted
+  }
+
+  /** Time travel: read a specific RETAINED version (see
+    * [[snapshotVersions]]) — what lets a long job pin the table state
+    * it started from across concurrent publishes, and an audit re-read
+    * the pre-load state. Fails loudly if the version was pruned. */
+  def readSnapshotVersion(spark: SparkSession, tableRoot: String,
+      version: Long): DataFrame = {
+    val retained = snapshotVersions(spark, tableRoot)
+    require(retained.contains(version),
+      s"version $version not retained (have: ${retained.mkString(",")})")
+    spark.read.parquet(f"$tableRoot/v-$version%012d")
+  }
+
   /** True if the snapshot root has a live version (pointer or plain
     * parquet files) — the existence probe incremental consumers use. */
   def snapshotExists(spark: SparkSession, tableRoot: String): Boolean = {

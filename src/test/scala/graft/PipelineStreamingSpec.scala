@@ -48,6 +48,23 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readSnapshot(spark, dir).count() == 2)
   }
 
+  test("snapshot time travel: retained versions readable, pruned fails loudly") {
+    val dir = Files.createTempDirectory("graft_tt").toString + "/table"
+    Sources.publishSnapshot(Seq(1).toDF("x"), dir)        // v1
+    Sources.publishSnapshot(Seq(2, 2).toDF("x"), dir)     // v2
+    Sources.publishSnapshot(Seq(3, 3, 3).toDF("x"), dir)  // v3
+    assert(Sources.snapshotVersions(spark, dir) == Seq(1L, 2L, 3L))
+    // a job that pinned v2 still reads v2's data after v3 published
+    assert(Sources.readSnapshotVersion(spark, dir, 2L).count() == 2)
+    assert(Sources.readSnapshotVersion(spark, dir, 1L).count() == 1)
+    Sources.publishSnapshot(Seq(4).toDF("x"), dir)        // v4 prunes v1
+    assert(Sources.snapshotVersions(spark, dir) == Seq(2L, 3L, 4L))
+    assert(Sources.readSnapshotVersion(spark, dir, 3L).count() == 3)
+    intercept[IllegalArgumentException] {
+      Sources.readSnapshotVersion(spark, dir, 1L)
+    }
+  }
+
   test("publishSnapshot never exposes a missing or partial table to a concurrent reader") {
     val dir = Files.createTempDirectory("graft_snap_conc").toString + "/table"
     Sources.publishSnapshot(Seq.fill(50)(1).toDF("x"), dir)
