@@ -91,6 +91,22 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("property: integer centrality is invariant to input partitioning") {
+    // the whole point of the integer formulation: a float PageRank's
+    // per-partition sum order varies with partitioning; BIGINT sums
+    // cannot — identical ranks from any layout of the same corpus
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      graft.operators.GraphRank.similarityCentrality(
+          docs.repartition(parts), "doc_id", "text", n = 3, minShared = 1L, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(2) == run(13))
+  }
+
   test("salted join equals plain join") {
     val probe = (1 to 500).map(i => (i % 7, i)).toDF("k", "v")
     val build = Seq((0, "a"), (1, "b"), (2, "c"), (6, "d")).toDF("k", "w")
