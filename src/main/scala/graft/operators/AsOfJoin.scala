@@ -30,7 +30,23 @@ object AsOfJoin {
 
   def backward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String]): DataFrame = {
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String]): DataFrame =
+    asOf(left, right, keys, leftTsCol, rightTsCol, payloadCols, fwd = false)
+
+  /** Forward as-of join — for every left row, the right row with the
+    * SMALLEST timestamp ≥ the left timestamp within the key ("next
+    * state after the event": next shipment, next tick, next retry).
+    * Same single-shuffle union + window plan as [[backward]], with the
+    * scan direction reversed (ts DESC); inclusive at equal ts. */
+  def forward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String]): DataFrame =
+    asOf(left, right, keys, leftTsCol, rightTsCol, payloadCols, fwd = true)
+
+  private def asOf(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      fwd: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
@@ -49,9 +65,10 @@ object AsOfJoin {
     val l = left.withColumn("_ats", col(leftTsCol)).withColumn("_side", lit(1))
       .withColumn("_p", lit(null).cast(r.schema("_p").dataType))
 
-    // right (side 0) sorts before left (side 1) at equal ts => inclusive
+    // right (side 0) sorts before left (side 1) at equal ts =>
+    // inclusive in either direction; forward just scans ts descending
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ats"), col("_side"))
+      .orderBy(if (fwd) col("_ats").desc else col("_ats").asc, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r, allowMissingColumns = true)

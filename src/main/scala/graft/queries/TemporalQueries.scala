@@ -41,6 +41,33 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // Forward as-of: each click's NEXT purchase (smallest purchase ts
+    // >= click ts) — gated against DuckDB's native forward ASOF
+    // (c.ts <= p.ts). Same one-shuffle union+window plan, ts DESC.
+    QueryDef.sql(
+      "q_asof_next",
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.purchase_id, p.ts AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .withColumn("purchase_ts", col("ts"))
+      AsOfJoin.forward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id", "purchase_ts"))
+        .orderBy("event_id")
+    },
+
     // Keyless range join via time binning: every sampled error event
     // opens a 30-minute window; count + sum all events falling inside.
     // The oracle is the plain inequality join (fine at oracle scale);

@@ -161,6 +161,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
   }
 
+  test("forward as-of: earliest right at-or-after left ts, per key, null when none") {
+    val left = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 70L)).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", 10L, "a"),   // tie with left id=1 -> inclusive match
+      ("u1", 15L, "b"),
+      ("u2", 60L, "c"))   // before u2's only left row -> no match
+      .toDF("user", "rts", "payload")
+    val out = AsOfJoin.forward(left, right, Seq("user"), "ts", "rts", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("payload")).toMap
+    // id=2 (ts 20) has no right row at-or-after; id=3 (ts 5) -> next is 10L "a"
+    assert(out == Map(1L -> "a", 2L -> null, 3L -> "a", 4L -> null))
+  }
+
   test("as-of plans one keyed window pass, not a range join") {
     val left = Seq((1L, "u1", 10L)).toDF("id", "user", "ts")
     val right = Seq(("u1", 5L, "x")).toDF("user", "rts", "payload")
