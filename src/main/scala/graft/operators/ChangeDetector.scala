@@ -96,4 +96,34 @@ object ChangeDetector {
     * (`update_detector.py:194-217`). */
   def summary(compared: DataFrame): DataFrame =
     compared.groupBy("change_status").agg(count(lit(1)).as("n"))
+
+  /** SCD Type-2 history from a sequence of snapshots: collapse
+    * per-key snapshot rows to the rows where any tracked column
+    * CHANGED (null-safe), and stamp each surviving version with its
+    * validity interval — `valid_from` = its snapshot timestamp,
+    * `valid_to` = the next version's (null for the current version).
+    * The dimension-history answer to "what was this row's state at
+    * time T" that the reference approximates with its audit log
+    * (`table-loader/services/loader.py` audit inserts), queryable by
+    * a plain `valid_from <= T < coalesce(valid_to, inf)` predicate
+    * (or the as-of join).
+    *
+    * Scale: both windows key on the natural key and order by snapshot
+    * ts — ONE shuffle; the second window (lead over the filtered
+    * change rows) reuses the first's partitioning, so Catalyst plans
+    * no second exchange. Rows per key = versions, not snapshots. */
+  def scd2History(snapshots: DataFrame, keys: Seq[String], tsCol: String,
+      trackedCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val changed = trackedCols.map(c =>
+      !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    snapshots
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_chg", col("_rn") === 1 || changed)
+      .filter(col("_chg"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .drop("_rn", "_chg", tsCol)
+  }
 }

@@ -88,6 +88,50 @@ object OperatorQueries {
         .orderBy("o_orderkey")
     },
 
+    // SCD Type-2 history: three snapshot generations collapse to the
+    // change rows, each stamped with its validity interval (valid_to
+    // null = current). The oracle replays the same window pipeline.
+    QueryDef.sql(
+      "q_scd2_history",
+      """WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS snap_ts
+        |            FROM orders),
+        |s2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         o_totalprice, 2 AS snap_ts
+        |       FROM orders),
+        |s3 AS (SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         3 AS snap_ts
+        |       FROM s2),
+        |snap AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+        |m AS (SELECT *, row_number() OVER w AS rn,
+        |        lag(o_orderstatus) OVER w AS ps, lag(o_totalprice) OVER w AS pp
+        |      FROM snap WINDOW w AS (PARTITION BY o_orderkey ORDER BY snap_ts)),
+        |chg AS (SELECT o_orderkey, o_orderstatus, o_totalprice, snap_ts FROM m
+        |        WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM ps)
+        |           OR (o_totalprice IS DISTINCT FROM pp))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  snap_ts AS valid_from,
+        |  lead(snap_ts) OVER (PARTITION BY o_orderkey ORDER BY snap_ts) AS valid_to
+        |FROM chg
+        |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val s1 = o.withColumn("snap_ts", lit(1))
+      val s2 = o.withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("snap_ts", lit(2))
+      val s3 = s2.withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("snap_ts", lit(3))
+      ChangeDetector.scd2History(
+          s1.unionByName(s2).unionByName(s3),
+          Seq("o_orderkey"), "snap_ts", Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey", "valid_from")
+    },
+
     // V1/V2: required-column presence + one-pass NOT-NULL counts over a
     // frame with induced nulls and a missing required column.
     QueryDef.sql(

@@ -143,6 +143,30 @@ class ConflictDetectorSpec extends SparkSpec {
   }
 }
 
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.ChangeDetector
+
+  test("SCD2: change rows only, contiguous intervals, null-safe compare, one exchange") {
+    val snaps = Seq(
+      (1L, 10, Option("a")), (1L, 20, Option("a")), (1L, 30, Option("b")),
+      (2L, 10, None: Option[String]), (2L, 20, None: Option[String]),
+      (2L, 30, Option("x")), (2L, 40, None: Option[String]))
+      .toDF("k", "snap_ts", "v")
+    val out = ChangeDetector.scd2History(snaps, Seq("k"), "snap_ts", Seq("v"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getAs[String]("v"),
+      r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(rows == Set(
+      (1L, "a", 10, 30), (1L, "b", 30, -1),        // 20's repeat collapsed
+      (2L, null, 10, 30), (2L, "x", 30, 40), (2L, null, 40, -1))) // null-safe
+    // both windows share the key partitioning: exactly one exchange in
+    // the FINAL plan (AdaptiveSparkPlan's toString repeats the initial
+    // plan below it — split that off before counting)
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+  }
+}
+
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.AsOfJoin
