@@ -316,6 +316,28 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // CUBE: all 2^k grouping combinations in one pass (ROLLUP's
+    // hierarchical subset is gated above) — Spark's Expand feeds one
+    // aggregate, matching GROUP BY CUBE.
+    QueryDef.sql(
+      "q_rep_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // Exact interpolated percentiles (both engines use the
     // lower + g*(higher-lower) continuous-quantile formula over
     // identical doubles).
