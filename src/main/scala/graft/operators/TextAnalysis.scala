@@ -369,6 +369,31 @@ object TextAnalysis {
         (col("_cum").cast("double") / col("_tot").cast("double")).as("coverage"))
   }
 
+  /** Apply a BPE merge list to every token — Sennrich et al.'s
+    * `apply_bpe` exactly: each word becomes its character-symbol
+    * sequence, then every merge `(a, b) → ab` is applied in rank
+    * order as a global string replacement over the symbol string (the
+    * reference BPE implementation is precisely this sequential
+    * replace loop). The merge list is a parameter — learned offline,
+    * applied here as a plan-time constant chain of `replace` calls:
+    * zero shuffle, whole-stage codegen, no per-row tokenizer state.
+    * Returns the array of BPE-segmented tokens (symbols space-joined
+    * inside each token). */
+  def applyBpe(text: Column, merges: Seq[(String, String)]): Column =
+    transform(tokens(text), w => {
+      val symbols = trim(regexp_replace(w, "(.)", "$1 "))
+      merges.foldLeft(symbols) { case (s, (a, b)) =>
+        replace(s, lit(s"$a $b"), lit(s"$a$b"))
+      }
+    })
+
+  /** Total BPE units across the document under the merge list — the
+    * REAL token-budget count once a tokenizer exists (subwordCount is
+    * the heuristic stand-in). Exact integer arithmetic. */
+  def bpeUnitCount(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(transform(applyBpe(text, merges), s => size(split(s, " "))),
+      lit(0), (acc, x) => acc + x)
+
   /** Corpus-trained bigram language-model scoring — the KenLM-style
     * perplexity filter restructured for exact differential arithmetic:
     * rather than summing per-token log-probs (`ln` differs at the ULP

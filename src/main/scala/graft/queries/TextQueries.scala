@@ -548,6 +548,43 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // BPE merge application (Sennrich apply_bpe: char symbols, then
+    // each merge as a rank-ordered global replace): per-doc BPE unit
+    // counts under a fixed 8-merge list, plus the segmented form of
+    // the first token. The oracle replays the identical replace chain.
+    QueryDef.sql(
+      "q_text_bpe", {
+        val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+          "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
+        val chain = merges.foldLeft("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
+          case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+        }
+        s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+           |u AS (SELECT doc_id,
+           |        CAST(list_sum(list_transform(t,
+           |          w -> len(string_split($chain, ' ')))) AS BIGINT)
+           |          AS n_bpe_units,
+           |        CAST(len(t) AS INT) AS n_tokens,
+           |        CASE WHEN len(t) > 0
+           |             THEN (list_transform(t, w -> $chain))[1] ELSE '' END
+           |          AS first_bpe
+           |      FROM toks)
+           |SELECT doc_id, n_tokens, coalesce(n_bpe_units, 0) AS n_bpe_units, first_bpe
+           |FROM u
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+        "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          coalesce(TextAnalysis.bpeUnitCount(col("text"), merges).cast("long"),
+            lit(0L)).as("n_bpe_units"),
+          coalesce(element_at(TextAnalysis.applyBpe(col("text"), merges), 1),
+            lit("")).as("first_bpe"))
+        .orderBy("doc_id")
+    },
+
     // Percentile-band length trim: keep documents inside the exact
     // interpolated [p10, p90] token-length band — outlier-length
     // filtering with the thresholds LEARNED from the corpus, not

@@ -63,6 +63,19 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "c", 1L, 1L, 7.0 / 8)))
   }
 
+  test("BPE apply: rank-ordered merges segment words like Sennrich apply_bpe") {
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
+    val out = Seq((1L, "the resting on")).toDF("doc_id", "text")
+      .select(TextAnalysis.applyBpe($"text", merges).as("b"),
+        TextAnalysis.bpeUnitCount($"text", merges).as("n"))
+      .collect()(0)
+    // 'the': t h e -> th e -> the (1 unit); 'resting': (i,n) then (r,e)
+    // then (s,t) -> re st in g (4); 'on': (o,n) -> on (1)
+    assert(out.getSeq[String](0) == Seq("the", "re st in g", "on"))
+    assert(out.getInt(1) == 6)
+  }
+
   test("bigram LM stats: corpus-trained probs, rare transitions flag the outlier") {
     val docs = Seq(
       (1L, "a b a b a b"),   // transitions the corpus supports
