@@ -370,21 +370,25 @@ object TextAnalysis {
   }
 
   /** Apply a BPE merge list to every token — Sennrich et al.'s
-    * `apply_bpe` exactly: each word becomes its character-symbol
-    * sequence, then every merge `(a, b) → ab` is applied in rank
-    * order as a global string replacement over the symbol string (the
-    * reference BPE implementation is precisely this sequential
-    * replace loop). The merge list is a parameter — learned offline,
-    * applied here as a plan-time constant chain of `replace` calls:
-    * zero shuffle, whole-stage codegen, no per-row tokenizer state.
-    * Returns the array of BPE-segmented tokens (symbols space-joined
-    * inside each token). */
+    * `apply_bpe`: each word becomes its character-symbol sequence,
+    * then every merge `(a, b) → ab` is applied in rank order as a
+    * global replacement over the symbol string. Matching is SYMBOL-
+    * boundary-aware (the reference uses `(?<!\S)a\s+b(?!\S)`): the
+    * symbol string is space-padded and the pattern carries both
+    * boundary spaces, so a merge `(h, e)` can never eat the tail of a
+    * DIFFERENT symbol like `th` — and because the replacement
+    * re-inserts both boundary spaces, consecutive occurrences chain
+    * exactly like the reference's left-to-right scan. The merge list
+    * is a plan-time constant chain of `replace` calls: zero shuffle,
+    * whole-stage codegen, no per-row tokenizer state. Returns the
+    * array of BPE-segmented tokens (symbols space-joined). */
   def applyBpe(text: Column, merges: Seq[(String, String)]): Column =
     transform(tokens(text), w => {
-      val symbols = trim(regexp_replace(w, "(.)", "$1 "))
-      merges.foldLeft(symbols) { case (s, (a, b)) =>
-        replace(s, lit(s"$a $b"), lit(s"$a$b"))
-      }
+      val symbols = concat(lit(" "),
+        trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+      trim(merges.foldLeft(symbols) { case (s, (a, b)) =>
+        replace(s, lit(s" $a $b "), lit(s" $a$b "))
+      })
     })
 
   /** Total BPE units across the document under the merge list — the
@@ -393,6 +397,51 @@ object TextAnalysis {
   def bpeUnitCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(transform(applyBpe(text, merges), s => size(split(s, " "))),
       lit(0), (acc, x) => acc + x)
+
+  /** LEARN `k` BPE merges from the corpus — Sennrich training: the
+    * word-FREQUENCY table is the training set (each distinct word
+    * weighted by its count — never one row per occurrence), and each
+    * round counts adjacent symbol pairs, takes the (count DESC, pair)
+    * argmax, and applies the merge boundary-aware.
+    *
+    * Distributed shape per round: one map-side-combining aggregation
+    * over the pair stream keyed (a, b), a ONE-ROW argmax collect, and
+    * a per-row replace over the vocabulary frame — the standard
+    * distributed BPE trainer loop (the vocabulary table is Zipf-
+    * bounded, orders of magnitude below the corpus; the corpus itself
+    * is touched once, by the initial word count). The vocabulary
+    * frame is checkpointed each round so lineage stays flat. `k` here
+    * is small; a production tokenizer runs the same loop tens of
+    * thousands of times against the same-shaped vocab table.
+    *
+    * Returns (a, b, weighted pair count) in merge order. */
+  def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): Seq[(String, String, Long)] = {
+    var words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("s"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val arr = split(trim(col("s")), " ")
+      val pairs = words.select(col("wc"), explode(zip_with(
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("c"))
+      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect() // exactly one row: the argmax merge of this round
+      if (best.isEmpty) return out.toSeq
+      val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      out += ((a, b, c))
+      words = words.withColumn("s",
+          replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")))
+        .localCheckpoint(false)
+    }
+    out.toSeq
+  }
 
   /** Corpus-trained bigram language-model scoring — the KenLM-style
     * perplexity filter restructured for exact differential arithmetic:

@@ -556,9 +556,11 @@ object TextQueries {
       "q_text_bpe", {
         val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
           "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
-        val chain = merges.foldLeft("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
-          case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
-        }
+        // boundary-aware: padded string, both spaces in the pattern
+        val chain = "trim(" + merges.foldLeft(
+          "(' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ')") {
+          case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
+        } + ")"
         s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
            |u AS (SELECT doc_id,
            |        CAST(list_sum(list_transform(t,
@@ -583,6 +585,45 @@ object TextQueries {
           coalesce(element_at(TextAnalysis.applyBpe(col("text"), merges), 1),
             lit("")).as("first_bpe"))
         .orderBy("doc_id")
+    },
+
+    // BPE TRAINING: learn 4 merges from the corpus word-frequency
+    // table (pair counts weighted by word count, argmax with a
+    // deterministic tie-break, boundary-aware application). The
+    // oracle unrolls the same four count→argmax→replace rounds.
+    QueryDef.sql(
+      "q_text_bpe_learn", {
+        val round = (i: Int) =>
+          s"""p$i AS (SELECT arr[i] AS a, arr[i+1] AS b, CAST(SUM(wc) AS BIGINT) AS c
+             |       FROM (SELECT wc, string_split(trim(s), ' ') AS arr FROM s${i - 1}),
+             |            UNNEST(range(1, len(arr))) AS r(i)
+             |       GROUP BY 1, 2),
+             |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+             |s$i AS (SELECT wc, replace(s, (SELECT ' ' || a || ' ' || b || ' ' FROM b$i),
+             |                           (SELECT ' ' || a || b || ' ' FROM b$i)) AS s
+             |        FROM s${i - 1}),""".stripMargin
+        s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+           |            FROM (SELECT unnest($toksDuck) AS w FROM documents)
+           |            GROUP BY w),
+           |s0 AS (SELECT wc, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+           |       FROM w0),
+           |${round(1)}
+           |${round(2)}
+           |${round(3)}
+           |${round(4)}
+           |fin AS (SELECT 1)
+           |SELECT * FROM (
+           |  SELECT 1 AS "rank", a, b, c FROM b1
+           |  UNION ALL SELECT 2, a, b, c FROM b2
+           |  UNION ALL SELECT 3, a, b, c FROM b3
+           |  UNION ALL SELECT 4, a, b, c FROM b4)
+           |ORDER BY "rank"""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      TextAnalysis.learnBpeMerges(Tables.documents(s, d), "doc_id", "text", k = 4)
+        .zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "a", "b", "c")
     },
 
     // Percentile-band length trim: keep documents inside the exact

@@ -76,6 +76,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getInt(1) == 6)
   }
 
+  test("BPE apply is symbol-boundary-aware: (h,e) never eats the tail of 'th'") {
+    val out = Seq((1L, "the")).toDF("doc_id", "text")
+      .select(TextAnalysis.applyBpe($"text", Seq("t" -> "h", "h" -> "e")).as("b"))
+      .collect()(0).getSeq[String](0)
+    // ' t h e ' -> (t,h) -> ' th e '; (h,e) must NOT match inside 'th e'
+    assert(out == Seq("th e"))
+  }
+
+  test("BPE training: frequency-weighted argmax merges, composes with apply") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val learned = TextAnalysis.learnBpeMerges(docs, "doc_id", "text", k = 4)
+    // vocab: low x2 (l o w), lower x1 (l o w e r)
+    // r1: (l,o)=3 ties (o,w)=3, lexicographic tie-break -> (l,o)
+    // r2: (lo,w)=3 -> low; r3: (e,r)=1 beats (low,e)=1 on 'e' < 'l'
+    // r4: (low,er)=1
+    assert(learned == Seq(("l", "o", 3L), ("lo", "w", 3L),
+      ("e", "r", 1L), ("low", "er", 1L)))
+    // the learned tokenizer segments its own training words to 1 unit
+    val n = docs.select(TextAnalysis.bpeUnitCount($"text",
+      learned.map(m => (m._1, m._2))).as("n")).collect()(0).getInt(0)
+    assert(n == 3)
+  }
+
   test("bigram LM stats: corpus-trained probs, rare transitions flag the outlier") {
     val docs = Seq(
       (1L, "a b a b a b"),   // transitions the corpus supports
