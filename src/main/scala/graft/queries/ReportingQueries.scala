@@ -316,6 +316,36 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Cohort retention: users bucketed by first-event week, activity
+    // counted per week offset — all time arithmetic in exact integer
+    // epoch-microsecond division, no date-function dialect drift.
+    QueryDef.sql(
+      "q_rep_cohort_retention",
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS fus FROM events
+        |           GROUP BY user_id),
+        |j AS (SELECT e.user_id,
+        |        f.fus // 604800000000 AS cohort_week,
+        |        (epoch_us(e.ts) - f.fus) // 604800000000 AS week_offset
+        |      FROM events e JOIN f ON f.user_id = e.user_id)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+        |  CAST(COUNT(*) AS BIGINT) AS events
+        |FROM j GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val w = 604800000000L
+      val f = ev.groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fus"))
+      ev.join(f, "user_id")
+        .select(col("user_id"),
+          expr(s"fus div $w").as("cohort_week"),
+          expr(s"(unix_micros(ts) - fus) div $w").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("active_users"),
+          count(lit(1)).as("events"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // CUBE: all 2^k grouping combinations in one pass (ROLLUP's
     // hierarchical subset is gated above) — Spark's Expand feeds one
     // aggregate, matching GROUP BY CUBE.
