@@ -288,5 +288,73 @@ object VectorQueries {
       val cbs = SimilaritySearch.pqCodebooks(emb, 0L until 4L, m = 4)
       SimilaritySearch.pqTopK(emb, emb.filter(col("vec_id") < 5), cbs, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // The on-disk IVF-PQ index end to end under the hash gate: write
+    // codes partitioned by coarse list, then search via the static
+    // partition-pruned read (driver-side probe selection). The oracle
+    // re-derives coarse assignment (vec_id < 8 medoids), PQ codes
+    // (vec_id < 4 codebooks), the 2-probe ranking and the ADC rerank.
+    QueryDef.sql(
+      "q_vec_pq_index",
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+        |       FROM e WHERE vec_id < 4),
+        |sub AS (SELECT e.vec_id, s.j, cb.ci,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
+        |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
+        |best AS (SELECT vec_id, j, ci FROM (
+        |           SELECT vec_id, j, ci,
+        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+        |           FROM sub) WHERE rn = 1),
+        |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+        |       FROM e WHERE vec_id < 8),
+        |ad AS (
+        |  SELECT e.vec_id, co.li,
+        |    list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+        |  FROM e, co),
+        |assign AS (SELECT vec_id, li FROM (
+        |             SELECT vec_id, li,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |             FROM ad)
+        |           WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, li FROM (
+        |            SELECT vec_id, li,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |            FROM ad WHERE vec_id < 5)
+        |          WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |         FROM probe p JOIN assign a USING (li)
+        |         WHERE a.vec_id <> p.query_id),
+        |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
+        |           * (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.query_id
+        |  JOIN best b ON b.vec_id = c.neighbor_id
+        |  JOIN cb ON cb.ci = b.ci),
+        |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
+        |        FROM dj GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+        |           AS "rank"
+        |       FROM adc)
+        |SELECT query_id, "rank", neighbor_id, adc_dist
+        |FROM rk WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+      SimilaritySearch.writeIvfPqIndex(emb, dir,
+        coarseIds = 0L until 8L, pqIds = 0L until 4L, m = 4)
+      SimilaritySearch.searchIvfPqIndex(s, dir,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
     })
 }
