@@ -316,6 +316,45 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Ordered funnel: users whose first view precedes a click that
+    // precedes a purchase — each stage is a keyed min-aggregate
+    // constrained by the previous stage's timestamp (exact integer
+    // microseconds), never a row-by-row sequence scan.
+    QueryDef.sql(
+      "q_rep_funnel",
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS name, CAST(COUNT(*) AS BIGINT) AS users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("us") >= col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      val s1 = v.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("step"), lit("view").as("name"), col("users"))
+      val s2 = c.agg(count(lit(1)).as("users"))
+        .select(lit(2).as("step"), lit("view>click").as("name"), col("users"))
+      val s3 = p.agg(count(lit(1)).as("users"))
+        .select(lit(3).as("step"), lit("view>click>purchase").as("name"), col("users"))
+      s1.unionByName(s2).unionByName(s3).orderBy("step")
+    },
+
     // Cohort retention: users bucketed by first-event week, activity
     // counted per week offset — all time arithmetic in exact integer
     // epoch-microsecond division, no date-function dialect drift.
