@@ -316,8 +316,9 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
-    // Ordered funnel: users whose first view precedes a click that
-    // precedes a purchase — each stage is a keyed min-aggregate
+    // Ordered funnel with a 12h conversion window per stage: users
+    // whose first view leads to a click within 12h leads to a purchase
+    // within 12h of that — each stage is a keyed min-aggregate
     // constrained by the previous stage's timestamp (exact integer
     // microseconds), never a row-by-row sequence scan.
     QueryDef.sql(
@@ -326,9 +327,11 @@ object ReportingQueries {
         |v AS (SELECT user_id, MIN(us) AS t1 FROM ev
         |      WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN v USING (user_id)
-        |      WHERE event_type = 'click' AND us >= t1 GROUP BY e.user_id),
+        |      WHERE event_type = 'click' AND us >= t1
+        |        AND us <= t1 + 43200000000 GROUP BY e.user_id),
         |p AS (SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN c USING (user_id)
-        |      WHERE event_type = 'purchase' AND us >= t2 GROUP BY e.user_id)
+        |      WHERE event_type = 'purchase' AND us >= t2
+        |        AND us <= t2 + 43200000000 GROUP BY e.user_id)
         |SELECT * FROM (
         |  SELECT 1 AS step, 'view' AS name, CAST(COUNT(*) AS BIGINT) AS users FROM v
         |  UNION ALL
@@ -341,10 +344,12 @@ object ReportingQueries {
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("us").as("t1"))
       val c = ev.join(v, "user_id")
-        .filter(col("event_type") === "click" && col("us") >= col("t1"))
+        .filter(col("event_type") === "click" && col("us") >= col("t1") &&
+          col("us") <= col("t1") + 43200000000L)
         .groupBy("user_id").agg(min("us").as("t2"))
       val p = ev.join(c, "user_id")
-        .filter(col("event_type") === "purchase" && col("us") >= col("t2"))
+        .filter(col("event_type") === "purchase" && col("us") >= col("t2") &&
+          col("us") <= col("t2") + 43200000000L)
         .groupBy("user_id").agg(min("us").as("t3"))
       val s1 = v.agg(count(lit(1)).as("users"))
         .select(lit(1).as("step"), lit("view").as("name"), col("users"))
