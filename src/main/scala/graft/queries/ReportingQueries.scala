@@ -316,6 +316,34 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // User-journey transition matrix: per-user events ordered by
+    // (ts, event_id), each consecutive pair counted — the Markov-chain
+    // view of behavior (and the event-level analogue of the bigram
+    // LM). One keyed window shuffle + one pair aggregation.
+    QueryDef.sql(
+      "q_rep_transitions",
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |nx AS (SELECT user_id, event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS dst
+        |       FROM o)
+        |SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM nx WHERE dst IS NOT NULL
+        |GROUP BY src, dst
+        |ORDER BY src, dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy("src", "dst")
+    },
+
     // Ordered funnel with a 12h conversion window per stage: users
     // whose first view leads to a click within 12h leads to a purchase
     // within 12h of that — each stage is a keyed min-aggregate
