@@ -316,6 +316,51 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Volume anomaly detection: per-type daily counts scored by
+    // z-score against the type's own distribution. Mean/variance come
+    // from exact integer sums (n, n²) with one fixed expression shape
+    // — population variance, correctly-rounded sqrt — so the float
+    // scores hash equal.
+    QueryDef.sql(
+      "q_rep_anomaly",
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS days,
+        |         CAST(SUM(n) AS BIGINT) AS sn,
+        |         CAST(SUM(n * n) AS BIGINT) AS sn2
+        |       FROM d GROUP BY 1),
+        |z AS (SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n,
+        |        CAST(sn AS DOUBLE) / CAST(days AS DOUBLE) AS mean,
+        |        sqrt(CAST(sn2 AS DOUBLE) / CAST(days AS DOUBLE)
+        |             - (CAST(sn AS DOUBLE) / CAST(days AS DOUBLE))
+        |               * (CAST(sn AS DOUBLE) / CAST(days AS DOUBLE))) AS sd
+        |      FROM d JOIN st USING (event_type))
+        |SELECT event_type, day, n,
+        |  CASE WHEN sd > 0.0 THEN (CAST(n AS DOUBLE) - mean) / sd ELSE 0.0 END AS z,
+        |  CASE WHEN sd > 0.0 THEN abs((CAST(n AS DOUBLE) - mean) / sd) > 2.0
+        |       ELSE FALSE END AS anomaly
+        |FROM z
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dayCounts = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = dayCounts.groupBy("event_type").agg(
+        count(lit(1)).as("days"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+      val mean = col("sn").cast("double") / col("days").cast("double")
+      val sd = sqrt(col("sn2").cast("double") / col("days").cast("double")
+        - mean * mean)
+      val z = (col("n").cast("double") - mean) / sd
+      dayCounts.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          when(sd > 0.0, z).otherwise(lit(0.0)).as("z"),
+          when(sd > 0.0, abs(z) > 2.0).otherwise(lit(false)).as("anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // User-journey transition matrix: per-user events ordered by
     // (ts, event_id), each consecutive pair counted — the Markov-chain
     // view of behavior (and the event-level analogue of the bigram
