@@ -316,6 +316,34 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Referential-integrity audit across tables: documents without an
+    // embedding row and embeddings without a document — two anti-join
+    // counts (the cross-dataset completeness check a multimodal /
+    // embedding pipeline runs before training).
+    QueryDef.sql(
+      "q_audit_referential",
+      """SELECT * FROM (
+        |  SELECT 'docs_without_embedding' AS check_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents d WHERE NOT EXISTS (
+        |    SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        |  UNION ALL
+        |  SELECT 'embeddings_without_doc',
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM embeddings e WHERE NOT EXISTS (
+        |    SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val a = docs.join(emb, docs("doc_id") === emb("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("docs_without_embedding").as("check_name"), col("n"))
+      val b = emb.join(docs, emb("vec_id") === docs("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("embeddings_without_doc").as("check_name"), col("n"))
+      a.unionByName(b).orderBy("check_name")
+    },
+
     // Volume anomaly detection: per-type daily counts scored by
     // z-score against the type's own distribution. Mean/variance come
     // from exact integer sums (n, n²) with one fixed expression shape
