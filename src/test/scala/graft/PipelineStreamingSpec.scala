@@ -72,13 +72,26 @@ class SourcesSpec extends SparkSpec {
     @volatile var stop = false
     val reader = new Thread(() => {
       while (!stop && failure.isEmpty) {
+        // resolve first so a failure can be judged against the
+        // RETENTION contract: a resolved version must stay readable
+        // until two further publishes complete; only a reader lagging
+        // 3+ versions behind the live pointer may see pruning
+        val resolved = Sources.resolveSnapshot(spark, dir)
+        def vOf(p: String): Long = p.split("/v-").last.toLong
         try {
           // every observed snapshot must be a COMPLETE version: 50 rows
           // of a single constant value, never empty, never mixed
-          val rows = Sources.readSnapshot(spark, dir).collect()
+          val rows = spark.read.parquet(resolved).collect()
           if (rows.length != 50 || rows.map(_.getInt(0)).distinct.length != 1)
             failure = Some(s"partial snapshot: ${rows.length} rows")
-        } catch { case e: Throwable => failure = Some(s"reader failed: ${e.getMessage}") }
+        } catch {
+          case e: Throwable =>
+            val live = vOf(Sources.resolveSnapshot(spark, dir))
+            if (live - vOf(resolved) < 3)
+              failure = Some(s"reader failed inside the retention window " +
+                s"(resolved v${vOf(resolved)}, live v$live): ${e.getMessage}")
+          // else: out-of-retention — the documented two-publish bound
+        }
       }
     })
     reader.start()
