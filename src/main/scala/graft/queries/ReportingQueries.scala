@@ -316,6 +316,72 @@ object ReportingQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // NTILE quartile segmentation of customer spend. The global window
+    // is bounded by the AGGREGATED customer table (one row per
+    // customer), not the order stream; at extreme scale the same cut
+    // comes from the exact-percentile scalars (q_text_length_band's
+    // broadcast pattern) instead of a total order.
+    QueryDef.sql(
+      "q_rep_ntile",
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (SELECT o_custkey, total,
+        |        ntile(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+        |      FROM spend)
+        |SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  min(total) AS min_total, max(total) AS max_total
+        |FROM q GROUP BY quartile
+        |ORDER BY quartile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val spend = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      spend.withColumn("quartile",
+          ntile(4).over(W.orderBy(col("total").desc, col("o_custkey"))))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n"), min("total").as("min_total"),
+          max("total").as("max_total"))
+        .orderBy("quartile")
+    },
+
+    // Pearson correlation (quantity vs discount) from exact BIGINT
+    // sums folded through ONE fixed float expression — corr()
+    // built-ins stream-update in nondeterministic order and never hash
+    // equal, and huge DECIMAL→DOUBLE casts round differently per
+    // engine; r is scale-invariant, so the inputs go to exact integer
+    // units (×100 / ×10000) whose int64 sums convert deterministically.
+    QueryDef.sql(
+      "q_rep_correlation",
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+        |             * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)
+        |             * CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) AS sy2,
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+        |             * CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT n,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS pearson_r
+        |FROM s""".stripMargin) { (s, d) =>
+      val qx = round(col("l_quantity") * 100).cast("long")
+      val dy = round(col("l_discount") * 10000).cast("long")
+      val agg = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(qx).cast("double").as("sx"),
+        sum(dy).cast("double").as("sy"),
+        sum(qx * qx).cast("double").as("sx2"),
+        sum(dy * dy).cast("double").as("sy2"),
+        sum(qx * dy).cast("double").as("sxy"))
+      agg.select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sx2") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("sy2") - col("sy") * col("sy"))))
+          .as("pearson_r"))
+    },
+
     // Referential-integrity audit across tables: documents without an
     // embedding row and embeddings without a document — two anti-join
     // counts (the cross-dataset completeness check a multimodal /
