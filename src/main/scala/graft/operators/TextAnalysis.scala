@@ -373,22 +373,25 @@ object TextAnalysis {
     * `apply_bpe`: each word becomes its character-symbol sequence,
     * then every merge `(a, b) → ab` is applied in rank order as a
     * global replacement over the symbol string. Matching is SYMBOL-
-    * boundary-aware (the reference uses `(?<!\S)a\s+b(?!\S)`): the
-    * symbol string is space-padded and the pattern carries both
-    * boundary spaces, so a merge `(h, e)` can never eat the tail of a
-    * DIFFERENT symbol like `th` — and because the replacement
-    * re-inserts both boundary spaces, consecutive occurrences chain
-    * exactly like the reference's left-to-right scan. The merge list
-    * is a plan-time constant chain of `replace` calls: zero shuffle,
+    * boundary-aware AND chains across consecutive occurrences (the
+    * reference uses the zero-width-boundary regex
+    * `(?<!\S)a\s+b(?!\S)`, so `banana` under merge `(a,n)` becomes
+    * `b an an a`): symbols are separated by TWO spaces, the pattern
+    * ` a  b ` consumes exactly one space of each boundary, and the
+    * replacement ` ab ` restores it — so a shared boundary between
+    * back-to-back matches still satisfies both, exactly like the
+    * zero-width lookarounds, while staying a literal (non-regex)
+    * replace that DuckDB can replay verbatim. The merge list is a
+    * plan-time constant chain of `replace` calls: zero shuffle,
     * whole-stage codegen, no per-row tokenizer state. Returns the
-    * array of BPE-segmented tokens (symbols space-joined). */
+    * array of BPE-segmented tokens (symbols single-space-joined). */
   def applyBpe(text: Column, merges: Seq[(String, String)]): Column =
     transform(tokens(text), w => {
-      val symbols = concat(lit(" "),
-        trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
-      trim(merges.foldLeft(symbols) { case (s, (a, b)) =>
-        replace(s, lit(s" $a $b "), lit(s" $a$b "))
-      })
+      val symbols = concat(lit("  "), regexp_replace(w, "(.)", "$1  "))
+      val merged = merges.foldLeft(symbols) { case (s, (a, b)) =>
+        replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      replace(trim(merged), lit("  "), lit(" "))
     })
 
   /** Total BPE units across the document under the merge list — the
@@ -417,14 +420,17 @@ object TextAnalysis {
     * Returns (a, b, weighted pair count) in merge order. */
   def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): Seq[(String, String, Long)] = {
+    // Double-space symbol separators — same chaining contract as
+    // applyBpe (back-to-back occurrences of a merge pair all merge
+    // in one pass, matching Sennrich's zero-width-boundary regex).
     var words = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(col("wc"), concat(lit(" "),
-        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("s"))
+      .select(col("wc"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("s"))
       .localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     for (_ <- 1 to k) {
-      val arr = split(trim(col("s")), " ")
+      val arr = split(trim(col("s")), "  ")
       val pairs = words.select(col("wc"), explode(zip_with(
           slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
           slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
@@ -437,7 +443,7 @@ object TextAnalysis {
       val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((a, b, c))
       words = words.withColumn("s",
-          replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")))
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
         .localCheckpoint(false)
     }
     out.toSeq

@@ -556,11 +556,13 @@ object TextQueries {
       "q_text_bpe", {
         val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
           "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
-        // boundary-aware: padded string, both spaces in the pattern
-        val chain = "trim(" + merges.foldLeft(
-          "(' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ')") {
-          case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
-        } + ")"
+        // boundary-aware + chaining: double-space separators, pattern
+        // consumes one boundary space per side, replacement restores it
+        // (see TextAnalysis.applyBpe) — then collapse to single spaces.
+        val chain = "replace(trim(" + merges.foldLeft(
+          "('  ' || regexp_replace(w, '(.)', '\\1  ', 'g'))") {
+          case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+        } + "), '  ', ' ')"
         s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
            |u AS (SELECT doc_id,
            |        CAST(list_sum(list_transform(t,
@@ -595,17 +597,17 @@ object TextQueries {
       "q_text_bpe_learn", {
         val round = (i: Int) =>
           s"""p$i AS (SELECT arr[i] AS a, arr[i+1] AS b, CAST(SUM(wc) AS BIGINT) AS c
-             |       FROM (SELECT wc, string_split(trim(s), ' ') AS arr FROM s${i - 1}),
+             |       FROM (SELECT wc, string_split(trim(s), '  ') AS arr FROM s${i - 1}),
              |            UNNEST(range(1, len(arr))) AS r(i)
              |       GROUP BY 1, 2),
              |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-             |s$i AS (SELECT wc, replace(s, (SELECT ' ' || a || ' ' || b || ' ' FROM b$i),
+             |s$i AS (SELECT wc, replace(s, (SELECT ' ' || a || '  ' || b || ' ' FROM b$i),
              |                           (SELECT ' ' || a || b || ' ' FROM b$i)) AS s
              |        FROM s${i - 1}),""".stripMargin
         s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
            |            FROM (SELECT unnest($toksDuck) AS w FROM documents)
            |            GROUP BY w),
-           |s0 AS (SELECT wc, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+           |s0 AS (SELECT wc, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s
            |       FROM w0),
            |${round(1)}
            |${round(2)}
@@ -1035,17 +1037,18 @@ object TextQueries {
 
     // Exact media dedup by content hash, exercised on a simulated
     // re-ingest (every payload arrives twice under different ids):
-    // byte-identical media collapse to the lowest id; only the 16-byte
-    // md5 + id ever shuffle, never the payload.
+    // byte-identical media collapse to the lowest id; only the
+    // (16-byte md5, byte length) key + id ever shuffle, never the
+    // payload.
     QueryDef.sql(
       "q_multimodal_dedup",
       """WITH media AS (
         |  SELECT doc_id AS media_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents),
-        |g AS (SELECT md5(text) AS content_hash, min(media_id) AS keep_id,
-        |        COUNT(*) AS dup_count
-        |      FROM media GROUP BY 1)
+        |g AS (SELECT md5(text) AS content_hash, strlen(text) AS n_bytes,
+        |        min(media_id) AS keep_id, COUNT(*) AS dup_count
+        |      FROM media GROUP BY 1, 2)
         |SELECT content_hash, keep_id, dup_count
         |FROM g
         |ORDER BY content_hash""".stripMargin) { (s, d) =>

@@ -84,6 +84,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("th e"))
   }
 
+  test("BPE apply chains consecutive occurrences like Sennrich's zero-width regex") {
+    // (?<!\S)a\s+b(?!\S) boundaries are zero-width, so back-to-back
+    // occurrences sharing a boundary ALL merge in one pass:
+    // banana -> b an an a (not the under-merged b an a n a).
+    val out = Seq((1L, "banana papa aaaa")).toDF("doc_id", "text")
+      .select(TextAnalysis.applyBpe($"text",
+        Seq("a" -> "n", "p" -> "a", "a" -> "a")).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("b an an a", "pa pa", "aa aa"))
+  }
+
+  test("BPE training merges repeated pairs fully before the next round") {
+    val docs = Seq((1L, "banana banana")).toDF("doc_id", "text")
+    val learned = TextAnalysis.learnBpeMerges(docs, "doc_id", "text", k = 2)
+    // r1: (a,n)=4 ties (n,a)=4, lexicographic -> (a,n); application must
+    // yield 'b an an a' so r2 sees (an,an)/(an,a)/(b,an) each c=2 and
+    // tie-breaks to (an,a) — the under-merged 'b an a n a' would instead
+    // surface a phantom (a,n)/(n,a) pair again.
+    assert(learned == Seq(("a", "n", 4L), ("an", "a", 2L)))
+  }
+
   test("BPE training: frequency-weighted argmax merges, composes with apply") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val learned = TextAnalysis.learnBpeMerges(docs, "doc_id", "text", k = 4)
