@@ -48,8 +48,19 @@ object Pipelines {
         emptyConflicts(spark), m.warnings)
 
     // 4: identity resolution (§2.9) — candidates from the configured
-    // subject-id columns, one row per (row, candidate column)
-    val withRow = m.df.withColumn("_row_id", monotonically_increasing_id())
+    // subject-id columns, one row per (row, candidate column).
+    // Request ids are CONTENT-derived (md5 over batch id + every mapped
+    // column), not monotonically_increasing_id(): the same input always
+    // yields the same ids regardless of partitioning, task retries, or
+    // split planning, so resolution-log correlation keys are stable
+    // across runs on a cluster. Content-identical duplicate rows
+    // deliberately collapse to ONE logical resolution request — they
+    // are indistinguishable and resolve identically (resolve() is
+    // per-request-id), and each copy still receives its gsid through
+    // the join-back below.
+    val withRow = m.df.withColumn("_row_id",
+      md5(to_json(struct(
+        lit(batchId).as("_graft_batch") +: m.df.columns.map(col): _*))))
     val centerCol = mapping.centerIdField
       .map(c => coalesce(col(c).cast("int"), lit(mapping.defaultCenterId)))
       .getOrElse(lit(mapping.defaultCenterId))

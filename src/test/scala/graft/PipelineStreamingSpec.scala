@@ -229,6 +229,30 @@ class ValidatePipelineSpec extends SparkSpec {
     assert(r.conflicts.count() == 0)
   }
 
+  test("validator pipeline resolution output is invariant to input partitioning") {
+    // request_id is md5 of (batch, row content) — NOT
+    // monotonically_increasing_id() — so the resolution log and its
+    // correlation keys are identical for any layout of the same input
+    // (cluster task retries / split changes cannot shift ids).
+    val rows = (1 to 40).map(i => (s"IBDGC%03d".format(i % 7), s"BS-$i", "Blood"))
+    def run(parts: Int): (Set[Seq[Any]], Set[String]) = {
+      val raw = rows.toDF("consortium_id", "sample_id", "sample_type")
+        .repartition(parts)
+      val r = Pipelines.validate(spark, raw, mapping,
+        Seq(SchemaValidator.ColumnSpec("sample_id", required = true)),
+        registry, "batch_inv")
+      val collected = r.resolutions.collect()
+      (collected.map(_.toSeq).toSet,
+        collected.map(_.getAs[String]("request_id")).toSet)
+    }
+    val (rowsA, idsA) = run(1)
+    val (rowsB, idsB) = run(17)
+    assert(rowsA == rowsB && rowsA.nonEmpty)
+    assert(idsA == idsB)
+    // and the ids themselves are reproducible strings, not counters
+    assert(idsA.forall(_.matches("[0-9a-f]{32}")))
+  }
+
   test("validator pipeline fails fast on missing required column") {
     val raw = Seq(("IBDGC001", "Blood")).toDF("consortium_id", "sample_type")
     val r = Pipelines.validate(spark, raw, mapping,
