@@ -163,7 +163,7 @@ object SourceQueries {
       current.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("p").parquet(dir)
       Sources.publishMergePartitioned(s, dir, incoming, cfg, "p")
-      s.read.parquet(dir)
+      Sources.readMergePartitioned(s, dir, "p")
         .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
           "o_orderdate", "p")
         .orderBy("o_orderkey")

@@ -73,14 +73,36 @@ object Sources {
   def writePartitionedJson(df: DataFrame, path: String, keyCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).json(path)
 
-  /** Partition-pruned MERGE publish — the 100 TB path the
-    * whole-snapshot swap below cannot offer. Only the partitions the
-    * incoming batch touches are read (partition-pruned scan) and
-    * rewritten (dynamic partition overwrite); a batch touching 3 of
-    * 10,000 date partitions reads and writes 3. The natural key must
-    * functionally determine the partition column (true for the
-    * reference's per-center / per-batch layouts), otherwise a key
-    * could escape its old partition and survive as a duplicate.
+  /** Partition-pruned MERGE publish, ATOMIC for readers — the 100 TB
+    * path the whole-snapshot swap below cannot offer. Only the
+    * partitions the incoming batch touches are read (Catalyst
+    * partition-pruned scan over the manifest's live dirs) and
+    * rewritten; a batch touching 3 of 10,000 date partitions reads and
+    * writes 3. The natural key must functionally determine the
+    * partition column (true for the reference's per-center / per-batch
+    * layouts), otherwise a key could escape its old partition and
+    * survive as a duplicate.
+    *
+    * Layout (the Iceberg/Delta idea reduced to plain parquet + one
+    * pointer): data lives in IMMUTABLE batch dirs
+    * `tableDir/b-<n>/<col>=<val>/…parquet` (one `partitionBy` write
+    * per publish, never rewritten in place); a MANIFEST file
+    * `tableDir/manifest-<n>` lists the live dir of every partition
+    * (one relative path per line); `_current` points at the live
+    * manifest and is swapped with the same raw-write + atomic-rename
+    * mechanics as [[publishSnapshot]]. A reader ([[readMergePartitioned]])
+    * resolves the pointer once and then scans a frozen, fully-written
+    * set of dirs — it can never observe a partition mid-rewrite or a
+    * mix of old and new partitions, the two windows the previous
+    * in-place dynamic-partition-overwrite left open. Retention mirrors
+    * the snapshot contract: the two previous manifests' dirs survive,
+    * so a reader lagging up to two publishes keeps its files;
+    * concurrent publishers last-swap-wins whole (lost update, never
+    * corruption).
+    *
+    * A pre-manifest table (plain `tableDir/<col>=<val>` dirs) is
+    * adopted as the baseline manifest on first publish; its untouched
+    * partition dirs are left byte-identical in place.
     *
     * Returns the merged frame for the touched partitions (post-merge
     * state), mirroring [[graft.operators.UpsertWriter.merge]]. */
@@ -91,17 +113,169 @@ object Sources {
       cfg: graft.types.TableConfig,
       partitionCol: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val entries = manifestEntries(fs, root, partitionCol)
     // touched partitions: bounded by the incoming batch, never by the
     // table — a driver-side collect of partition VALUES only
     val touched = incoming.select(partitionCol).distinct().collect().map(_.get(0))
-    val current = spark.read.parquet(tableDir)
-      .filter(col(partitionCol).isin(touched: _*)) // pruned scan
+    val current = assembleManifest(spark, tableDir, entries)
+      .map(_.filter(col(partitionCol).isin(touched: _*)) // pruned scan
+        .withColumn(partitionCol,
+          col(partitionCol).cast(incoming.schema(partitionCol).dataType)))
+      .getOrElse(incoming.limit(0))
     val merged = graft.operators.UpsertWriter.merge(current, incoming, cfg).merged
+
+    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$next%012d"
     merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
-      .partitionBy(partitionCol)
-      .parquet(tableDir)
+      .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
+    // the segments Spark just wrote ARE the touched partitions, in its
+    // own path encoding — so replacement matches old entries by name
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
+      .collect { case st if st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
+      .toSeq
+    val newEntries =
+      entries.filterNot(e => written.contains(segmentOf(e))) ++
+        written.map(s => s"$bdir/$s")
+    val mfile = f"manifest-$next%012d"
+    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
+      newEntries.sorted.mkString("\n"))
+    swapPointer(fs, uri, conf, root, mfile, next)
+
+    // prune: a dir referenced by the live manifest or either of the
+    // two previous ones survives (same two-publish reader slack as
+    // publishSnapshot); older manifests and the dirs only they
+    // referenced are deleted
+    val retainedNums = manifestNumbers(fs, root).sorted.takeRight(3)
+    val referenced = retainedNums.flatMap { n =>
+      readManifest(fs, root, f"manifest-$n%012d")
+    }.map(topSegmentOf).toSet
+    manifestNumbers(fs, root).sorted.dropRight(3).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f"manifest-$n%012d"), false)
+    }
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      val prunable = st.isDirectory &&
+        (name.startsWith("b-") || name.startsWith(s"$partitionCol="))
+      if (prunable && !referenced.contains(name)) fs.delete(st.getPath, true)
+    }
     merged
+  }
+
+  /** Read the live state of a [[publishMergePartitioned]] table:
+    * resolve the manifest pointer once, then scan exactly the dirs it
+    * lists (grouped per batch dir so Spark's partition discovery
+    * restores the partition column, and Catalyst partition pruning
+    * still prunes reader-side filters to the touched dirs). A
+    * pre-manifest or plain parquet dir reads as-is. */
+  def readMergePartitioned(spark: SparkSession, tableDir: String,
+      partitionCol: String = ""): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir), conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    assembleManifest(spark, tableDir, manifestEntries(fs, root, partitionCol))
+      .getOrElse(spark.read.parquet(tableDir))
+  }
+
+  /** Live manifest entries (relative dir paths), resolving `_current`;
+    * falls back to adopting a plain partitioned layout's root-level
+    * `<col>=<val>` dirs when no manifest exists yet. */
+  private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, partitionCol: String): Seq[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, "_current")
+    val live =
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        val m = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        if (m.startsWith("manifest-")) Some(m) else None
+      } else None
+    live match {
+      case Some(m) => readManifest(fs, root, m)
+      case None if fs.exists(root) =>
+        fs.listStatus(root).toSeq.collect {
+          case st if st.isDirectory && st.getPath.getName.contains("=") &&
+            (partitionCol.isEmpty ||
+              st.getPath.getName.startsWith(s"$partitionCol=")) =>
+            st.getPath.getName
+        }
+      case None => Seq.empty
+    }
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+      s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** One DataFrame over a manifest's dirs: one basePath-scan per batch
+    * dir (partition discovery restores the typed partition column),
+    * unioned. None when the manifest is empty. */
+  private def assembleManifest(spark: SparkSession, tableDir: String,
+      entries: Seq[String]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else Some(entries.groupBy(e => e.splitAt(e.lastIndexOf('/') + 1)._1)
+      .toSeq.sortBy(_._1)
+      .map { case (parent, es) =>
+        val base = if (parent.isEmpty) tableDir else s"$tableDir/${parent.stripSuffix("/")}"
+        spark.read.option("basePath", base)
+          .parquet(es.map(e => s"$tableDir/$e"): _*)
+      }
+      .reduce(_ unionByName _))
+
+  private def segmentOf(entry: String): String =
+    entry.substring(entry.lastIndexOf('/') + 1)
+  private def topSegmentOf(entry: String): String = entry.split("/").head
+
+  private def manifestNumbers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.startsWith("manifest-") =>
+        java.lang.Long.parseLong(st.getPath.getName.stripPrefix("manifest-"))
+    }
+  private def batchNumbers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("b-") =>
+        java.lang.Long.parseLong(st.getPath.getName.stripPrefix("b-"))
+    }
+
+  /** Raw (sidecar-free) small-file write via FileContext — see the
+    * checksum-sidecar note in [[publishSnapshot]]. */
+  private def writeRaw(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
+      path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
+    val out = fc.create(path,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Atomic `_current` pointer swap (temp write + rename-OVERWRITE via
+    * FileContext; stale checksum sidecars dropped first). */
+  private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path, content: String, stamp: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$stamp")
+    writeRaw(uri, conf, tmp, content)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "._current.crc"), false)
+    org.apache.hadoop.fs.FileContext.getFileContext(uri, conf).rename(
+      tmp, new org.apache.hadoop.fs.Path(root, "_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Small-file compaction: rewrite a parquet table dir into
@@ -160,16 +334,7 @@ object Sources {
     // reader then validates the new pointer against the stale sidecar
     // and fails with a checksum error. FileContext writes raw (no
     // sidecar); any sidecar left by an older writer is dropped first.
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$next")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(vdir.getBytes("UTF-8")) finally out.close()
-    fs.delete(new org.apache.hadoop.fs.Path(root, "._current.crc"), false)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    swapPointer(fs, uri, conf, root, vdir, next)
     // prune: keep the new version plus the TWO most recent previous
     // ones (a reader that resolved the pointer may still be scanning;
     // two publish cycles of slack is the retention window — the same

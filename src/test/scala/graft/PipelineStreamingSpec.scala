@@ -116,7 +116,7 @@ class SourcesSpec extends SparkSpec {
     Sources.publishMergePartitioned(spark, dir, incoming,
       TableConfig("t", Seq("id"), Seq.empty), "center")
 
-    val back = spark.read.parquet(dir).collect()
+    val back = Sources.readMergePartitioned(spark, dir, "center").collect()
       .map(r => r.getAs[Long]("id") -> (r.getAs[String]("center"), r.getAs[Double]("v"))).toMap
     assert(back == Map(
       1L -> ("c1", 11.0), 2L -> ("c1", 20.0), 5L -> ("c1", 50.0),
@@ -125,6 +125,62 @@ class SourcesSpec extends SparkSpec {
     val afterFiles = new java.io.File(s"$dir/center=c3").listFiles()
       .map(f => f.getName -> f.lastModified).toMap
     assert(afterFiles == untouchedFiles)
+  }
+
+  test("partitioned MERGE publish never exposes a mid-rewrite or mixed table to a concurrent reader") {
+    import graft.types.TableConfig
+    val dir = Files.createTempDirectory("graft_pmerge_conc").toString + "/table"
+    // partitions p=0..3, 25 ids each; every publish rewrites p=1..3
+    // with a single new constant v — a consistent observation is
+    // exactly one v across all of p=1..3, p=0 byte-stable, 100 rows
+    def batch(v: Double, ps: Seq[Int]): org.apache.spark.sql.DataFrame =
+      ps.flatMap(p => (0 until 25).map(i => (p * 100L + i, p, v)))
+        .toDF("id", "p", "v")
+    batch(0.0, Seq(0, 1, 2, 3)).write.partitionBy("p").parquet(dir)
+    val cfg = TableConfig("t", Seq("id"), Seq.empty)
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    def liveManifest(): Long =
+      try {
+        val src = scala.io.Source.fromFile(s"$dir/_current", "UTF-8")
+        try src.mkString.trim.stripPrefix("manifest-").toLong finally src.close()
+      } catch { case _: Throwable => 0L }
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        val resolvedAtLeast = liveManifest() // lower bound on what the read resolves
+        try {
+          val rows = Sources.readMergePartitioned(spark, dir, "p").collect()
+          if (rows.length != 100)
+            failure = Some(s"partial table: ${rows.length} rows")
+          else {
+            val vs = rows.filter(_.getAs[Int]("p") != 0).map(_.getAs[Double]("v")).distinct
+            val v0 = rows.filter(_.getAs[Int]("p") == 0).map(_.getAs[Double]("v")).distinct
+            if (vs.length != 1)
+              failure = Some(s"mixed partitions: saw versions ${vs.sorted.mkString(",")}")
+            else if (v0.toSeq != Seq(0.0))
+              failure = Some(s"untouched partition changed: $v0")
+          }
+        } catch {
+          case e: Throwable =>
+            // a resolved manifest must stay readable until two further
+            // publishes complete (same retention contract as the
+            // snapshot reader spec); only a reader lagging 3+ manifests
+            // behind the live pointer may see pruning
+            if (liveManifest() - resolvedAtLeast < 3)
+              failure = Some(s"reader failed inside the retention window: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    for (v <- 1 to 4 if failure.isEmpty)
+      Sources.publishMergePartitioned(spark, dir, batch(v.toDouble, Seq(1, 2, 3)), cfg, "p")
+    stop = true
+    reader.join(60000)
+    assert(failure.isEmpty, failure.getOrElse(""))
+    // end state: live manifest reads v=4 on p=1..3, v=0 on p=0
+    val fin = Sources.readMergePartitioned(spark, dir, "p").collect()
+    assert(fin.length == 100)
+    assert(fin.filter(_.getAs[Int]("p") != 0).forall(_.getAs[Double]("v") == 4.0))
   }
 
   test("S6/S7 real-path JDBC scan round-trips with predicate pushdown (embedded Derby)") {
