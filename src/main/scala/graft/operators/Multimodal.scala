@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing for training-data
   * pipelines.
   *
-  * Media travels as an opaque `binary` column plus typed metadata —
-  * the schema, partitioning and batch shape are the real, tested part.
-  * The decode kernels are STUBBED with deterministic fakes (this
-  * container has no image/audio libraries): `decodeStub` derives
-  * "features" from a hash of the bytes, so plans, shuffles and joins
-  * behave exactly as they would with a real decoder plugged into
-  * [[mapBatches]].
+  * Media travels as an opaque `binary` column plus typed metadata.
+  * IMAGE payloads are decoded for real via `javax.imageio` (PNG/JPEG/
+  * GIF/BMP in any JRE): decoded width/height and deterministic
+  * channel-statistic features come from actual pixels. Payloads
+  * ImageIO cannot decode — audio/video (no JRE codecs), or image rows
+  * whose bytes aren't an image — fall back to deterministic
+  * hash-derived features, so plans, shuffles and joins behave
+  * identically either way and the whole path stays oracle-checkable
+  * through the md5 checksum column.
   *
   * Scale design: decode work is per-row and embarrassingly parallel —
   * `mapPartitions` over the binary column keeps each media blob on one
@@ -37,6 +39,9 @@ object Multimodal {
       kind: String,
       n_bytes: Int,
       checksum: Long,
+      decoded: Boolean,        // true iff a real decoder produced the row
+      decoded_width: Int,      // 0 when not decodable
+      decoded_height: Int,
       features: Array[Float])  // fixed-dim feature vector
 
   /** Build a media table from any binary source column. */
@@ -49,10 +54,45 @@ object Multimodal {
       lit(mime).as("mime"),
       lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
 
+  /** Real image decode: `javax.imageio` over the payload bytes.
+    * Returns (width, height, deterministic pixel-statistic features):
+    * per-channel means and a luma mean (exact integer accumulation,
+    * one IEEE division each, scaled to [-1, 1]) followed by
+    * dimension-normalized width/height — the feature shape a CLIP-ish
+    * embedder would fill with the same plumbing. None when the bytes
+    * are not a decodable image (wrong kind, corrupt file, or a codec
+    * the JRE lacks — audio/video land here by construction). */
+  private[operators] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >>> 16) & 0xFF; gs += (p >>> 8) & 0xFF; bs += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          def mean(s: Long) = ((s.toDouble / n) / 255.0 * 2 - 1).toFloat
+          val base = Array(mean(rs), mean(gs), mean(bs),
+            mean((rs * 299 + gs * 587 + bs * 114) / 1000),
+            math.min(w, 4096).toFloat / 4096 * 2 - 1,
+            math.min(h, 4096).toFloat / 4096 * 2 - 1)
+          (w, h, Array.tabulate(dim)(i => if (i < base.length) base(i) else 0f))
+        }
+    } catch { case _: Throwable => None }
+
   /** The batched decode shape: partition-local iteration, one output
-    * row per media row. A real decoder (JNI/OpenCV/ffmpeg) drops in
-    * here; the stub derives a deterministic 8-dim feature vector from
-    * the payload hash so downstream plans are fully exercisable. */
+    * row per media row. Image rows go through the REAL
+    * [[decodeImage]] kernel; undecodable payloads fall back to
+    * deterministic hash-derived features so the batch never fails and
+    * downstream plans are identical either way. */
   def mapBatches(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -66,10 +106,17 @@ object Multimodal {
         md.reset()
         val checksum = md.digest(bytes).take(7)
           .foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL))
-        // ??? real decode goes here — deterministic fake features:
-        val feats = Array.tabulate(dim)(i =>
-          (((checksum >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2 - 1)
-        MediaFeatures(r.media_id, r.kind, bytes.length, checksum, feats)
+        val real = if (r.kind == "image") decodeImage(bytes, dim) else None
+        real match {
+          case Some((w, h, feats)) =>
+            MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
+              decoded = true, w, h, feats)
+          case None =>
+            val feats = Array.tabulate(dim)(i =>
+              (((checksum >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2 - 1)
+            MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
+              decoded = false, 0, 0, feats)
+        }
       }
     }
   }

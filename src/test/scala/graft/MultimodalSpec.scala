@@ -25,6 +25,49 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == feats(1L).getAs[Long]("checksum"))
   }
 
+  test("real javax.imageio decode: synthetic PNGs yield true dimensions and pixel stats") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val red = png(4, 2, 0xFF0000)     // solid red 4x2
+    val blue = png(3, 5, 0x0000FF)    // solid blue 3x5
+    val rows = Seq(
+      (1L, "image", red), (2L, "image", blue),
+      (3L, "image", "not an image".getBytes("UTF-8")), // corrupt: fallback
+      (4L, "audio", red))                              // wrong kind: fallback
+      .toDF("id", "kind", "payload")
+    val media = rows.select(col("id").as("media_id"), col("kind"),
+      col("payload"), lit("x").as("mime"), lit(0).as("width"),
+      lit(0).as("height"), lit(0L).as("duration_ms"))
+    val out = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("decoded"))
+    assert(out(1L).getAs[Int]("decoded_width") == 4 &&
+      out(1L).getAs[Int]("decoded_height") == 2)
+    val f1 = out(1L).getAs[scala.collection.Seq[Float]]("features")
+    assert(f1(0) == 1.0f && f1(1) == -1.0f && f1(2) == -1.0f) // pure red channel means
+    assert(f1.length == 8)
+
+    assert(out(2L).getAs[Boolean]("decoded"))
+    assert(out(2L).getAs[Int]("decoded_width") == 3 &&
+      out(2L).getAs[Int]("decoded_height") == 5)
+    val f2 = out(2L).getAs[scala.collection.Seq[Float]]("features")
+    assert(f2(0) == -1.0f && f2(1) == -1.0f && f2(2) == 1.0f)
+
+    // undecodable payloads and non-image kinds fall back, never fail
+    assert(!out(3L).getAs[Boolean]("decoded") &&
+      out(3L).getAs[Int]("decoded_width") == 0)
+    assert(!out(4L).getAs[Boolean]("decoded"))
+    // checksum is payload-derived regardless of decode path
+    assert(out(4L).getAs[Long]("checksum") == out(1L).getAs[Long]("checksum"))
+  }
+
   test("frame sampling explodes one row per sampled frame") {
     val vid = Seq((1L, "video", Array[Byte](1), "video/mp4", 0, 0, 1000L))
       .toDF("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
