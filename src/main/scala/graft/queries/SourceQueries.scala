@@ -98,6 +98,45 @@ object SourceQueries {
       Sources.readSnapshot(s, dir).orderBy("doc_id")
     },
 
+    // S6/S7 JDBC under the oracle: supplier rows loaded into an
+    // EMBEDDED Derby database (in-JVM, Spark ships the driver), read
+    // back through the pushdown JDBC scan — the whole
+    // parquet → JDBC insert → WHERE-pushed scan round trip is
+    // hash-gated against DuckDB re-deriving the same rows from the
+    // parquet table directly. Derby upper-cases identifiers, so the
+    // result columns are re-aliased to the oracle's names.
+    QueryDef.sql(
+      "q_jdbc_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_nationkey < 13
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val url = s"jdbc:derby:memory:graft_${new java.io.File(d).getName};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE supplier")
+        catch { case _: java.sql.SQLException => } // first run: no table
+        st.execute("CREATE TABLE supplier (s_suppkey BIGINT, " +
+          "s_name VARCHAR(64), s_nationkey INT, s_acctbal DOUBLE)")
+        val ps = conn.prepareStatement("INSERT INTO supplier VALUES (?,?,?,?)")
+        Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .collect().foreach { r => // dimension-sized: 1k rows at sf0.1
+            ps.setLong(1, r.getAs[Long]("s_suppkey"))
+            ps.setString(2, r.getAs[String]("s_name"))
+            ps.setInt(3, r.getAs[Int]("s_nationkey"))
+            ps.setDouble(4, r.getAs[Double]("s_acctbal"))
+            ps.addBatch()
+          }
+        ps.executeBatch()
+      } finally conn.close()
+      Sources.readJdbc(s, url, "supplier")
+        .filter(col("s_nationkey") < 13) // pushed into Derby's WHERE
+        .select(col("s_suppkey").as("s_suppkey"), col("s_name").as("s_name"),
+          col("s_nationkey").as("s_nationkey"), col("s_acctbal").as("s_acctbal"))
+        .orderBy("s_suppkey")
+    },
+
     // Partitioned MERGE under the gate: seed a p=o_orderkey%4
     // partitioned table with `current`, merge an incoming batch that
     // touches ONLY partitions 1-3 (dynamic partition overwrite), read
