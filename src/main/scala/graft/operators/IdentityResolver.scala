@@ -80,7 +80,38 @@ object IdentityResolver {
       candidates: DataFrame,
       registry: Registry,
       deterministicMint: Boolean,
-      groupingIterations: Int): DataFrame = {
+      groupingIterations: Int): DataFrame =
+    resolve(candidates, registry, deterministicMint, groupingIterations,
+      skewSaltThreshold = 2000000L, skewSalt = 32)
+
+  /** Diagnostic (spec-visible): whether the LAST resolve() call routed
+    * the registry join through the salted fallback. */
+  @volatile private[graft] var lastResolveUsedSaltedJoin: Boolean = false
+
+  /** As the 4-arg [[resolve]], with the skew fallback explicit.
+    *
+    * SCALING.md names hot identifiers as the risk for the J1 registry
+    * join: one identifier carried by millions of batch rows lands a
+    * whole shuffle partition on one task. `skewSaltThreshold` arms a
+    * HOT-KEY PROBE — one map-side-combining count over the batch's
+    * normalized identifiers (batch-sized, never registry-sized) — and
+    * when the hottest identifier reaches the threshold the join runs
+    * through [[SkewJoin.saltedEquiJoin]] instead: the probe side
+    * salts on `request_id` (deterministic xxhash64, no rand()), the
+    * registry build side explodes `skewSalt`-fold, output identical,
+    * hot key spread over `skewSalt` partitions. Pass
+    * `skewSaltThreshold <= 0` to disable the probe (plain join,
+    * zero extra jobs). AQE's skew-join split stays on either way;
+    * this fallback covers the aggregation-side skew AQE cannot
+    * re-split (the groupBy("_nid") inside the probe handles its own
+    * skew via partial aggregation). */
+  def resolve(
+      candidates: DataFrame,
+      registry: Registry,
+      deterministicMint: Boolean,
+      groupingIterations: Int,
+      skewSaltThreshold: Long,
+      skewSalt: Int): DataFrame = {
 
     val cand = candidates.select(
       col("request_id"), col("center_id"),
@@ -97,10 +128,22 @@ object IdentityResolver {
       col("created_at").as("_created_at"),
       coalesce(col("withdrawn"), lit(false)).as("_withdrawn"))
 
-    // J1: center-agnostic, case-insensitive registry match
-    val matches = cand.select(col("request_id"), col("center_id").as("_req_center"), col("_nid"))
-      .join(li, "_nid")
-      .join(subj, "_gsid")
+    // J1: center-agnostic, case-insensitive registry match — with the
+    // hot-key probe + salted fallback described on the overload
+    val probeSide = cand.select(
+      col("request_id"), col("center_id").as("_req_center"), col("_nid"))
+    val useSalted = skewSaltThreshold > 0 && {
+      val hottest = cand.groupBy("_nid").agg(count(lit(1)).as("c"))
+        .agg(max("c")).first()
+      !hottest.isNullAt(0) && hottest.getLong(0) >= skewSaltThreshold
+    }
+    lastResolveUsedSaltedJoin = useSalted
+    val matches =
+      (if (useSalted)
+        SkewJoin.saltedEquiJoin(probeSide, li, "_nid", skewSalt,
+          probeSaltSource = col("request_id"))
+      else probeSide.join(li, "_nid"))
+        .join(subj, "_gsid")
 
     // _n_matches = size(_matched): the collect_set is already the
     // distinct (created_at, gsid) set and created_at is functionally

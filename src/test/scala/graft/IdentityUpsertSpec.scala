@@ -57,6 +57,32 @@ class IdentityResolverSpec extends SparkSpec {
     assert(out(4L).getAs[String]("conflict_resolution") == "used_oldest")
   }
 
+  test("hot-key probe routes a 70%-hot batch through the salted join, output identical") {
+    // 700 of 1000 requests carry ONE identifier (the SCALING.md hot-key
+    // scenario); the probe must arm the salted fallback and the result
+    // must be indistinguishable from the plain join
+    val cands = ((1 to 700).map(i => (i.toLong, 5, "HOT-1", "primary")) ++
+      (701 to 1000).map(i => (i.toLong, 5, s"COLD-$i", "primary")))
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val hotReg = reg(
+      subjects = Seq(("G-HOT", 5, "2019-01-01")),
+      localIds = Seq((5, "hot-1", "primary", "G-HOT")))
+
+    def rows(threshold: Long) =
+      resolve(cands, hotReg, deterministicMint = true, groupingIterations = 2,
+        skewSaltThreshold = threshold, skewSalt = 8)
+        .collect().map(_.toSeq).toSet
+
+    val plain = rows(threshold = 0) // probe disabled → plain join
+    assert(!IdentityResolver.lastResolveUsedSaltedJoin)
+    val salted = rows(threshold = 100) // 700 ≥ 100 → salted path
+    assert(IdentityResolver.lastResolveUsedSaltedJoin)
+    assert(salted == plain && salted.nonEmpty)
+    // a cold batch under the same threshold stays on the plain join
+    rows(threshold = 701)
+    assert(!IdentityResolver.lastResolveUsedSaltedJoin)
+  }
+
   test("center 0 never conflicts (unknown-center ladder)") {
     val out = resolveMap(Seq(
       (1L, 0, "Solo-1", "primary"),   // incoming unknown vs real 7 → no conflict
