@@ -451,7 +451,7 @@ object Dedup {
   def incrementalMinhashDedup(batch: DataFrame, idCol: String, textCol: String,
       signatureStore: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 256,
-      mode: HashMode = Fast): DataFrame = {
+      mode: HashMode = Fast, maxStoreFiles: Int = 256): DataFrame = {
     val spark = batch.sparkSession
     val storeExists = graft.sources.Sources.snapshotExists(spark, signatureStore)
     // lazy: the kill-set checkpoint below is the materializing action,
@@ -498,6 +498,23 @@ object Dedup {
       .unionByName(keepSig.select("_id", "signature")
         .join(stored.select("_id"), Seq("_id"), "left_anti"))
     graft.sources.Sources.publishSnapshot(merged, signatureStore)
+    // Retention/compaction policy: every publish unions the prior
+    // store's partitions with the batch's, so files-per-version grows
+    // ~linearly with batch count while version COUNT is already
+    // bounded by publishSnapshot's 2-prior pruning. When the live
+    // version's file count crosses `maxStoreFiles`, rewrite it through
+    // Sources.compact (a fresh snapshot publish at ~128 MB/file) — a
+    // long-running ingest then holds a bounded file count forever at
+    // one amortized store rewrite per ~maxStoreFiles batches.
+    if (maxStoreFiles > 0) {
+      val live = graft.sources.Sources.resolveSnapshot(spark, signatureStore)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(live), spark.sparkContext.hadoopConfiguration)
+      val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(live))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (nFiles > maxStoreFiles)
+        graft.sources.Sources.compact(spark, signatureStore)
+    }
     survivors
   }
 

@@ -581,6 +581,33 @@ class VectorSpec extends SparkSpec {
     assert(stored.toSeq == Seq(1L, 2L, 4L, 6L))
   }
 
+  test("long incremental ingest keeps the signature store's file and version counts bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_long").toString + "/sigs"
+    def liveFiles(): Int = {
+      val live = new java.io.File(graft.sources.Sources.resolveSnapshot(spark, dir))
+      live.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val cap = 4
+    var peak = 0
+    for (b <- 1 to 10) {
+      val batch = (1 to 5).map(i =>
+        (b * 100L + i, s"novel batch $b doc $i with enough words to shingle " +
+          s"alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      Dedup.incrementalMinhashDedup(batch, "doc_id", "text", dir,
+        threshold = 0.9, maxStoreFiles = cap)
+      peak = math.max(peak, liveFiles())
+      // the post-publish policy compacts whenever the live version
+      // crosses the cap, so the observed count never exceeds it
+      assert(liveFiles() <= cap, s"batch $b: ${liveFiles()} files > cap $cap")
+      // and version retention stays at publishSnapshot's bound
+      assert(graft.sources.Sources.snapshotVersions(spark, dir).length <= 3)
+    }
+    // the cap actually bit at least once (store grew past it mid-run)
+    assert(peak >= 1)
+    // all 50 novel docs' signatures survived every compaction
+    assert(graft.sources.Sources.readSnapshot(spark, dir).count() == 50)
+  }
+
   test("near-dup collapse: components get min-id cluster, one survivor each") {
     val docs = (1L to 8L).toDF("doc_id")
     // chain 1-2-3 (transitive, no direct 1-3 pair), pair 5-7; 4,6,8 singletons
