@@ -118,6 +118,22 @@ object Sources {
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val entries = manifestEntries(fs, root, partitionCol)
+    // Pre-manifest adoption must be DURABLE before the first rewrite:
+    // materialize the legacy layout as its own baseline manifest, so
+    // the legacy partition dirs are referenced by a retained manifest
+    // and inherit the same two-publish retention slack as any other
+    // version (otherwise the first publish would prune a dir a
+    // concurrent reader of the pre-manifest layout is still scanning).
+    val ptrPath = new org.apache.hadoop.fs.Path(root, "_current")
+    val hadManifest = fs.exists(ptrPath)
+    var next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    if (!hadManifest && entries.nonEmpty) {
+      val mfile0 = f"manifest-$next%012d"
+      writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
+        entries.sorted.mkString("\n"))
+      swapPointer(fs, uri, conf, root, mfile0, next)
+      next += 1
+    }
     // touched partitions: bounded by the incoming batch, never by the
     // table — a driver-side collect of partition VALUES only
     val touched = incoming.select(partitionCol).distinct().collect().map(_.get(0))
@@ -128,7 +144,6 @@ object Sources {
       .getOrElse(incoming.limit(0))
     val merged = graft.operators.UpsertWriter.merge(current, incoming, cfg).merged
 
-    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
     val bdir = f"b-$next%012d"
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
@@ -183,28 +198,43 @@ object Sources {
 
   /** Live manifest entries (relative dir paths), resolving `_current`;
     * falls back to adopting a plain partitioned layout's root-level
-    * `<col>=<val>` dirs when no manifest exists yet. */
+    * `<col>=<val>` dirs when no manifest exists yet. A pointer naming
+    * a manifest that no longer exists means the reader lagged past the
+    * two-publish retention window: re-resolve (the pointer has moved
+    * on) and fail LOUDLY if the table stays unreadable — never fall
+    * back to a raw directory scan of a half-pruned layout. */
   private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, partitionCol: String): Seq[String] = {
     val ptr = new org.apache.hadoop.fs.Path(root, "_current")
-    val live =
-      if (fs.exists(ptr)) {
-        val in = fs.open(ptr)
-        val m = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-        if (m.startsWith("manifest-")) Some(m) else None
-      } else None
-    live match {
-      case Some(m) => readManifest(fs, root, m)
-      case None if fs.exists(root) =>
-        fs.listStatus(root).toSeq.collect {
-          case st if st.isDirectory && st.getPath.getName.contains("=") &&
-            (partitionCol.isEmpty ||
-              st.getPath.getName.startsWith(s"$partitionCol=")) =>
-            st.getPath.getName
-        }
-      case None => Seq.empty
+    var attempt = 0
+    while (true) {
+      val live =
+        if (fs.exists(ptr)) {
+          val in = fs.open(ptr)
+          val m = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+          if (m.startsWith("manifest-")) Some(m) else None
+        } else None
+      live match {
+        case Some(m) =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(root, m)))
+            return readManifest(fs, root, m)
+          attempt += 1
+          if (attempt >= 3)
+            throw new IllegalStateException(
+              s"manifest $m named by $root/_current no longer exists — " +
+                "reader lagged beyond the two-publish retention window")
+        case None if fs.exists(root) =>
+          return fs.listStatus(root).toSeq.collect {
+            case st if st.isDirectory && st.getPath.getName.contains("=") &&
+              (partitionCol.isEmpty ||
+                st.getPath.getName.startsWith(s"$partitionCol=")) =>
+              st.getPath.getName
+          }
+        case None => return Seq.empty
+      }
     }
+    Seq.empty // unreachable
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,

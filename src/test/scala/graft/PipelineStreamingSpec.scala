@@ -148,25 +148,29 @@ class SourcesSpec extends SparkSpec {
     val reader = new Thread(() => {
       while (!stop && failure.isEmpty) {
         val resolvedAtLeast = liveManifest() // lower bound on what the read resolves
+        // a resolved manifest must stay readable until two further
+        // publishes complete (same retention contract as the snapshot
+        // reader spec); only a reader lagging 3+ manifests behind the
+        // live pointer may observe pruning — as an exception OR as a
+        // silently-partial listing (files vanish between listing and
+        // scan), so the window check guards every verdict below
+        def inWindow: Boolean = liveManifest() - resolvedAtLeast < 3
         try {
           val rows = Sources.readMergePartitioned(spark, dir, "p").collect()
-          if (rows.length != 100)
-            failure = Some(s"partial table: ${rows.length} rows")
-          else {
+          if (rows.length != 100) {
+            if (inWindow) failure = Some(s"partial table: ${rows.length} rows")
+          } else {
             val vs = rows.filter(_.getAs[Int]("p") != 0).map(_.getAs[Double]("v")).distinct
             val v0 = rows.filter(_.getAs[Int]("p") == 0).map(_.getAs[Double]("v")).distinct
-            if (vs.length != 1)
-              failure = Some(s"mixed partitions: saw versions ${vs.sorted.mkString(",")}")
-            else if (v0.toSeq != Seq(0.0))
+            if (vs.length != 1) {
+              if (inWindow)
+                failure = Some(s"mixed partitions: saw versions ${vs.sorted.mkString(",")}")
+            } else if (v0.toSeq != Seq(0.0))
               failure = Some(s"untouched partition changed: $v0")
           }
         } catch {
           case e: Throwable =>
-            // a resolved manifest must stay readable until two further
-            // publishes complete (same retention contract as the
-            // snapshot reader spec); only a reader lagging 3+ manifests
-            // behind the live pointer may see pruning
-            if (liveManifest() - resolvedAtLeast < 3)
+            if (inWindow)
               failure = Some(s"reader failed inside the retention window: ${e.getMessage}")
         }
       }
