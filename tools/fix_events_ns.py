@@ -4,9 +4,14 @@ INT64 nanos back to parquet timestamp[ns] (Spark cannot write NANOS;
 the driver's generator does). Values are reinterpreted, not converted,
 so both engines see the exact timestamps the int64 encoded.
 
+Also removes Hadoop local-FS ``.crc`` sidecars for rewritten files:
+they hold checksums of the ORIGINAL bytes, and a stale sidecar makes
+every later Spark read fail with ChecksumException.
+
 Usage: python3 tools/fix_events_ns.py <events.parquet dir>
 """
 import glob
+import os
 import sys
 
 import pyarrow as pa
@@ -23,6 +28,10 @@ def main():
             t = t.set_column(i, "ts", ts)
             pq.write_table(t, f, use_deprecated_int96_timestamps=False,
                            coerce_timestamps=None)
+            crc = os.path.join(os.path.dirname(f),
+                               "." + os.path.basename(f) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
             print(f"rewrote {f}")
 
 
