@@ -368,5 +368,53 @@ object IdentityQueries {
           countDistinct("gsid").as("n_distinct_gsids"),
           sum(when(col("requires_review"), 1L).otherwise(0L)).as("n_review"))
         .orderBy("action")
+    },
+
+    // F17 CHAINED note append under the gate: withdraw() appends a
+    // dated reason BELOW whatever review_notes a subject already
+    // carries (routes.py:159-182's COALESCE(review_notes || E'\n', '')
+    // || msg). Every 5th 'S' subject withdraws (every 10th with a
+    // reason); suppkeys with s_suppkey % 55 = 5 already carry
+    // 'flagged during load', so the oracle must reproduce the
+    // two-line newline concat byte-for-byte — and suppkeys ≡ 3 (mod 7)
+    // that withdraw twice must stay withdrawn.
+    QueryDef.sql(
+      "q_identity_notes_append",
+      """WITH subjects AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         s_suppkey % 7 = 3 AS withdrawn,
+        |         s_suppkey % 11 = 5 AS flagged_for_review,
+        |         CASE WHEN s_suppkey % 11 = 5 THEN 'flagged during load' END AS review_notes
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'GSID-' || upper(substr(md5('X' || CAST(s_suppkey AS VARCHAR)), 1, 16)),
+        |         FALSE, FALSE, NULL
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |w AS (
+        |  SELECT 'GSID-' || upper(substr(md5('S' || CAST(s_suppkey AS VARCHAR)), 1, 16)) AS gsid,
+        |         'Withdrawn on 2024-08-01' ||
+        |           CASE WHEN s_suppkey % 10 = 0
+        |                THEN '. Reason: consent revoked #' || CAST(s_suppkey AS VARCHAR)
+        |                ELSE '' END AS note
+        |  FROM supplier WHERE s_suppkey % 5 = 0)
+        |SELECT s.gsid AS global_subject_id,
+        |  s.withdrawn OR w.note IS NOT NULL AS withdrawn,
+        |  s.flagged_for_review,
+        |  CASE WHEN w.note IS NULL THEN s.review_notes
+        |       WHEN s.review_notes IS NULL THEN w.note
+        |       ELSE s.review_notes || chr(10) || w.note END AS review_notes
+        |FROM subjects s LEFT JOIN w ON w.gsid = s.gsid
+        |ORDER BY global_subject_id""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val gS = Gsid.deterministic(concat(lit("S"), col("s_suppkey").cast("string")))
+      val withdrawals = sup.filter(col("s_suppkey") % 5 === 0)
+        .select(gS.as("global_subject_id"),
+          when(col("s_suppkey") % 10 === 0,
+            concat(lit("consent revoked #"), col("s_suppkey").cast("string")))
+            .cast("string").as("reason"))
+      IdentityResolver.withdraw(flaggedRegistry(s, d).subjects, withdrawals,
+          java.sql.Date.valueOf("2024-08-01"))
+        .select("global_subject_id", "withdrawn", "flagged_for_review", "review_notes")
+        .orderBy("global_subject_id")
     })
 }

@@ -364,6 +364,43 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // §2.11 foreachBatch + MERGE sink under the gate: events are split
+    // into 4 parquet files and streamed file-at-a-time
+    // (maxFilesPerTrigger=1) through a REAL StreamingQuery whose every
+    // micro-batch runs UpsertWriter.merge against the snapshot table
+    // and republishes it atomically (EventStream.mergeSink). Keys
+    // (event_id) are disjoint across micro-batches, so the final
+    // snapshot equals the batch union in whatever order the file
+    // source schedules them — which is what lets DuckDB oracle a
+    // streaming sink at all. The update path of the same merge is
+    // hash-gated separately (q_upsert_merged).
+    QueryDef.sql(
+      "q_stream_merge_sink",
+      """SELECT event_id, ts, user_id, event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(root)) {
+          val all = Files.walk(root).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      ev.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = graft.streaming.EventStream.mergeSink(stream, s"$root/table",
+        graft.types.TableConfig("events_stream", Seq("event_id"), Nil),
+        s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.Sources.readSnapshot(s, s"$root/table")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
     // S4/S5: the DSv2 REST source end-to-end (in-JVM fake pages; rows
     // come from executor-side page fetches, one partition per page).
     // DuckDB cannot call the page client, but the synthetic client is a
