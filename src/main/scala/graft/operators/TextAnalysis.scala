@@ -97,6 +97,62 @@ object TextAnalysis {
     (lenScore + stopScore + punctPen + wlScore) * 0.25
   }
 
+  /** Gopher quality-filter battery (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * appendix A1.1 — the published heuristic rules):
+    * 50 ≤ words ≤ 100k · mean word length in [3,10] · symbol-to-word
+    * ratio (# and ...) < 0.1 · <90% bullet-initial lines · <30%
+    * ellipsis-terminated lines · >80% words with an alphabetic char ·
+    * ≥2 distinct required stopwords (the/be/to/of/and/that/have/with).
+    *
+    * Every ratio threshold is applied by INTEGER cross-multiplication
+    * (e.g. `10*symbols < words` for "< 0.1") so the verdict is exact —
+    * no IEEE division anywhere — which keeps the whole battery
+    * hash-gateable. Raw counts are emitted alongside the verdicts so
+    * the gate pins the arithmetic even where this corpus makes a rule
+    * degenerate (single-line synthetic docs: the line rules trivially
+    * pass and are additionally spec-pinned on multi-line fixtures).
+    * Scale shape: pure codegen'd per-row expressions, zero shuffle. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    def occurrences(needle: String): Column =
+      ((length(text) - length(replace(text, lit(needle), lit("")))) /
+        lit(needle.length)).cast("int")
+    df.select(
+        col(idCol),
+        size(toks).as("n_words"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("n_chars"),
+        (occurrences("#") + occurrences("...")).as("n_sym"),
+        size(lines).as("n_lines"),
+        size(filter(lines, l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+          .as("n_bullet"),
+        size(filter(lines, l =>
+          l.endsWith("...") || l.endsWith("…"))).as("n_ellipsis"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).as("n_alpha"),
+        GopherStopwords.map(w =>
+          when(exists(toks, t => lower(t) === w), 1).otherwise(0))
+          .reduce(_ + _).as("stop_hits"))
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_word_len",
+        lit(3) * col("n_words") <= col("n_chars") &&
+          col("n_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol_ratio", lit(10) * col("n_sym") < col("n_words"))
+      .withColumn("r_bullet", lit(10) * col("n_bullet") < lit(9) * col("n_lines"))
+      .withColumn("r_ellipsis", lit(10) * col("n_ellipsis") < lit(3) * col("n_lines"))
+      .withColumn("r_alpha", lit(5) * col("n_alpha") > lit(4) * col("n_words"))
+      .withColumn("r_stopwords", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+  }
+
   /** Language marker words; counted with the replace-length trick so
     * the oracle reproduces counts exactly. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -88,6 +88,60 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher quality-filter battery (Rae et al. 2021, appendix A1.1)
+    // with the paper's thresholds, applied by integer cross-
+    // multiplication (no IEEE division) — raw counts are emitted so
+    // the hash pins the arithmetic even where this single-line
+    // synthetic corpus makes a rule degenerate (line rules pass
+    // trivially here; multi-line behavior is spec-pinned).
+    QueryDef.sql(
+      "q_text_gopher",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksDuck) AS INT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform($toksDuck, x -> length(x))), 0)
+         |         AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS INT)
+         |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS INT)
+         |      AS n_sym,
+         |    CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))
+         |         AS INT) AS n_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '' AND
+         |      (starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '•'))))
+         |         AS INT) AS n_bullet,
+         |    CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '' AND
+         |      (ends_with(l, '...') OR ends_with(l, '…')))) AS INT) AS n_ellipsis,
+         |    CAST(len(list_filter($toksDuck, x -> regexp_matches(x, '[A-Za-z]')))
+         |         AS INT) AS n_alpha,
+         |    CAST(list_contains(list_transform($toksDuck, x -> lower(x)), 'the')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'be')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'to')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'of')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'and')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'that')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'have')::INT
+         |       + list_contains(list_transform($toksDuck, x -> lower(x)), 'with')::INT
+         |       AS INT) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_chars, n_sym, n_lines, n_bullet, n_ellipsis,
+         |  n_alpha, stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+         |  3*n_words <= n_chars AND n_chars <= 10*n_words AS r_mean_word_len,
+         |  10*n_sym < n_words AS r_symbol_ratio,
+         |  10*n_bullet < 9*n_lines AS r_bullet,
+         |  10*n_ellipsis < 3*n_lines AS r_ellipsis,
+         |  5*n_alpha > 4*n_words AS r_alpha,
+         |  stop_hits >= 2 AS r_stopwords,
+         |  (n_words BETWEEN 50 AND 100000) AND 3*n_words <= n_chars
+         |    AND n_chars <= 10*n_words AND 10*n_sym < n_words
+         |    AND 10*n_bullet < 9*n_lines AND 10*n_ellipsis < 3*n_lines
+         |    AND 5*n_alpha > 4*n_words AND stop_hits >= 2 AS keep
+         |FROM m
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql(
       "q_text_langid", {
         def cnt(m: String) =

@@ -16,6 +16,29 @@ class TextAnalysisSpec extends SparkSpec {
       one(TextAnalysis.fingerprint($"text"), "hello world"))
   }
 
+  test("gopher rules: multi-line bullet/ellipsis paths and the full verdict") {
+    // the oracle corpus is single-line, so the line rules are pinned
+    // here: 10 lines, 9+ bullets fails r_bullet; 3+/10 ellipsis ends
+    // fails r_ellipsis; a long plain doc passes everything
+    val goodBody = (1 to 60).map(i => s"word$i has the rules and that").mkString(" ")
+    val bullets = (1 to 9).map(i => s"- item $i").mkString("\n") + "\nplain line"
+    val dots = (1 to 3).map(i => s"line $i trails off...").mkString("\n") +
+      "\n" + (1 to 7).map(i => s"line $i is fine").mkString("\n")
+    val df = Seq((1L, goodBody), (2L, bullets), (3L, dots)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val good = out(0)
+    assert(good.getAs[Boolean]("r_word_count") && good.getAs[Boolean]("r_bullet") &&
+      good.getAs[Boolean]("r_ellipsis") && good.getAs[Boolean]("r_stopwords") &&
+      good.getAs[Boolean]("keep"))
+    val bl = out(1)
+    assert(bl.getAs[Int]("n_lines") == 10 && bl.getAs[Int]("n_bullet") == 9)
+    assert(!bl.getAs[Boolean]("r_bullet") && !bl.getAs[Boolean]("keep"))
+    val el = out(2)
+    assert(el.getAs[Int]("n_lines") == 10 && el.getAs[Int]("n_ellipsis") == 3)
+    assert(!el.getAs[Boolean]("r_ellipsis") && !el.getAs[Boolean]("keep"))
+  }
+
   test("hashed model score: exact integer logit, linear in repeats, bounded") {
     val one = Seq("hello").toDF("text")
       .select(TextAnalysis.hashedModelLogit($"text").as("l")).collect()(0).getLong(0)
