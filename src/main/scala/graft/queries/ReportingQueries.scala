@@ -410,6 +410,97 @@ object ReportingQueries {
       a.unionByName(b).orderBy("check_name")
     },
 
+    // Deequ-style declarative constraint suite compiled into ONE
+    // aggregation pass over orders: conditional sums + exact
+    // count-distincts, exploded to a (check_name, target, violations,
+    // passed) report. Mixed pass/fail by construction: o_orderkey is
+    // unique, o_custkey is not; status 'P' violates the enum; prices
+    // overflow 300k but not 500k.
+    QueryDef.sql(
+      "q_audit_constraints",
+      """SELECT * FROM (
+        |  SELECT 'in_range' AS check_name, 'o_totalprice[0.0,300000.0]' AS target,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |                  OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations,
+        |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |             OR o_totalprice > 300000 THEN 1 ELSE 0 END) = 0 AS passed
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice[0.0,500000.0]',
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |                  OR o_totalprice > 500000 THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |             OR o_totalprice > 500000 THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus{O|F}',
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL
+        |                  OR o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_orderstatus IS NULL
+        |             OR o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null', 'o_custkey',
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'row_count', '[1000,1000000000]',
+        |    CASE WHEN COUNT(*) BETWEEN 1000 AND 1000000000
+        |         THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+        |    COUNT(*) BETWEEN 1000 AND 1000000000
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_custkey',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT),
+        |    COUNT(*) - COUNT(DISTINCT o_custkey) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+        |  FROM orders)
+        |ORDER BY check_name, target""".stripMargin) { (s, d) =>
+      import graft.operators.Constraints
+      import graft.operators.Constraints._
+      Constraints.check(Tables.orders(s, d), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        Unique(Seq("o_custkey")),
+        InSet("o_orderstatus", Seq("O", "F")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InRange("o_totalprice", 0.0, 500000.0),
+        RowCountBetween(1000L, 1000000000L)))
+    },
+
+    // Materialized-view delta merge (IncrementalAgg): per-customer
+    // aggregate state initialized from pre-1995 orders is folded
+    // forward with the post-1995 delta WITHOUT rescanning the base;
+    // the oracle is the full-recompute GROUP BY — component
+    // associativity (count/exact-DECIMAL-sum/min/max) makes
+    // incremental ≡ full, which is the whole point of the operator.
+    QueryDef.sql(
+      "q_agg_incremental",
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      val orders = Tables.orders(s, d)
+      val split = lit("1995-01-01").cast("timestamp")
+      val base = orders.filter(col("o_orderdate") < split)
+      val delta = orders.filter(col("o_orderdate") >= split)
+      val state = IncrementalAgg.partial(base, Seq("o_custkey"), "o_totalprice")
+      IncrementalAgg.merge(state, delta, Seq("o_custkey"), "o_totalprice")
+        .select(col("o_custkey"), col("agg_n").cast("long").as("n"),
+          col("agg_sum").cast("double").as("total"),
+          col("agg_min").as("mn"), col("agg_max").as("mx"))
+        .orderBy("o_custkey")
+    },
+
     // Volume anomaly detection: per-type daily counts scored by
     // z-score against the type's own distribution. Mean/variance come
     // from exact integer sums (n, n²) with one fixed expression shape

@@ -270,3 +270,54 @@ class RangeJoinSpec extends SparkSpec {
       p.take(600))
   }
 }
+
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+  import Constraints._
+
+  test("constraint suite: one pass, exact counts, mixed verdicts") {
+    val df = Seq(
+      (1L, Some("a"), 5.0), (2L, Some("b"), 15.0), (3L, None, 5.0), (3L, Some("z"), -1.0))
+      .toDF("k", "s", "v")
+    val out = Constraints.check(df, Seq(
+      NotNull("s"), Unique(Seq("k")), InSet("s", Seq("a", "b")),
+      InRange("v", 0.0, 10.0), RowCountBetween(1L, 3L)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet == Set(
+      ("not_null", "s", 1L, false),          // one null s
+      ("unique", "k", 1L, false),            // k=3 twice -> 1 surplus row
+      ("in_set", "s{a|b}", 2L, false),       // null + 'z'
+      ("in_range", "v[0.0,10.0]", 2L, false), // 15.0 and -1.0
+      ("row_count", "[1,3]", 1L, false)))    // 4 rows > 3
+  }
+
+  test("constraint suite compiles to a single aggregation pass") {
+    val df = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val plan = Constraints.check(df, Seq(NotNull("s"), InRange("v", 0.0, 1.0),
+      RowCountBetween(0L, 10L))).queryExecution.optimizedPlan.toString
+    // no Unique constraints declared => no Expand, exactly one Aggregate chain
+    assert(!plan.contains("Expand"), plan.take(400))
+  }
+}
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("three maintenance rounds equal one full recompute, schema stays fixed") {
+    val facts = (1 to 100).map(i => (i % 7L, i * 1.5)).toDF("k", "v")
+    val slices = Seq(
+      facts.filter($"v" <= 50), facts.filter($"v" > 50 && $"v" <= 100),
+      facts.filter($"v" > 100))
+    val s0 = IncrementalAgg.partial(slices.head, Seq("k"), "v")
+    val state = slices.tail.foldLeft(s0)((st, delta) =>
+      IncrementalAgg.merge(st, delta, Seq("k"), "v"))
+    val full = IncrementalAgg.partial(facts, Seq("k"), "v")
+    // re-normalized DECIMAL(28,2) each round (nullability may differ:
+    // a merged sum is nullable where a fresh count is not)
+    assert(state.schema.map(f => (f.name, f.dataType)) ==
+      full.schema.map(f => (f.name, f.dataType)))
+    val a = state.orderBy("k").collect().map(_.toSeq).toSeq
+    val b = full.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
