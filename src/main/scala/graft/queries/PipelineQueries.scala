@@ -204,8 +204,16 @@ object PipelineQueries {
       val links2 = IdentityResolver.links(batch2, res2, reg1.localIds)
       val reg2 = IdentityResolver.applyBatch(reg1, res2, links2,
         java.sql.Date.valueOf("2024-07-01"))
+      // "what did this scenario mint/update" must be selected
+      // STRUCTURALLY (anti-join against the pre-scenario registry),
+      // not by created_at: the base registry's synthetic dates
+      // (2020-01-01 + s_suppkey days) overtake 2024-06-01 once
+      // supplier grows past ~1600 rows (sf >= 1), and a date filter
+      // would leak base subjects into the output.
+      val baseGsids = IdentityQueries.registry(s, d).subjects
+        .select("global_subject_id")
       reg2.subjects
-        .filter(col("created_at") >= lit("2024-06-01").cast("date"))
+        .join(baseGsids, Seq("global_subject_id"), "left_anti")
         .select(col("global_subject_id"),
           col("center_id").cast("int").as("center_id"),
           date_format(col("created_at"), "yyyy-MM-dd").as("created_at"),

@@ -71,6 +71,15 @@ object GenScale {
       .drop("_k"), "customer")
     write(fanned(supplier)
       .withColumn("s_suppkey", col("s_suppkey") + col("_k") * suppSpan)
+      // s_name is the identity fixtures' registry identifier
+      // (local_subject_id) and the driver's generator keeps it unique
+      // per supplier — shifted copies must re-mint it too, or every
+      // identifier arrives as a factor-way duplicate and
+      // identifier-keyed merges measure a different (degenerate)
+      // workload (q_upsert_local_ids caught this at sf1)
+      .withColumn("s_name",
+        when(col("_k") === 0, col("s_name"))
+          .otherwise(concat(col("s_name"), lit("~"), col("_k"))))
       .drop("_k"), "supplier")
     write(fanned(part)
       .withColumn("p_partkey", col("p_partkey") + col("_k") * partSpan)
