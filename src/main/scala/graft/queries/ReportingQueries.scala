@@ -501,6 +501,26 @@ object ReportingQueries {
         .orderBy("o_custkey")
     },
 
+    // Per-key top-k through the bounded TopKRows typed aggregate
+    // (size-k heap, map-side partial agg, ≤k rows per key per
+    // partition on the wire) — the oracle is the row_number() window
+    // formulation it replaces at scale; (score DESC, tie ASC) is a
+    // total order so the two agree row-for-row.
+    QueryDef.sql(
+      "q_topk_per_key",
+      """SELECT o_custkey, "rank", o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS "rank"
+        |  FROM orders)
+        |WHERE "rank" <= 3
+        |ORDER BY o_custkey, "rank"""".stripMargin) { (s, d) =>
+      graft.operators.TopK.perKey(Tables.orders(s, d), Seq("o_custkey"),
+          "o_totalprice", "o_orderkey", Nil, k = 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rank")
+    },
+
     // Volume anomaly detection: per-type daily counts scored by
     // z-score against the type's own distribution. Mean/variance come
     // from exact integer sums (n, n²) with one fixed expression shape

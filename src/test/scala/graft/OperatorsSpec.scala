@@ -321,3 +321,36 @@ class IncrementalAggSpec extends SparkSpec {
     assert(a == b)
   }
 }
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.expressions.Window
+
+  test("bounded top-k equals the window formulation and partial-aggregates") {
+    val orders = Tables.orders(spark, sf001)
+    val fast = TopK.perKey(orders, Seq("o_custkey"), "o_totalprice", "o_orderkey", Nil, 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val slow = orders.withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    assert(fast.orderBy("o_custkey", "rank").collect().toSeq ==
+      slow.orderBy("o_custkey", "rank").collect().toSeq)
+    // the scale property: an ObjectHashAggregate pair (partial map-side,
+    // final post-shuffle), NOT a whole-input window sort
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(plan.contains("partial_top_k_rows"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("heap orders (score DESC, tie ASC), payload rides along") {
+    val df = Seq((1L, 5.0, 10L, "a"), (1L, 5.0, 9L, "b"),
+      (1L, 7.0, 99L, "c"), (1L, 1.0, 1L, "d")).toDF("k", "score", "id", "tag")
+    val out = TopK.perKey(df, Seq("k"), "score", "id", Seq("tag"), 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("tag")).toSeq == Seq("c", "b", "a"))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+}
