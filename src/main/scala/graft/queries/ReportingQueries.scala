@@ -521,6 +521,30 @@ object ReportingQueries {
         .orderBy("o_custkey", "rank")
     },
 
+    // EXACT heavy hitters via Misra-Gries sketch-then-verify
+    // (HeavyHitters.exact): the sketch's order-dependent extras are
+    // eliminated by the exact recount, so the output is precisely
+    // {v : freq(v)*20 > n} and the oracle is a plain GROUP BY +
+    // HAVING. The value is a deterministic Zipf-like residue
+    // (o_orderkey % ((o_orderkey % 32)+1): residue 0 carries ~12.7%
+    // of the mass, descending) — 32 distinct values against a
+    // 20-counter sketch, so eviction and the coverage guarantee are
+    // genuinely exercised.
+    QueryDef.sql(
+      "q_heavy_hitters",
+      """WITH w AS (SELECT CAST(o_orderkey % ((o_orderkey % 32) + 1) AS VARCHAR)
+        |             AS value FROM orders),
+        |t AS (SELECT COUNT(*) AS n FROM w),
+        |c AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY value)
+        |SELECT value, n FROM c
+        |WHERE n * 20 > (SELECT n FROM t)
+        |ORDER BY value""".stripMargin) { (s, d) =>
+      val skewed = Tables.orders(s, d).select(
+        (col("o_orderkey") % ((col("o_orderkey") % 32) + 1)).as("v"))
+      graft.operators.HeavyHitters.exact(skewed, "v", sketchK = 20, thresholdK = 20)
+        .orderBy("value")
+    },
+
     // Volume anomaly detection: per-type daily counts scored by
     // z-score against the type's own distribution. Mean/variance come
     // from exact integer sums (n, n²) with one fixed expression shape

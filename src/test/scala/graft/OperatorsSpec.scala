@@ -354,3 +354,36 @@ class TopKSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
 }
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact heavy hitters equal brute force, invariant to partitioning") {
+    // 100 distinct values, sketch of 10: heavy value "hot" at ~25%,
+    // "warm" at ~12%; everything else spread thin
+    val rows = (1 to 4000).map { i =>
+      if (i % 4 == 0) "hot" else if (i % 8 == 1) "warm" else s"v${i % 97}"
+    }
+    val brute = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 10 > rows.size }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.createDataset(rows).toDF("v").repartition(parts)
+      val out = HeavyHitters.exact(df, "v", sketchK = 10, thresholdK = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == brute, s"parts=$parts")
+    }
+  }
+
+  test("threshold below the sketch guarantee is rejected") {
+    val df = Seq("a").toDF("v")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exact(df, "v", sketchK = 10, thresholdK = 50)
+    }: Unit
+  }
+
+  test("nulls are excluded from counts and total") {
+    val df = (Seq.fill(60)(Some("x")) ++ Seq.fill(40)(None)).toDF("v")
+    val out = HeavyHitters.exact(df, "v", sketchK = 4, thresholdK = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 60L)))
+  }
+}
