@@ -545,6 +545,53 @@ object ReportingQueries {
         .orderBy("value")
     },
 
+    // BIG × BIG fuzzy string join (FuzzyJoin.trigramJoin): supplier
+    // names vs a dirty copy (one char deleted at a key-dependent
+    // position) matched by trigram Jaccard over DISCRIMINATIVE grams —
+    // stop-gram cap 40 removes the 'supplier#0'-style boilerplate
+    // every name shares, so candidates come from the rare digit-region
+    // grams (posting-list equi-join, never a nested loop). The oracle
+    // replays gram extraction, the cap, and the Jaccard arithmetic.
+    QueryDef.sql(
+      "q_fuzzy_join",
+      """WITH l AS (SELECT s_suppkey AS lid, lower(s_name) AS s FROM supplier),
+        |r AS (SELECT s_suppkey AS rid,
+        |        lower(concat(substr(s_name, 1, (s_suppkey % 10) + 1),
+        |                     substr(s_name, (s_suppkey % 10) + 3))) AS s
+        |      FROM supplier WHERE s_suppkey % 3 = 0),
+        |lg AS (SELECT DISTINCT lid AS id, substr(s, i, 3) AS g
+        |       FROM l, UNNEST(range(1, greatest(len(s)-1, 1))) AS t(i)
+        |       WHERE len(s) >= 3),
+        |rg AS (SELECT DISTINCT rid AS id, substr(s, i, 3) AS g
+        |       FROM r, UNNEST(range(1, greatest(len(s)-1, 1))) AS t(i)
+        |       WHERE len(s) >= 3),
+        |pl AS (SELECT g, COUNT(*) AS c
+        |       FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg) GROUP BY g),
+        |keep AS (SELECT g FROM pl WHERE c <= 40),
+        |lk AS (SELECT lg.* FROM lg JOIN keep USING (g)),
+        |rk AS (SELECT rg.* FROM rg JOIN keep USING (g)),
+        |ls AS (SELECT id AS left_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM lk GROUP BY id),
+        |rs AS (SELECT id AS right_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM rk GROUP BY id),
+        |co AS (SELECT lk.id AS left_id, rk.id AS right_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM lk JOIN rk USING (g) GROUP BY 1, 2)
+        |SELECT left_id, right_id, n_common, n_a, n_b,
+        |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        |FROM co JOIN ls USING (left_id) JOIN rs USING (right_id)
+        |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+        |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val dirty = sup.filter(col("s_suppkey") % 3 === 0).select(
+        col("s_suppkey").as("rid"),
+        concat(
+          expr("substr(s_name, 1, (s_suppkey % 10) + 1)"),
+          expr("substr(s_name, (s_suppkey % 10) + 3)")).as("s"))
+      graft.operators.FuzzyJoin.trigramJoin(
+          sup, "s_suppkey", "s_name", dirty, "rid", "s",
+          threshold = 0.5, n = 3, stopGramCap = 40)
+        .orderBy("left_id", "right_id")
+    },
+
     // Volume anomaly detection: per-type daily counts scored by
     // z-score against the type's own distribution. Mean/variance come
     // from exact integer sums (n, n²) with one fixed expression shape

@@ -387,3 +387,28 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 60L)))
   }
 }
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deletion variant matches its source; boilerplate grams identify nothing") {
+    val left = Seq((1L, "ACME-alpha-7741"), (2L, "ACME-bravo-9925"), (3L, "ACME-alpha-8813"))
+      .toDF("id", "name")
+    val dirty = Seq((1L, "ACME-alpha-741"), (2L, "ACME-brvo-9925")).toDF("id", "name")
+    // cap 4 stops the 'acme-' prefix grams shared by all five strings
+    val out = FuzzyJoin.trigramJoin(left, "id", "name", dirty, "id", "name",
+        threshold = 0.5, stopGramCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("without a cap, jaccard is plain trigram jaccard") {
+    val l = Seq((1L, "abcdef")).toDF("id", "s")
+    val r = Seq((9L, "abcdez")).toDF("id", "s")
+    val row = FuzzyJoin.trigramJoin(l, "id", "s", r, "id", "s", threshold = 0.1)
+      .collect()(0)
+    // grams: abcd ef -> {abc,bcd,cde,def} vs {abc,bcd,cde,dez}: 3 of 5
+    assert(row.getLong(2) == 3L && row.getLong(3) == 4L && row.getLong(4) == 4L)
+    assert(row.getDouble(5) == 0.6)
+  }
+}
