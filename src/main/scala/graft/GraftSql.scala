@@ -22,6 +22,14 @@ object GraftSql {
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       args => graft.functions.CosineSim(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("top_k_rows",
+      args => graft.functions.TopKRows(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction("misra_gries",
+      args => graft.functions.MisraGries(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
     graft.functions.Similarity.register(spark)
   }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-evolution union: reconcile heterogeneous batches of the
+  * same logical table (a pipeline ingesting months of exports whose
+  * schema drifted — columns added/dropped, ints widened to longs,
+  * numerics to double) into ONE DataFrame on the WIDENED schema.
+  *
+  * Rules, applied column-by-column over the union of all column names
+  * in first-seen order:
+  *  - a column missing from a batch becomes typed nulls;
+  *  - numeric types widen along byte < short < int < long < float <
+  *    double (the usual numeric-promotion lattice — lossless except
+  *    long→double, which is the standard SQL promotion);
+  *  - DECIMAL widens by max(precision-scale) + max(scale) (never
+  *    drops digits); DECIMAL meeting float/double goes to double
+  *    (SQL's approximate-wins promotion);
+  *  - identical types pass through; anything else (string vs numeric,
+  *    struct vs atomic) throws — silent coercion of INCOMPATIBLE
+  *    drift is how bad loads disappear into a corpus.
+  *
+  * Purely a projection per batch + unionByName: zero shuffle, codegen
+  * throughout, scale-independent. */
+object SchemaEvolution {
+
+  private val numericRank: Map[DataType, Int] = Map(
+    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+    FloatType -> 4, DoubleType -> 5)
+
+  private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case _ if a == b => a
+    case (x: DecimalType, y: DecimalType) =>
+      val scale = math.max(x.scale, y.scale)
+      val whole = math.max(x.precision - x.scale, y.precision - y.scale)
+      DecimalType(math.min(whole + scale, DecimalType.MAX_PRECISION), scale)
+    // DECIMAL meets float/double at double — the standard SQL
+    // approximate-wins promotion
+    case (_: DecimalType, FloatType | DoubleType) => DoubleType
+    case (FloatType | DoubleType, _: DecimalType) => DoubleType
+    case _ if numericRank.contains(a) && numericRank.contains(b) =>
+      if (numericRank(a) >= numericRank(b)) a else b
+    case _ => throw new IllegalArgumentException(
+      s"incompatible schema drift: ${a.simpleString} vs ${b.simpleString}")
+  }
+
+  def unionEvolved(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "no batches")
+    // widened type per column name, names in first-seen order
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    batches.foreach(_.schema.fields.foreach { f =>
+      order.update(f.name, order.get(f.name).map(widen(_, f.dataType)).getOrElse(f.dataType))
+    })
+    val cols = order.toSeq
+    batches.map { b =>
+      val present = b.columns.toSet
+      b.select(cols.map { case (name, t) =>
+        if (present.contains(name)) col(name).cast(t).as(name)
+        else lit(null).cast(t).as(name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+}

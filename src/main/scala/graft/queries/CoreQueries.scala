@@ -133,5 +133,69 @@ object CoreQueries {
           probeSaltSource = col("l_orderkey"))
         .groupBy("n_name").agg(count(lit(1)).as("n"))
         .orderBy("n_name")
+    },
+
+    // Bloom-prefiltered semi-join (BloomJoin.semiJoin): probe rows are
+    // dropped against the build side's broadcast bloom BEFORE the
+    // shuffle; false positives die in the exact semi-join, so the
+    // oracle is the plain IN-subquery — bloom bit patterns can't leak
+    // into the result (no false negatives), only into shuffle volume.
+    QueryDef.sql(
+      "q_bloom_semi",
+      """WITH sel AS (SELECT o_orderkey FROM orders
+        |             WHERE o_orderstatus = 'P' AND o_totalprice > 400000)
+        |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM sel)
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "P" && col("o_totalprice") > 400000)
+      graft.operators.BloomJoin.semiJoin(
+          Tables.lineitem(s, d), "l_orderkey", sel, "o_orderkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")
+    },
+
+    // Schema-evolution union (SchemaEvolution.unionEvolved): three
+    // "export generations" of orders — ints that widened to longs,
+    // prices that moved to DECIMAL, a column added mid-history —
+    // reconciled onto the widened schema with typed nulls for the
+    // missing column. The oracle is DuckDB's UNION ALL BY NAME with
+    // the same casts.
+    QueryDef.sql(
+      "q_schema_evolution",
+      """SELECT * FROM (
+        |  SELECT o_orderkey, CAST(o_custkey AS INT) AS cust,
+        |         CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(NULL AS VARCHAR) AS status
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust,
+        |         CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(NULL AS VARCHAR) AS status
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |         o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.SchemaEvolution
+      val o = Tables.orders(s, d)
+      val gen1 = o.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey"), col("o_custkey").cast("int").as("cust"),
+        col("o_totalprice").as("price"))
+      val gen2 = o.filter(col("o_orderkey") % 3 === 1).select(
+        col("o_orderkey"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"))
+      val gen3 = o.filter(col("o_orderkey") % 3 === 2).select(
+        col("o_orderkey"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderstatus").as("status"))
+      SchemaEvolution.unionEvolved(Seq(gen1, gen2, gen3))
+        .withColumn("price", col("price").cast("double"))
+        .orderBy("o_orderkey")
     })
 }

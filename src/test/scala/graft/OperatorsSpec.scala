@@ -412,3 +412,47 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(row.getDouble(5) == 0.6)
   }
 }
+
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+
+  test("widen lattice: numerics, decimals, decimal-vs-double, incompatible throws") {
+    assert(SchemaEvolution.widen(IntegerType, LongType) == LongType)
+    assert(SchemaEvolution.widen(LongType, DoubleType) == DoubleType)
+    assert(SchemaEvolution.widen(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
+    assert(SchemaEvolution.widen(DecimalType(18, 2), DoubleType) == DoubleType)
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widen(StringType, LongType)
+    }: Unit
+  }
+
+  test("missing columns become typed nulls; first-seen column order wins") {
+    val a = Seq((1, "x")).toDF("k", "s")
+    val b = Seq((2L, 1.5)).toDF("k", "v")
+    val out = SchemaEvolution.unionEvolved(Seq(a, b))
+    assert(out.columns.toSeq == Seq("k", "s", "v"))
+    assert(out.schema("k").dataType == LongType)
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) && rows(1).getDouble(2) == 1.5)
+  }
+}
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom semi-join equals exact semi-join at coarse fpp") {
+    val probe = (1L to 2000L).toDF("k")
+    val build = (1L to 2000L).filter(_ % 13 == 0).toDF("b")
+    val exact = probe.join(build.select($"b".as("k")), Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    // even a 30% fpp bloom must give the exact answer — false
+    // positives die in the exact join
+    for (fpp <- Seq(0.3, 0.01)) {
+      val got = BloomJoin.semiJoin(probe, "k", build, "b", 200L, fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"fpp=$fpp")
+    }
+  }
+}
