@@ -205,8 +205,9 @@ object TextQueries {
     // n-gram Jaccard near-dup pairs (3-gram shingles, τ = 0.5).
     QueryDef.sql(
       "q_dedup_ngram_jaccard",
+      // sh AS MATERIALIZED: referenced three times (sizes + self-join)
       s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
          |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
          |       WHERE len(t) >= 3),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -230,8 +231,9 @@ object TextQueries {
     // same fixpoint the Spark loop reaches by label propagation.
     QueryDef.sql(
       "q_dedup_collapse",
+      // sh AS MATERIALIZED: referenced three times (sizes + self-join)
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
          |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
          |       WHERE len(t) >= 3),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -268,15 +270,20 @@ object TextQueries {
     // DedupSpec.
     QueryDef.sql(
       "q_dedup_minhash_lsh",
+      // sh/sig AS MATERIALIZED: both are multi-referenced, and DuckDB
+      // inlines plain CTEs per reference — the 64-way UNNEST expansion
+      // would otherwise recompute per reference and dominate the
+      // compare at sf1 (same hint as q_dedup_incremental; results
+      // identical)
       s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
          |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
          |       WHERE len(t) >= 3),
          |hs AS (SELECT doc_id,
          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT % ${1L << 53} AS h2m
          |       FROM sh),
-         |sig AS (SELECT doc_id, i, min(h1 + i * h2m) AS s
+         |sig AS MATERIALIZED (SELECT doc_id, i, min(h1 + i * h2m) AS s
          |        FROM hs, UNNEST(range(0, 64)) AS r(i) GROUP BY doc_id, i),
          |band AS (SELECT doc_id, i // 4 AS band_idx,
          |                string_agg(s::VARCHAR, ',' ORDER BY i) AS band_key
@@ -328,17 +335,23 @@ object TextQueries {
     // signature-agreement estimate and the kill rules — bit-for-bit.
     QueryDef.sql(
       "q_dedup_incremental",
+      // sh/sig/band are AS MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and sig (a 64-way UNNEST over every shingle) is
+      // referenced four times — inlined it recomputes a ~320M-row
+      // expansion each time and overruns any temp-dir budget at sf1;
+      // materialized it is 3.2M rows computed once (same results, pure
+      // optimizer hint)
       s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
          |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
          |       WHERE len(t) >= 3),
          |hs AS (SELECT doc_id,
          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT % ${1L << 53} AS h2m
          |       FROM sh),
-         |sig AS (SELECT doc_id, i, min(h1 + i * h2m) AS s
+         |sig AS MATERIALIZED (SELECT doc_id, i, min(h1 + i * h2m) AS s
          |        FROM hs, UNNEST(range(0, 64)) AS r(i) GROUP BY doc_id, i),
-         |band AS (SELECT doc_id, i // 4 AS band_idx,
+         |band AS MATERIALIZED (SELECT doc_id, i // 4 AS band_idx,
          |                string_agg(s::VARCHAR, ',' ORDER BY i) AS band_key
          |         FROM sig GROUP BY doc_id, i // 4),
          |b1band AS (SELECT * FROM band WHERE doc_id % 2 = 0),

@@ -36,6 +36,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # heavy sf1 oracles (minhash signatures) spill far past DuckDB's
+    # default temp-dir budget; give spill an explicit home and ceiling
+    con.execute("SET temp_directory = '/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size = '60GiB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (e.g. GenScale sf1)
