@@ -43,14 +43,37 @@ object AsOfJoin {
       leftTsCol: String, rightTsCol: String, payloadCols: Seq[String]): DataFrame =
     asOf(left, right, keys, leftTsCol, rightTsCol, payloadCols, fwd = true)
 
+  /** As [[backward]], but a match more than `toleranceMicros` BEFORE
+    * the left timestamp is discarded (pandas `merge_asof` tolerance).
+    * The latest-at-or-before row is the CLOSEST candidate, so if it
+    * misses the window every earlier row does too — tolerance is a
+    * post-condition on the matched row, same single-shuffle plan.
+    * Timestamp ts columns only (micros comparison). */
+  def backwardWithin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      toleranceMicros: Long): DataFrame =
+    asOf(left, right, keys, leftTsCol, rightTsCol, payloadCols, fwd = false,
+      toleranceMicros = Some(toleranceMicros))
+
+  /** Forward counterpart of [[backwardWithin]]: the next-at-or-after
+    * match is discarded if it lies more than `toleranceMicros` AFTER
+    * the left timestamp. */
+  def forwardWithin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      toleranceMicros: Long): DataFrame =
+    asOf(left, right, keys, leftTsCol, rightTsCol, payloadCols, fwd = true,
+      toleranceMicros = Some(toleranceMicros))
+
   private def asOf(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
-      fwd: Boolean): DataFrame = {
+      fwd: Boolean, toleranceMicros: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
-    val reserved = Seq("_ats", "_side", "_p")
+    val reserved = Seq("_ats", "_side", "_p", "_rts")
     require(reserved.intersect(leftCols ++ payloadCols ++ keys).isEmpty,
       s"column names $reserved are reserved by the as-of join")
 
@@ -58,9 +81,11 @@ object AsOfJoin {
     // atomically: a right row whose payload value is legitimately NULL
     // still wins the match (the struct itself is non-null) instead of
     // last(ignoreNulls) silently carrying an older row's value forward.
+    // The matched row's own ts rides along as _rts for the tolerance
+    // post-condition.
     val r = right.select(
       (keys.map(col) :+ col(rightTsCol).as("_ats")) :+
-        struct(payloadCols.map(col): _*).as("_p"): _*)
+        struct(payloadCols.map(col) :+ col(rightTsCol).as("_rts"): _*).as("_p"): _*)
       .withColumn("_side", lit(0))
     val l = left.withColumn("_ats", col(leftTsCol)).withColumn("_side", lit(1))
       .withColumn("_p", lit(null).cast(r.schema("_p").dataType))
@@ -74,6 +99,16 @@ object AsOfJoin {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col("_p")(c).as(c)): _*)
+      .select(leftCols.map(col) ++ {
+        val keep = toleranceMicros match {
+          case None => lit(true)
+          case Some(t) =>
+            val diff =
+              if (fwd) unix_micros(col("_p")("_rts")) - unix_micros(col("_ats"))
+              else unix_micros(col("_ats")) - unix_micros(col("_p")("_rts"))
+            diff <= t
+        }
+        payloadCols.map(c => when(keep, col("_p")(c)).otherwise(lit(null)).as(c))
+      }: _*)
   }
 }

@@ -592,6 +592,52 @@ object ReportingQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // Time-weighted average per user (telemetry semantics: a value
+    // holds until the next event, so it is weighted by its holding
+    // interval). Weights are FLOOR-MINUTES: with micros weights the
+    // exact weighted sum reaches ~1e18, past double's 2^53 exact-int
+    // range, and the two engines' DECIMAL→DOUBLE casts round a ULP
+    // apart — minute granularity keeps numerator and denominator
+    // exactly representable, so the ONE IEEE division hashes equal.
+    // Per-user window = one keyed shuffle.
+    QueryDef.sql(
+      "q_rep_time_weighted",
+      """WITH w AS (
+        |  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, CAST(value AS DECIMAL(18,2))) AS nts
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN nts IS NULL THEN 0
+        |        ELSE v * ((epoch_us(nts) - epoch_us(ts)) // 60000000) END) AS wsum,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS span
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id,
+        |  CASE WHEN span = 0 THEN NULL
+        |       ELSE CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE) END AS twa
+        |FROM a
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("nts", lead(col("ts"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("v"))))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("nts").isNull, lit(0).cast("decimal(38,2)"))
+            .otherwise(col("v") *
+              expr("(unix_micros(nts) - unix_micros(ts)) div 60000000")))
+            .as("wsum"),
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 60000000")
+            .as("span"))
+        .select(col("user_id"),
+          when(col("span") === 0, lit(null).cast("double"))
+            .otherwise(col("wsum").cast("double") / col("span").cast("double"))
+            .as("twa"))
+        .orderBy("user_id")
+    },
+
     // Volume anomaly detection: per-type daily counts scored by
     // z-score against the type's own distribution. Mean/variance come
     // from exact integer sums (n, n²) with one fixed expression shape

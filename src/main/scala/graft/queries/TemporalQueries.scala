@@ -41,6 +41,37 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // Tolerance as-of (pandas merge_asof tolerance): the latest
+    // purchase at-or-before each click counts only within 24h — the
+    // latest-before row is the CLOSEST, so tolerance is a
+    // post-condition on the matched row (same single-shuffle plan);
+    // DuckDB replays it as a CASE over its native ASOF.
+    QueryDef.sql(
+      "q_asof_tolerance",
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 1 DAY THEN p.purchase_id END
+        |    AS purchase_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 1 DAY THEN p.ts END AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .withColumn("purchase_ts", col("ts"))
+      AsOfJoin.backwardWithin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id", "purchase_ts"), toleranceMicros = 24L * 3600 * 1000000)
+        .orderBy("event_id")
+    },
+
     // Forward as-of: each click's NEXT purchase (smallest purchase ts
     // >= click ts) — gated against DuckDB's native forward ASOF
     // (c.ts <= p.ts). Same one-shuffle union+window plan, ts DESC.

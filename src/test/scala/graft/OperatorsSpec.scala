@@ -456,3 +456,23 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 }
+
+class AsOfToleranceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  private def tsDF2(rows: Seq[(Long, String)], tsName: String) =
+    rows.toDF("id", "_s").select($"id", $"_s".cast("timestamp").as(tsName))
+
+  test("tolerance discards a stale backward match but keeps a fresh one") {
+    val left = tsDF2(Seq((1L, "2024-01-01 12:00:00"), (2L, "2024-01-02 12:00:00")), "ts")
+      .withColumn("user", lit(7L))
+    val right = tsDF2(Seq((100L, "2024-01-01 11:30:00")), "rts")
+      .withColumn("user", lit(7L)).select($"user", $"rts", $"id".as("pid"))
+    val out = AsOfJoin.backwardWithin(left, right, Seq("user"), "ts", "rts",
+        Seq("pid"), toleranceMicros = 3600L * 1000000)
+      .orderBy("id").collect()
+    assert(out(0).getAs[java.lang.Long]("pid") == 100L) // 30 min old: kept
+    assert(out(1).isNullAt(out(1).fieldIndex("pid")))   // 25 h old: discarded
+  }
+}
