@@ -372,6 +372,45 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // The CUSTOM-STATE sessionizer (flatMapGroupsWithState) under the
+    // gate: in batch mode the per-user state is never flushed, so the
+    // emitted rows are every session EXCEPT each user's last — the
+    // oracle replays gaps-and-islands (strict > gap on MILLI-truncated
+    // diffs, matching Timestamp.getTime) and drops the final island
+    // per user. total_value is excluded from the projection (it sums
+    // doubles in arrival order — not an oracle-stable quantity).
+    QueryDef.sql(
+      "q_stream_sessions_state",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM e),
+        |s AS (SELECT user_id, island, min(ts) AS session_start,
+        |        max(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM g GROUP BY user_id, island),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY island DESC) AS rn FROM s)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM r WHERE rn > 1
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStream
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStream.Event]
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStream.Event](enc)
+      EventStream.sessionize(ev, gapMs = 3600L * 1000)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    },
+
     // §2.11 foreachBatch + MERGE sink under the gate: events are split
     // into 4 parquet files and streamed file-at-a-time
     // (maxFilesPerTrigger=1) through a REAL StreamingQuery whose every
