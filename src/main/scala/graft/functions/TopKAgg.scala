@@ -37,6 +37,21 @@ case class TopKRows(
 
   require(k > 0, s"k must be positive, got $k")
 
+  // checked post-analysis (child may be unresolved at construction):
+  // a SQL user's top_k_rows(struct(name, id), 3) must die with a
+  // readable analysis error, not a mid-task ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.length >= 2 &&
+          s.fields(0).dataType == org.apache.spark.sql.types.DoubleType &&
+          s.fields(1).dataType == org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "top_k_rows takes struct(score DOUBLE, tie BIGINT, payload...), " +
+            s"got ${other.simpleString}")
+    }
+
   private lazy val structType = child.dataType.asInstanceOf[StructType]
   private lazy val numFields = structType.length
 

@@ -50,7 +50,12 @@ object Constraints {
     case NotNull(c0) =>
       sum(when(df(c0).isNull, 1L).otherwise(0L))
     case Unique(cols) =>
-      count(lit(1)) - countDistinct(df(cols.head), cols.tail.map(df(_)): _*)
+      // distinct over the STRUCT, not the bare columns: SQL's
+      // count(DISTINCT a, b) silently drops rows where any column is
+      // null, which would count every null-keyed row as a violation;
+      // the struct wrapper is never null, so null field values compare
+      // as values (the documented semantics)
+      count(lit(1)) - countDistinct(struct(cols.map(df(_)): _*))
     case InSet(c0, allowed) =>
       sum(when(df(c0).isNull || !df(c0).isin(allowed.map(lit): _*), 1L).otherwise(0L))
     case InRange(c0, lo, hi) =>

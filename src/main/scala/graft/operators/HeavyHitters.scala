@@ -33,13 +33,19 @@ object HeavyHitters {
         "raise sketchK or lower thresholdK")
     val vals = df.select(col(valueCol).cast("string").as("value"))
       .filter(col("value").isNotNull)
-    val cands = vals.agg(MisraGries.candidates(col("value"), sketchK).as("_c"))
-      .select(explode(col("_c")).as("value"))
-    val total = vals.agg(count(lit(1)).as("_total"))
+    // candidates and the exact total ride the SAME one-row aggregate
+    // (genuinely two scans), and that single row — ≤ sketchK strings
+    // plus a count — is a bounded driver-side value by construction
+    val row = vals.agg(
+      MisraGries.candidates(col("value"), sketchK).as("_c"),
+      count(lit(1)).as("_total")).head()
+    val total = row.getLong(1)
+    val cands = df.sparkSession
+      .createDataset(row.getSeq[String](0))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value")
     vals.join(broadcast(cands), Seq("value"), "left_semi")
       .groupBy("value").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .filter(col("n") * thresholdK > col("_total"))
+      .filter(col("n") * thresholdK > total)
       .select("value", "n")
   }
 }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   *  - numeric types widen along byte < short < int < long < float <
   *    double (the usual numeric-promotion lattice — lossless except
   *    long→double, which is the standard SQL promotion);
-  *  - DECIMAL widens by max(precision-scale) + max(scale) (never
-  *    drops digits); DECIMAL meeting float/double goes to double
-  *    (SQL's approximate-wins promotion);
+  *  - DECIMAL widens by max(precision-scale) + max(scale), and throws
+  *    rather than cap past 38 digits (a capped cast with ANSI off
+  *    silently nulls overflowing values); DECIMAL meeting float/double
+  *    goes to double (SQL's approximate-wins promotion); an integral
+  *    meeting DECIMAL widens to the decimal that holds it exactly;
   *  - identical types pass through; anything else (string vs numeric,
   *    struct vs atomic) throws — silent coercion of INCOMPATIBLE
   *    drift is how bad loads disappear into a corpus.
@@ -30,16 +32,31 @@ object SchemaEvolution {
     ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
     FloatType -> 4, DoubleType -> 5)
 
+  // decimal digits needed to hold each integral type exactly
+  private val intDigits: Map[DataType, Int] = Map(
+    ByteType -> 3, ShortType -> 5, IntegerType -> 10, LongType -> 20)
+
   private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
     case _ if a == b => a
     case (x: DecimalType, y: DecimalType) =>
       val scale = math.max(x.scale, y.scale)
       val whole = math.max(x.precision - x.scale, y.precision - y.scale)
-      DecimalType(math.min(whole + scale, DecimalType.MAX_PRECISION), scale)
+      // loud, not lossy: silently capping precision would drop integer
+      // digits and (with ANSI off) turn overflowing values into nulls
+      require(whole + scale <= DecimalType.MAX_PRECISION,
+        s"decimal union needs DECIMAL(${whole + scale},$scale), past the " +
+          s"${DecimalType.MAX_PRECISION}-digit maximum — rescale the batches")
+      DecimalType(whole + scale, scale)
     // DECIMAL meets float/double at double — the standard SQL
     // approximate-wins promotion
     case (_: DecimalType, FloatType | DoubleType) => DoubleType
     case (FloatType | DoubleType, _: DecimalType) => DoubleType
+    // integral meets DECIMAL: widen to a decimal that holds the
+    // integral exactly (lossless SQL promotion)
+    case (d: DecimalType, i) if intDigits.contains(i) =>
+      widen(d, DecimalType(intDigits(i), 0))
+    case (i, d: DecimalType) if intDigits.contains(i) =>
+      widen(DecimalType(intDigits(i), 0), d)
     case _ if numericRank.contains(a) && numericRank.contains(b) =>
       if (numericRank(a) >= numericRank(b)) a else b
     case _ => throw new IllegalArgumentException(

@@ -14,6 +14,10 @@ import graft.types.MappingConfig
   * from data, so the projected columns are stable; rows-only check. */
 object PipelineQueries {
 
+  // q_stream_merge_sink's per-dataset streamed-table cache (see there)
+  private val streamMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Batch 1 of the evolution scenario (even custkeys, never-seen EV-
     * identifiers) folded into the supplier registry. A real pipeline
     * publishes the snapshot between batches (Sources.publishSnapshot);
@@ -427,22 +431,30 @@ object PipelineQueries {
         |FROM events
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
-      val root = java.nio.file.Files.createTempDirectory("graft_stream_merge")
-      sys.addShutdownHook {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(root)) {
-          val all = Files.walk(root).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
-        }
-      }: Unit
-      ev.repartition(4).write.mode("overwrite").parquet(s"$root/in")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-      val q = graft.streaming.EventStream.mergeSink(stream, s"$root/table",
-        graft.types.TableConfig("events_stream", Seq("event_id"), Nil),
-        s"$root/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      // one streamed table per (JVM, dataset dir): re-executions reuse
+      // the finished snapshot instead of leaving another events-sized
+      // temp copy + shutdown hook per run
+      val root = streamMergeCache.computeIfAbsent(d, _ => {
+        val r = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+        sys.addShutdownHook {
+          import java.nio.file.Files
+          import scala.jdk.CollectionConverters._
+          if (Files.exists(r)) {
+            val walk = Files.walk(r)
+            try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }: Unit
+        ev.repartition(4).write.mode("overwrite").parquet(s"$r/in")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$r/in")
+        val q = graft.streaming.EventStream.mergeSink(stream, s"$r/table",
+          graft.types.TableConfig("events_stream", Seq("event_id"), Nil),
+          s"$r/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        r
+      })
       graft.sources.Sources.readSnapshot(s, s"$root/table")
         .select("event_id", "ts", "user_id", "event_type")
         .orderBy("event_id")

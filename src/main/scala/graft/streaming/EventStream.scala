@@ -144,7 +144,11 @@ object EventStream {
 
     def fn(userId: Long, evts: Iterator[Event],
         state: GroupState[Session]): Iterator[Session] = {
-      val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // getNanos carries the sub-millisecond component getTime drops:
+      // without it, two same-user events inside one millisecond sort
+      // by event_id only, diverging from a full-precision (ts,
+      // event_id) order (the q_stream_sessions_state oracle's order)
+      val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       val out = Seq.newBuilder[Session]
       var cur = state.getOption
       for (e <- sorted) {

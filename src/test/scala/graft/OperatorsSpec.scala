@@ -291,6 +291,17 @@ class ConstraintsSpec extends SparkSpec {
       ("row_count", "[1,3]", 1L, false)))    // 4 rows > 3
   }
 
+  test("unique treats null keys as values, not as automatic violations") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val out = Constraints.check(df, Seq(Unique(Seq("k"))))
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((0L, true))) // {1, null, 2} are 3 distinct values
+    val dup = (Seq(Some(1L), None, None): Seq[Option[Long]]).toDF("k")
+    val out2 = Constraints.check(dup, Seq(Unique(Seq("k"))))
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(out2.toSeq == Seq((1L, false))) // two nulls ARE a duplicate
+  }
+
   test("constraint suite compiles to a single aggregation pass") {
     val df = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
     val plan = Constraints.check(df, Seq(NotNull("s"), InRange("v", 0.0, 1.0),
@@ -422,8 +433,15 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.widen(LongType, DoubleType) == DoubleType)
     assert(SchemaEvolution.widen(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
     assert(SchemaEvolution.widen(DecimalType(18, 2), DoubleType) == DoubleType)
+    assert(SchemaEvolution.widen(LongType, DecimalType(18, 2)) == DecimalType(22, 2))
+    assert(SchemaEvolution.widen(DecimalType(10, 0), IntegerType) == DecimalType(10, 0))
     intercept[IllegalArgumentException] {
       SchemaEvolution.widen(StringType, LongType)
+    }: Unit
+    // loud, not lossy: a union needing >38 digits throws instead of
+    // silently nulling overflowed values under non-ANSI casts
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widen(DecimalType(38, 0), DecimalType(10, 10))
     }: Unit
   }
 
