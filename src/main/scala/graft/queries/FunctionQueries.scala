@@ -202,5 +202,31 @@ object FunctionQueries {
           Gsid.base32(col("c_custkey"), 11).as("b32_id"),
           Gsid.base32(col("c_custkey") * lit(2654435761L), 5).as("b32_short"))
         .orderBy("c_custkey")
+    },
+
+    // The SQL surface end-to-end: tables registered as temp views +
+    // the engine's custom functions registered in the session's
+    // FunctionRegistry, driven entirely through spark.sql text — the
+    // path a SQL-first user of the engine takes. The custom codegen'd
+    // base32 expression rides inside a grouped aggregate; the oracle
+    // re-derives it with the shift/mask expansion.
+    QueryDef.sql(
+      "q_sql_surface", {
+        def b32(expr: String, len: Int): String =
+          (1 to len).map(i =>
+            s"substr('${Gsid.Alphabet}', CAST((($expr) >> ${5 * (len - i)}) & 31 AS INT) + 1, 1)")
+            .mkString(" || ")
+        s"""SELECT ${b32("o_custkey", 4)} AS code, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM orders
+           |GROUP BY 1
+           |ORDER BY code""".stripMargin
+      }) { (s, d) =>
+      graft.GraftSql.registerTables(s, d)
+      graft.GraftSql.registerFunctions(s)
+      s.sql("""SELECT base32_encode(o_custkey, 4) AS code,
+              |       CAST(COUNT(*) AS BIGINT) AS n
+              |FROM orders
+              |GROUP BY base32_encode(o_custkey, 4)
+              |ORDER BY code""".stripMargin)
     })
 }

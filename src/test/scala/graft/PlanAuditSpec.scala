@@ -175,4 +175,35 @@ class PlanAuditSpec extends SparkSpec {
     // single-partition window upstream of the final sort sees <= N rows
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("fuzzy join: candidates come from an equi-join on grams, never a loop") {
+    val p = planOf("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("bloom semi-join: probe prefilter sits below the exchange") {
+    val p = planOf("q_bloom_semi")
+    // plans print parents first, so "deeper than the shuffle" means
+    // the UDF prefilter appears AFTER the first Exchange in the text:
+    // the shuffle then carries only rows that passed the bloom
+    val firstExchange = p.indexOf("Exchange")
+    val filterAt = p.indexOf("UDF(")
+    assert(filterAt >= 0, p.take(1500))
+    if (firstExchange >= 0) assert(filterAt > firstExchange, p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("per-key top-k: ObjectHashAggregate pair, no Window, no global sort of input") {
+    val p = planOf("q_topk_per_key")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_top_k_rows"),
+      p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("heavy hitters recount: broadcast semi-join prunes before the aggregate") {
+    val p = planOf("q_heavy_hitters")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
