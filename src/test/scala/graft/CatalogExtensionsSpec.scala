@@ -25,6 +25,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(0).getString(0).matches(graft.functions.Gsid.FormatRegex))
     assert(rows(0).getString(1) == "10")
   }
+
+  test("top_k_rows and misra_gries aggregate through SQL") {
+    import spark.implicits._
+    graft.GraftSql.registerFunctions(spark)
+    Seq((1.0, 1L, "a"), (3.0, 2L, "b"), (2.0, 3L, "c"))
+      .toDF("s", "t", "p").createOrReplaceTempView("tk")
+    val top = spark.sql(
+      "SELECT top_k_rows(struct(s, t, p), 2) AS r FROM tk").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getString(2)) == Seq("b", "c")) // best first
+    // a singleton-only stream can legitimately empty a k=2 summary
+    // (every miss decrements); a > n/(k+1) value must survive
+    Seq("a", "a", "b", "a", "c", "a").toDF("p").createOrReplaceTempView("mgx")
+    val mg = spark.sql(
+      "SELECT misra_gries(p, 2) AS c FROM mgx").collect()(0).getSeq[String](0)
+    assert(mg.contains("a"), mg.toString)
+    // wrong input type dies at analysis, not mid-task
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_k_rows(struct(p, t), 2) FROM tk").collect()
+    }: Unit
+  }
 }
 
 class CatalogSpec extends SparkSpec {
