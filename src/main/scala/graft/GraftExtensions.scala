@@ -21,29 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("base32_encode"),
       new ExpressionInfo(classOf[Base32Encode].getName, "base32_encode"),
-      (args: Seq[Expression]) => args match {
-        case Seq(num, len) => Base32Encode(num,
-          len.eval().asInstanceOf[Number].intValue())
-        case other => throw new IllegalArgumentException(
-          s"base32_encode(num, length) takes 2 arguments, got ${other.size}")
-      }))
+      graft.functions.SqlBuilders.base32Encode))
     e.injectFunction((
       FunctionIdentifier("top_k_rows"),
       new ExpressionInfo(classOf[graft.functions.TopKRows].getName, "top_k_rows"),
-      (args: Seq[Expression]) => args match {
-        case Seq(child, k) => graft.functions.TopKRows(child,
-          k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
-        case other => throw new IllegalArgumentException(
-          s"top_k_rows(struct, k) takes 2 arguments, got ${other.size}")
-      }))
+      graft.functions.SqlBuilders.topKRows))
     e.injectFunction((
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries"),
-      (args: Seq[Expression]) => args match {
-        case Seq(child, k) => graft.functions.MisraGries(child,
-          k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
-        case other => throw new IllegalArgumentException(
-          s"misra_gries(value, k) takes 2 arguments, got ${other.size}")
-      }))
+      graft.functions.SqlBuilders.misraGries))
   }
 }

@@ -18,18 +18,13 @@ object GraftSql {
     reg.createOrReplaceTempFunction("gen_gsid",
       _ => graft.functions.GenerateGsid(), "built-in")
     reg.createOrReplaceTempFunction("base32_encode",
-      args => graft.functions.Base32Encode(args.head,
-        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      graft.functions.SqlBuilders.base32Encode, "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       args => graft.functions.CosineSim(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("top_k_rows",
-      args => graft.functions.TopKRows(args.head,
-        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+      graft.functions.SqlBuilders.topKRows, "built-in")
     reg.createOrReplaceTempFunction("misra_gries",
-      args => graft.functions.MisraGries(args.head,
-        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+      graft.functions.SqlBuilders.misraGries, "built-in")
     graft.functions.Similarity.register(spark)
   }
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** The ONE place the engine's SQL-function builders live — used by
+  * both the temp-function registry (`GraftSql.registerFunctions`) and
+  * the `SparkSessionExtensions` injection path (`GraftExtensions`),
+  * so argument parsing and error messages cannot drift between the
+  * two registration surfaces. */
+object SqlBuilders {
+
+  /** A literal non-null integer argument, or a readable error — never
+    * an NPE (NULL k) or ClassCastException (string k). */
+  private def literalInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Number, _) if v != null => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal integer, got ${other.sql}")
+  }
+
+  private def arity(fn: String, sig: String, n: Int)(
+      args: Seq[Expression]): Seq[Expression] = {
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$fn$sig takes $n arguments, got ${args.size}")
+    args
+  }
+
+  val base32Encode: Seq[Expression] => Expression = args0 => {
+    val args = arity("base32_encode", "(num, length)", 2)(args0)
+    Base32Encode(args.head, literalInt(args(1), "base32_encode", "length"))
+  }
+
+  val topKRows: Seq[Expression] => Expression = args0 => {
+    val args = arity("top_k_rows", "(struct, k)", 2)(args0)
+    TopKRows(args.head, literalInt(args(1), "top_k_rows", "k"))
+      .toAggregateExpression()
+  }
+
+  val misraGries: Seq[Expression] => Expression = args0 => {
+    val args = arity("misra_gries", "(value, k)", 2)(args0)
+    MisraGries(args.head, literalInt(args(1), "misra_gries", "k"))
+      .toAggregateExpression()
+  }
+}

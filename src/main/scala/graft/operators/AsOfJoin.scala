@@ -73,7 +73,8 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
-    val reserved = Seq("_ats", "_side", "_p", "_rts")
+    val reserved = Seq("_ats", "_side", "_p") ++
+      (if (toleranceMicros.isDefined) Seq("_rts") else Nil)
     require(reserved.intersect(leftCols ++ payloadCols ++ keys).isEmpty,
       s"column names $reserved are reserved by the as-of join")
 
@@ -81,11 +82,15 @@ object AsOfJoin {
     // atomically: a right row whose payload value is legitimately NULL
     // still wins the match (the struct itself is non-null) instead of
     // last(ignoreNulls) silently carrying an older row's value forward.
-    // The matched row's own ts rides along as _rts for the tolerance
-    // post-condition.
+    // Only the tolerance variants need the matched row's own ts (_rts)
+    // — the plain join doesn't pay for it on the wire.
+    val payloadStruct =
+      if (toleranceMicros.isDefined)
+        struct(payloadCols.map(col) :+ col(rightTsCol).as("_rts"): _*)
+      else struct(payloadCols.map(col): _*)
     val r = right.select(
       (keys.map(col) :+ col(rightTsCol).as("_ats")) :+
-        struct(payloadCols.map(col) :+ col(rightTsCol).as("_rts"): _*).as("_p"): _*)
+        payloadStruct.as("_p"): _*)
       .withColumn("_side", lit(0))
     val l = left.withColumn("_ats", col(leftTsCol)).withColumn("_side", lit(1))
       .withColumn("_p", lit(null).cast(r.schema("_p").dataType))

@@ -34,18 +34,19 @@ object HeavyHitters {
     val vals = df.select(col(valueCol).cast("string").as("value"))
       .filter(col("value").isNotNull)
     // candidates and the exact total ride the SAME one-row aggregate
-    // (genuinely two scans), and that single row — ≤ sketchK strings
-    // plus a count — is a bounded driver-side value by construction
-    val row = vals.agg(
+    // (genuinely two scans): the lazy localCheckpoint materializes that
+    // row once, on first action — the operator stays lazy like every
+    // other DataFrame-in/DataFrame-out operator here, both consumers
+    // below share the single sketch job, and the checkpoint pins the
+    // candidate set against a source that changes between passes
+    val sketch = vals.agg(
       MisraGries.candidates(col("value"), sketchK).as("_c"),
-      count(lit(1)).as("_total")).head()
-    val total = row.getLong(1)
-    val cands = df.sparkSession
-      .createDataset(row.getSeq[String](0))(org.apache.spark.sql.Encoders.STRING)
-      .toDF("value")
+      count(lit(1)).as("_total")).localCheckpoint(false)
+    val cands = sketch.select(explode(col("_c")).as("value"))
     vals.join(broadcast(cands), Seq("value"), "left_semi")
       .groupBy("value").agg(count(lit(1)).as("n"))
-      .filter(col("n") * thresholdK > total)
+      .crossJoin(broadcast(sketch.select("_total")))
+      .filter(col("n") * thresholdK > col("_total"))
       .select("value", "n")
   }
 }

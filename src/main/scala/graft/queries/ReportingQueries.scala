@@ -453,13 +453,13 @@ object ReportingQueries {
         |  FROM orders
         |  UNION ALL
         |  SELECT 'unique', 'o_custkey',
-        |    CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT),
-        |    COUNT(*) - COUNT(DISTINCT o_custkey) = 0
+        |    CAST(COUNT(*) - COUNT(DISTINCT ROW(o_custkey)) AS BIGINT),
+        |    COUNT(*) - COUNT(DISTINCT ROW(o_custkey)) = 0
         |  FROM orders
         |  UNION ALL
         |  SELECT 'unique', 'o_orderkey',
-        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
-        |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+        |    CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT),
+        |    COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) = 0
         |  FROM orders)
         |ORDER BY check_name, target""".stripMargin) { (s, d) =>
       import graft.operators.Constraints
@@ -599,7 +599,10 @@ object ReportingQueries {
     // range, and the two engines' DECIMAL→DOUBLE casts round a ULP
     // apart — minute granularity keeps numerator and denominator
     // exactly representable, so the ONE IEEE division hashes equal.
-    // Per-user window = one keyed shuffle.
+    // The denominator is the SUM of the same floored weights (not the
+    // floored span): weights must sum to the denominator or a constant
+    // signal would not average to itself. Per-user window = one keyed
+    // shuffle.
     QueryDef.sql(
       "q_rep_time_weighted",
       """WITH w AS (
@@ -611,7 +614,8 @@ object ReportingQueries {
         |  SELECT user_id,
         |    SUM(CASE WHEN nts IS NULL THEN 0
         |        ELSE v * ((epoch_us(nts) - epoch_us(ts)) // 60000000) END) AS wsum,
-        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS span
+        |    SUM(CASE WHEN nts IS NULL THEN 0
+        |        ELSE (epoch_us(nts) - epoch_us(ts)) // 60000000 END) AS span
         |  FROM w GROUP BY user_id)
         |SELECT user_id,
         |  CASE WHEN span = 0 THEN NULL
@@ -629,7 +633,8 @@ object ReportingQueries {
             .otherwise(col("v") *
               expr("(unix_micros(nts) - unix_micros(ts)) div 60000000")))
             .as("wsum"),
-          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 60000000")
+          sum(when(col("nts").isNull, lit(0L))
+            .otherwise(expr("(unix_micros(nts) - unix_micros(ts)) div 60000000")))
             .as("span"))
         .select(col("user_id"),
           when(col("span") === 0, lit(null).cast("double"))

@@ -185,9 +185,11 @@ class PlanAuditSpec extends SparkSpec {
   test("bloom semi-join: probe prefilter sits below the exchange") {
     val p = planOf("q_bloom_semi")
     // plans print parents first, so "deeper than the shuffle" means
-    // the UDF prefilter appears AFTER the first Exchange in the text:
-    // the shuffle then carries only rows that passed the bloom
-    val firstExchange = p.indexOf("Exchange")
+    // the UDF prefilter appears AFTER the first SHUFFLE exchange in
+    // the text ("Exchange hashpartitioning" — a bare indexOf(Exchange)
+    // would anchor on a BroadcastExchange and prove nothing): the
+    // shuffle then carries only rows that passed the bloom
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
     val filterAt = p.indexOf("UDF(")
     assert(filterAt >= 0, p.take(1500))
     if (firstExchange >= 0) assert(filterAt > firstExchange, p.take(1500))
