@@ -73,22 +73,31 @@ case class TopKRows(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1)) offer(buf, row.copy())
+      // compare BEFORE copying: once a group's heap is warm, almost
+      // every row is rejected here, and rejected rows must not pay the
+      // defensive copy (the compare only reads the primitive score/tie
+      // slots, which is safe on the transient row)
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        if (buf.size < k) buf.enqueue(row.copy())
+        else if (WorstFirst.compare(buf.head, row) > 0) { // head worse than row
+          buf.dequeue(); buf.enqueue(row.copy())
+        }: Unit
+      }
     }
     buf
   }
 
   override def merge(buf: mutable.PriorityQueue[InternalRow],
       other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
-    other.foreach(offer(buf, _))
+    // merged-in rows are already owned copies — no re-copy needed
+    other.foreach { row =>
+      if (buf.size < k) buf.enqueue(row)
+      else if (WorstFirst.compare(buf.head, row) > 0) {
+        buf.dequeue(); buf.enqueue(row)
+      }: Unit
+    }
     buf
   }
-
-  private def offer(buf: mutable.PriorityQueue[InternalRow], row: InternalRow): Unit =
-    if (buf.size < k) buf.enqueue(row)
-    else if (WorstFirst.compare(buf.head, row) > 0) { // head is worse than row
-      buf.dequeue(); buf.enqueue(row)
-    }: Unit
 
   override def eval(buf: mutable.PriorityQueue[InternalRow]): Any =
     // dequeueAll returns worst-first; reverse for best-first output
