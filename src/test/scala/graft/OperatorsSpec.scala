@@ -494,3 +494,34 @@ class AsOfToleranceSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("pid")))   // 25 h old: discarded
   }
 }
+
+class TypedAggFallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom aggregates survive the sort-based fallback (serde-heavy path)") {
+    // fallbackThreshold=1 forces ObjectHashAggregate to spill to the
+    // sort-based path after one group, so every buffer round-trips
+    // through serialize/deserialize — the riskiest custom code
+    val prev = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    try {
+      val df = (1 to 5000).map(i => (i % 97L, i.toDouble, i.toLong, s"p$i"))
+        .toDF("k", "score", "tie", "p")
+      val top = TopK.perKey(df, Seq("k"), "score", "tie", Seq("p"), 3)
+      assert(top.count() == 97L * 3)
+      // per-group best = the largest score in that residue class
+      val best = top.filter($"rank" === 1).orderBy("k").collect()
+      assert(best.length == 97 && best.forall(r => r.getDouble(2) > 4900.0))
+
+      val hh = HeavyHitters.exact(
+        df.select(when($"k" < 20, lit("hot")).otherwise(concat(lit("v"), $"k")).as("v")),
+        "v", sketchK = 10, thresholdK = 10).collect() // "hot" ≈ 20.6% > 10%
+      assert(hh.map(_.getString(0)).toSeq == Seq("hot"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+        case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      }
+    }
+  }
+}
