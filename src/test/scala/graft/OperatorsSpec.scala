@@ -525,3 +525,26 @@ class TypedAggFallbackSpec extends SparkSpec {
     }
   }
 }
+
+class ApproxPercentileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentile_approx stays within the declared rank error of exact") {
+    // sketch layouts aren't oracle-comparable (same stance as HLL++),
+    // so the built-in percentile sketch — the 100 TB percentile path,
+    // where exact percentile() would shuffle every value — is pinned
+    // by its rank-error contract instead: accuracy=1000 ⇒ ±1/1000
+    // a near-continuous column: a discrete one (l_quantity, 50 values)
+    // carries ~2% tie mass per value, so the rank of ANY returned value
+    // jumps in 2% steps and the ±0.1% contract can't be observed
+    val li = Tables.lineitem(spark, sf001).select($"l_extendedprice".cast("double").as("v"))
+    val n = li.count().toDouble
+    val ap = li.agg(expr("percentile_approx(v, array(0.25, 0.5, 0.95), 1000)"))
+      .head().getSeq[Double](0)
+    for ((p, est) <- Seq(0.25, 0.5, 0.95).zip(ap)) {
+      val rank = li.filter($"v" <= est).count().toDouble / n
+      assert(math.abs(rank - p) <= 1.0 / 1000 + 0.01,
+        s"p=$p est=$est rank=$rank")
+    }
+  }
+}
