@@ -113,10 +113,16 @@ object IdentityResolver {
       skewSaltThreshold: Long,
       skewSalt: Int): DataFrame = {
 
+    // lazy checkpoint: the hot-key probe below is an extra aggregation
+    // job over cand, and the J1 join + per-request aggregation consume
+    // it again — without materialized blocks each consumer would
+    // re-evaluate the caller's full candidate-building lineage
+    // (mapping projection, id derivation, unions). Batch-sized state.
     val cand = candidates.select(
       col("request_id"), col("center_id"),
       col("local_subject_id"), col("identifier_type"),
       lower(col("local_subject_id")).as("_nid"))
+      .localCheckpoint(false)
 
     val li = registry.localIds.select(
       lower(col("local_subject_id")).as("_nid"),
@@ -207,8 +213,20 @@ object IdentityResolver {
       // convergence; covers arbitrarily long identifier chains at ONE
       // cheap aggregate job per hop (vs a join + count). DECIMAL sum so
       // the invariant can't be confused by overflow at any batch size.
-      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("_leader").cast("decimal(38,0)"))).first().getDecimal(0)
+      // NON-NUMERIC request ids (Pipelines mints md5 hex strings) have
+      // no numeric sum: for those the check sums xxhash64 of the label
+      // — any label change alters the sum up to a ~2^-64 per-hop
+      // collision (vastly safer than casting hex to decimal, which
+      // yields NULL and NPE'd here before this guard).
+      val numericLabels = reqLeader.schema("_leader").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+        val measure =
+          if (numericLabels) sum(col("_leader").cast("decimal(38,0)"))
+          else sum(xxhash64(col("_leader"))).cast("decimal(38,0)")
+        df.agg(coalesce(measure, lit(0).cast("decimal(38,0)")))
+          .first().getDecimal(0)
+      }
       var prevSum = labelSum(reqLeader)
       var hops = 0
       var converged = false

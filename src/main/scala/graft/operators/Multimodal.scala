@@ -156,5 +156,9 @@ object Multimodal {
     media.groupBy(md5(col(payloadCol)).as("content_hash"),
         length(col(payloadCol)).as("n_bytes"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-      .select("content_hash", "keep_id", "dup_count")
+      // n_bytes stays in the output: it is PART of the dedup key, and
+      // projecting it away would let an adversarial equal-md5 pair
+      // surface as two rows with an identical-looking content_hash —
+      // downstream joins must key on (content_hash, n_bytes)
+      .select("content_hash", "n_bytes", "keep_id", "dup_count")
 }

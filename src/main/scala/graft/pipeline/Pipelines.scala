@@ -77,7 +77,16 @@ object Pipelines {
     // whole resolution join. The reference has a hard boundary here
     // anyway (stage 4 is a REST round-trip per batch). Lazy: the first
     // consuming job materializes it; later branches reuse the blocks.
+    // _mult = how many input rows each logical request stands for:
+    // content-identical duplicates collapse to one resolution, but the
+    // reference's validation report counts PER INPUT ROW — the report
+    // weights by this multiplicity to keep that contract (1 for
+    // everything except true duplicate rows).
+    val mult = withRow.groupBy(col("_row_id").as("request_id"))
+      .agg(count(lit(1)).as("_mult"))
     val resolutions = IdentityResolver.resolve(candidates, registry, deterministicMint)
+      .join(mult, Seq("request_id"), "left")
+      .withColumn("_mult", coalesce(col("_mult"), lit(1L)))
       .localCheckpoint(false)
     val mapped = withRow.join(
       resolutions.select(col("request_id").as("_row_id"), col("gsid").as("global_subject_id")),
@@ -189,15 +198,21 @@ object Pipelines {
       .getOrElse(tableName, Seq("consortium_id"))
       .filter(cols.contains)
 
+    // per-INPUT-ROW counts (reference contract): weight each logical
+    // resolution by the number of content-identical input rows it
+    // stands for (_mult, attached in validate; 1 when absent so
+    // resolutions built outside the pipeline still report sanely)
+    val w =
+      if (r.resolutions.columns.contains("_mult")) col("_mult") else lit(1L)
     val res = r.resolutions.agg(
-      count(lit(1)).as("gsid_total_rows"),
-      sum(when(col("gsid").isNotNull, 1L).otherwise(0L)).as("gsid_resolved"),
-      sum(when(col("gsid").isNull, 1L).otherwise(0L)).as("gsid_unresolved"),
+      sum(w).as("gsid_total_rows"),
+      sum(when(col("gsid").isNotNull, w).otherwise(0L)).as("gsid_resolved"),
+      sum(when(col("gsid").isNull, w).otherwise(0L)).as("gsid_unresolved"),
       countDistinct("gsid").as("gsid_unique"),
-      sum(when(col("action") === "create_new", 1L).otherwise(0L)).as("gsid_new_subjects"),
-      sum(when(col("action") === "link_existing", 1L).otherwise(0L)).as("gsid_existing_subjects"),
-      sum(when(col("action") === "conflict_resolved", 1L).otherwise(0L)).as("gsid_multi_conflicts"),
-      sum(when(col("conflict_resolution") === "center_mismatch", 1L).otherwise(0L))
+      sum(when(col("action") === "create_new", w).otherwise(0L)).as("gsid_new_subjects"),
+      sum(when(col("action") === "link_existing", w).otherwise(0L)).as("gsid_existing_subjects"),
+      sum(when(col("action") === "conflict_resolved", w).otherwise(0L)).as("gsid_multi_conflicts"),
+      sum(when(col("conflict_resolution") === "center_mismatch", w).otherwise(0L))
         .as("gsid_center_conflicts"))
     val rows = r.mapped.agg(count(lit(1)).as("row_count"))
     val lids = r.localIds.agg(count(lit(1)).as("local_id_records_count"))

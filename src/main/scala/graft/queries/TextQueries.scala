@@ -1116,7 +1116,7 @@ object TextQueries {
         |g AS (SELECT md5(text) AS content_hash, strlen(text) AS n_bytes,
         |        min(media_id) AS keep_id, COUNT(*) AS dup_count
         |      FROM media GROUP BY 1, 2)
-        |SELECT content_hash, keep_id, dup_count
+        |SELECT content_hash, CAST(n_bytes AS INT) AS n_bytes, keep_id, dup_count
         |FROM g
         |ORDER BY content_hash""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)

@@ -19,9 +19,18 @@ object VectorQueries {
   private val pqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // the cache key includes the source's on-disk state: a dataset
+  // regenerated in place mid-JVM must not be served a stale index
+  private def sourceStamp(datasetDir: String): String = {
+    val f = new java.io.File(s"$datasetDir/embeddings.parquet")
+    val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+    val live = files.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+    s"${live.map(_.lastModified()).maxOption.getOrElse(0L)}-${live.map(_.length()).sum}"
+  }
+
   private def cachedPqIndex(emb: org.apache.spark.sql.DataFrame,
       datasetDir: String): String =
-    pqIndexCache.computeIfAbsent(datasetDir, _ => {
+    pqIndexCache.computeIfAbsent(s"$datasetDir@${sourceStamp(datasetDir)}", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_pqidx")
       sys.addShutdownHook {
         import java.nio.file.{Files, Path}

@@ -67,6 +67,7 @@ class HttpRestPages extends RestPages {
   private val totalField = prop("totalField", "total")
   private val maxRetries = prop("maxRetries", "5").toInt
   private val backoffMs = prop("backoffMs", "200").toLong
+  private val maxBackoffMs = prop("maxBackoffMs", "30000").toLong
   private val maxConsecutiveFailures = prop("maxConsecutiveFailures", "10").toInt
   private val minIntervalMs = prop("minIntervalMs", "0").toLong
   private val timeoutMs = prop("timeoutMs", "30000").toLong
@@ -133,7 +134,11 @@ class HttpRestPages extends RestPages {
                 s"(budget $maxConsecutiveFailures); last: ${e.getMessage}")
           attempt += 1
           if (attempt > maxRetries) throw e
-          Thread.sleep(backoffMs << (attempt - 1))
+          // capped exponential backoff: an uncapped shift overflows
+          // Long around attempt ~56 and sleeps for hours long before
+          // that — cap the exponent and the resulting wait
+          Thread.sleep(math.min(
+            backoffMs << math.min(attempt - 1, 10), maxBackoffMs))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -166,9 +171,34 @@ class HttpRestPages extends RestPages {
       case FloatType => v.asDouble.toFloat
       case BooleanType => v.asBoolean
       case DateType => java.sql.Date.valueOf(v.asText)
-      case TimestampType => java.sql.Timestamp.valueOf(v.asText.replace("T", " "))
+      case TimestampType => parseTimestamp(v.asText)
       case _ => v.asText
     }
+  }
+
+  /** REST exports speak several timestamp dialects — ISO-8601 with
+    * 'Z'/offset, 'T' or space separators, second-or-minute precision;
+    * `Timestamp.valueOf` accepts exactly one of them and a single
+    * unparseable row would fail the whole (deterministically retried)
+    * scan. Try the common forms, normalizing offsets to UTC. */
+  private def parseTimestamp(raw: String): java.sql.Timestamp = {
+    val s = raw.trim
+    def viaInstant: Option[java.sql.Timestamp] =
+      try Some(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    def viaOffset: Option[java.sql.Timestamp] =
+      try Some(java.sql.Timestamp.from(
+        java.time.OffsetDateTime.parse(s).toInstant))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    def viaLocal: Option[java.sql.Timestamp] = {
+      val t = s.replace("T", " ")
+      val padded = if (t.length == 16) s"$t:00" else t // minute precision
+      try Some(java.sql.Timestamp.valueOf(padded))
+      catch { case _: IllegalArgumentException => None }
+    }
+    viaInstant.orElse(viaOffset).orElse(viaLocal).getOrElse(
+      throw new IllegalArgumentException(
+        s"HttpRestPages: unparseable timestamp '$raw'"))
   }
 
   override def fetchPage(i: Int): Seq[Row] = {

@@ -126,12 +126,19 @@ object Sources {
     // concurrent reader of the pre-manifest layout is still scanning).
     val ptrPath = new org.apache.hadoop.fs.Path(root, "_current")
     val hadManifest = fs.exists(ptrPath)
+    // batch dirs and manifest files carry a per-publisher unique
+    // suffix: two concurrent publishers that read the same max number
+    // then write DISTINCT files instead of clobbering each other's
+    // batch dir / manifest mid-write (last pointer swap wins; the
+    // loser's batch becomes an orphaned dir, a lost update — never a
+    // manifest that references deleted data)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
     var next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
     if (!hadManifest && entries.nonEmpty) {
-      val mfile0 = f"manifest-$next%012d"
+      val mfile0 = f"manifest-$next%012d-$uid"
       writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
         entries.sorted.mkString("\n"))
-      swapPointer(fs, uri, conf, root, mfile0, next)
+      swapPointer(fs, uri, conf, root, mfile0, s"$next-$uid-0")
       next += 1
     }
     // touched partitions: bounded by the incoming batch, never by the
@@ -144,7 +151,7 @@ object Sources {
       .getOrElse(incoming.limit(0))
     val merged = graft.operators.UpsertWriter.merge(current, incoming, cfg).merged
 
-    val bdir = f"b-$next%012d"
+    val bdir = f"b-$next%012d-$uid"
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
     // the segments Spark just wrote ARE the touched partitions, in its
@@ -156,27 +163,30 @@ object Sources {
     val newEntries =
       entries.filterNot(e => written.contains(segmentOf(e))) ++
         written.map(s => s"$bdir/$s")
-    val mfile = f"manifest-$next%012d"
+    val mfile = f"manifest-$next%012d-$uid"
     writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
       newEntries.sorted.mkString("\n"))
-    swapPointer(fs, uri, conf, root, mfile, next)
+    swapPointer(fs, uri, conf, root, mfile, s"$next-$uid-1")
 
     // prune: a dir referenced by the live manifest or either of the
     // two previous ones survives (same two-publish reader slack as
-    // publishSnapshot); older manifests and the dirs only they
-    // referenced are deleted
-    val retainedNums = manifestNumbers(fs, root).sorted.takeRight(3)
-    val referenced = retainedNums.flatMap { n =>
-      readManifest(fs, root, f"manifest-$n%012d")
-    }.map(topSegmentOf).toSet
-    manifestNumbers(fs, root).sorted.dropRight(3).foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, f"manifest-$n%012d"), false)
+    // publishSnapshot). Deletion is REFERENCE-SCOPED: only dirs that
+    // a rotated-out manifest referenced (and no retained one does)
+    // are deleted — a dir referenced by NO manifest is a concurrent
+    // publisher's in-flight batch and must be left alone (orphans
+    // from crashed publishers persist; bounded by crash count).
+    val allManifests = manifestNames(fs, root).sorted
+    val retained = allManifests.takeRight(3)
+    val rotated = allManifests.dropRight(3)
+    val referenced = retained.flatMap(readManifest(fs, root, _))
+      .map(topSegmentOf).toSet
+    val dead = rotated.flatMap(readManifest(fs, root, _))
+      .map(topSegmentOf).toSet -- referenced
+    rotated.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, m), false)
     }
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      val prunable = st.isDirectory &&
-        (name.startsWith("b-") || name.startsWith(s"$partitionCol="))
-      if (prunable && !referenced.contains(name)) fs.delete(st.getPath, true)
+    dead.foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
     }
     merged
   }
@@ -268,19 +278,28 @@ object Sources {
     entry.substring(entry.lastIndexOf('/') + 1)
   private def topSegmentOf(entry: String): String = entry.split("/").head
 
-  private def manifestNumbers(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[Long] =
+  private def manifestNames(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.collect {
       case st if st.isFile && st.getPath.getName.startsWith("manifest-") =>
-        java.lang.Long.parseLong(st.getPath.getName.stripPrefix("manifest-"))
+        st.getPath.getName
     }
+  // names may carry a "-<uid>" suffix (concurrent-publisher safety) or
+  // not (legacy layout) — parse the numeric prefix only
+  private def numberOf(name: String, prefix: String): Long = {
+    val digits = name.stripPrefix(prefix).takeWhile(_.isDigit)
+    if (digits.isEmpty) 0L else java.lang.Long.parseLong(digits)
+  }
+  private def manifestNumbers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    manifestNames(fs, root).map(numberOf(_, "manifest-"))
   private def batchNumbers(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("b-") =>
-        java.lang.Long.parseLong(st.getPath.getName.stripPrefix("b-"))
+        numberOf(st.getPath.getName, "b-")
     }
 
   /** Raw (sidecar-free) small-file write via FileContext — see the
@@ -299,7 +318,7 @@ object Sources {
     * FileContext; stale checksum sidecars dropped first). */
   private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
-      root: org.apache.hadoop.fs.Path, content: String, stamp: Long): Unit = {
+      root: org.apache.hadoop.fs.Path, content: String, stamp: Any): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$stamp")
     writeRaw(uri, conf, tmp, content)
     fs.delete(new org.apache.hadoop.fs.Path(root, "._current.crc"), false)

@@ -610,25 +610,40 @@ class VectorSpec extends SparkSpec {
       val live = new java.io.File(graft.sources.Sources.resolveSnapshot(spark, dir))
       live.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
     }
-    val cap = 4
-    var peak = 0
+    val cap = 2 // control run measures 4 natural files; 2 forces compaction
     for (b <- 1 to 10) {
       val batch = (1 to 5).map(i =>
         (b * 100L + i, s"novel batch $b doc $i with enough words to shingle " +
           s"alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
       Dedup.incrementalMinhashDedup(batch, "doc_id", "text", dir,
         threshold = 0.9, maxStoreFiles = cap)
-      peak = math.max(peak, liveFiles())
       // the post-publish policy compacts whenever the live version
       // crosses the cap, so the observed count never exceeds it
       assert(liveFiles() <= cap, s"batch $b: ${liveFiles()} files > cap $cap")
       // and version retention stays at publishSnapshot's bound
       assert(graft.sources.Sources.snapshotVersions(spark, dir).length <= 3)
     }
-    // the cap actually bit at least once (store grew past it mid-run)
-    assert(peak >= 1)
     // all 50 novel docs' signatures survived every compaction
     assert(graft.sources.Sources.readSnapshot(spark, dir).count() == 50)
+    // CONTROL: the same ingest with an effectively-unbounded cap must
+    // exceed `cap` files — otherwise the capped run's bound could be
+    // natural write coalescing and the assertions above would prove
+    // nothing about compaction
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sigstore_ctl").toString + "/sigs"
+    for (b <- 1 to 10) {
+      val batch = (1 to 5).map(i =>
+        (b * 100L + i, s"novel batch $b doc $i with enough words to shingle " +
+          s"alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      Dedup.incrementalMinhashDedup(batch, "doc_id", "text", dir2,
+        threshold = 0.9, maxStoreFiles = 1000000)
+    }
+    val uncapped = {
+      val live = new java.io.File(graft.sources.Sources.resolveSnapshot(spark, dir2))
+      live.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    assert(uncapped > cap,
+      s"control run produced only $uncapped files (cap $cap) — the capped " +
+        "run's bound would not demonstrate compaction")
   }
 
   test("near-dup collapse: components get min-id cluster, one survivor each") {
