@@ -73,16 +73,11 @@ case class TopKRows(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      // compare BEFORE copying: once a group's heap is warm, almost
-      // every row is rejected here, and rejected rows must not pay the
-      // defensive copy (the compare only reads the primitive score/tie
-      // slots, which is safe on the transient row)
-      if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        if (buf.size < k) buf.enqueue(row.copy())
-        else if (WorstFirst.compare(buf.head, row) > 0) { // head worse than row
-          buf.dequeue(); buf.enqueue(row.copy())
-        }: Unit
-      }
+      // the compare inside offer runs BEFORE the by-name copy: once a
+      // group's heap is warm almost every row is rejected, and
+      // rejected rows never pay the defensive copy (comparing the
+      // primitive score/tie slots is safe on the transient row)
+      if (!row.isNullAt(0) && !row.isNullAt(1)) offer(buf, row, row.copy())
     }
     buf
   }
@@ -90,14 +85,18 @@ case class TopKRows(
   override def merge(buf: mutable.PriorityQueue[InternalRow],
       other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
     // merged-in rows are already owned copies — no re-copy needed
-    other.foreach { row =>
-      if (buf.size < k) buf.enqueue(row)
-      else if (WorstFirst.compare(buf.head, row) > 0) {
-        buf.dequeue(); buf.enqueue(row)
-      }: Unit
-    }
+    other.foreach(row => offer(buf, row, row))
     buf
   }
+
+  /** One copy of the eviction rule for both update and merge; `owned`
+    * is by-name so acceptance alone pays any copy cost. */
+  private def offer(buf: mutable.PriorityQueue[InternalRow],
+      row: InternalRow, owned: => InternalRow): Unit =
+    if (buf.size < k) buf.enqueue(owned)
+    else if (WorstFirst.compare(buf.head, row) > 0) { // head worse than row
+      buf.dequeue(); buf.enqueue(owned)
+    }: Unit
 
   override def eval(buf: mutable.PriorityQueue[InternalRow]): Any =
     // dequeueAll returns worst-first; reverse for best-first output

@@ -223,7 +223,9 @@ object IdentityResolver {
       def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
         val measure =
           if (numericLabels) sum(col("_leader").cast("decimal(38,0)"))
-          else sum(xxhash64(col("_leader"))).cast("decimal(38,0)")
+          // cast BEFORE summing: xxhash64 longs span the full 64-bit
+          // range and their Long sum overflows (throws under ANSI)
+          else sum(xxhash64(col("_leader")).cast("decimal(38,0)"))
         df.agg(coalesce(measure, lit(0).cast("decimal(38,0)")))
           .first().getDecimal(0)
       }

@@ -20,12 +20,17 @@ object VectorQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // the cache key includes the source's on-disk state: a dataset
-  // regenerated in place mid-JVM must not be served a stale index
+  // regenerated in place mid-JVM must not be served a stale index.
+  // The stamp digests every file's (name, length, mtime) — Spark part
+  // filenames are unique per write job, so any rewrite changes the
+  // stamp even when sizes and coarse mtimes collide
   private def sourceStamp(datasetDir: String): String = {
     val f = new java.io.File(s"$datasetDir/embeddings.parquet")
     val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
-    val live = files.filter(x => x.isFile && x.getName.endsWith(".parquet"))
-    s"${live.map(_.lastModified()).maxOption.getOrElse(0L)}-${live.map(_.length()).sum}"
+    val listing = files.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+      .map(x => s"${x.getName}:${x.length()}:${x.lastModified()}")
+      .sorted.mkString("|")
+    java.util.UUID.nameUUIDFromBytes(listing.getBytes("UTF-8")).toString
   }
 
   private def cachedPqIndex(emb: org.apache.spark.sql.DataFrame,

@@ -38,8 +38,10 @@ import org.apache.spark.sql.types._
   *  - `graft.rest.authHeader` / `graft.rest.authToken` — optional
   *    header auth (`Authorization: Bearer <t>`, `xc-token: <t>`, …)
   *  - `graft.rest.maxRetries` (default 5) — per-request transient
-  *    retries, backoff `backoffMs * 2^attempt`
+  *    retries, backoff `min(backoffMs * 2^min(attempt, 10),
+  *    maxBackoffMs)`
   *  - `graft.rest.backoffMs` (default 200)
+  *  - `graft.rest.maxBackoffMs` (default 30000) — backoff ceiling
   *  - `graft.rest.maxConsecutiveFailures` (default 10) — ACROSS
   *    requests: that many transient-exhausted or failed requests in a
   *    row aborts the task loudly (the reference kills the worker pool

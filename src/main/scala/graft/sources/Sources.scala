@@ -175,14 +175,24 @@ object Sources {
     // are deleted — a dir referenced by NO manifest is a concurrent
     // publisher's in-flight batch and must be left alone (orphans
     // from crashed publishers persist; bounded by crash count).
+    // Rotated manifests younger than the GRACE WINDOW also survive,
+    // with their dirs: a concurrent publisher that wrote its manifest
+    // but has not yet swapped the pointer must not have it deleted
+    // from under the swap — its stall is bounded by the grace, after
+    // which it degrades to the documented lost update.
+    val graceMs = 10L * 60 * 1000
+    val now = System.currentTimeMillis()
     val allManifests = manifestNames(fs, root).sorted
     val retained = allManifests.takeRight(3)
-    val rotated = allManifests.dropRight(3)
-    val referenced = retained.flatMap(readManifest(fs, root, _))
-      .map(topSegmentOf).toSet
-    val dead = rotated.flatMap(readManifest(fs, root, _))
+    val (rotatedYoung, rotatedOld) = allManifests.dropRight(3).partition { m =>
+      now - fs.getFileStatus(new org.apache.hadoop.fs.Path(root, m))
+        .getModificationTime < graceMs
+    }
+    val referenced = (retained ++ rotatedYoung)
+      .flatMap(readManifest(fs, root, _)).map(topSegmentOf).toSet
+    val dead = rotatedOld.flatMap(readManifest(fs, root, _))
       .map(topSegmentOf).toSet -- referenced
-    rotated.foreach { m =>
+    rotatedOld.foreach { m =>
       fs.delete(new org.apache.hadoop.fs.Path(root, m), false)
     }
     dead.foreach { name =>
@@ -318,7 +328,7 @@ object Sources {
     * FileContext; stale checksum sidecars dropped first). */
   private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
-      root: org.apache.hadoop.fs.Path, content: String, stamp: Any): Unit = {
+      root: org.apache.hadoop.fs.Path, content: String, stamp: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$stamp")
     writeRaw(uri, conf, tmp, content)
     fs.delete(new org.apache.hadoop.fs.Path(root, "._current.crc"), false)
@@ -383,7 +393,7 @@ object Sources {
     // reader then validates the new pointer against the stale sidecar
     // and fails with a checksum error. FileContext writes raw (no
     // sidecar); any sidecar left by an older writer is dropped first.
-    swapPointer(fs, uri, conf, root, vdir, next)
+    swapPointer(fs, uri, conf, root, vdir, next.toString)
     // prune: keep the new version plus the TWO most recent previous
     // ones (a reader that resolved the pointer may still be scanning;
     // two publish cycles of slack is the retention window — the same
