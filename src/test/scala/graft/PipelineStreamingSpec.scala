@@ -127,6 +127,46 @@ class SourcesSpec extends SparkSpec {
     assert(afterFiles == untouchedFiles)
   }
 
+  test("prune deletes aged rotated manifests but spares a stalled publisher's young one") {
+    import graft.types.TableConfig
+    val dir = Files.createTempDirectory("graft_pmerge_grace").toString + "/table"
+    val cfg = TableConfig("t", Seq("id"), Seq.empty)
+    def batch(v: Double) = Seq((1L, "c1", v)).toDF("id", "center", "v")
+    Sources.publishMergePartitioned(spark, dir, batch(1.0), cfg, "center") // manifest 1
+    val root = new java.io.File(dir)
+    // publisher B stalled between manifest write and pointer swap:
+    // fully written manifest (number 2) + batch dir, both YOUNG
+    new java.io.File(root, "b-000000000002-zz/center=c9").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-000000000002-zz"),
+      "b-000000000002-zz/center=c9")
+    // an in-flight dir referenced by NO manifest at all
+    new java.io.File(root, "b-000000000777-inflight").mkdirs()
+    for (v <- 2 to 6) // manifests 778.. (in-flight dir bumps the counter)
+      Sources.publishMergePartitioned(spark, dir, batch(v.toDouble), cfg, "center")
+    def manifests() = root.listFiles().map(_.getName)
+      .filter(_.startsWith("manifest-")).sorted.toSeq
+    // age every rotated manifest EXCEPT the stalled one past the grace
+    val retainedNow = manifests().takeRight(3).toSet
+    manifests().filterNot(retainedNow)
+      .filterNot(_ == "manifest-000000000002-zz").foreach { m =>
+        new java.io.File(root, m).setLastModified(
+          System.currentTimeMillis() - 11L * 60 * 1000): Unit
+      }
+    val aged = manifests().filterNot(retainedNow)
+      .filterNot(_ == "manifest-000000000002-zz")
+    Sources.publishMergePartitioned(spark, dir, batch(7.0), cfg, "center")
+    val after = manifests().toSet
+    // aged rotated manifests died (bounded metadata), but...
+    assert(aged.forall(m => !after.contains(m)), after.mkString(", "))
+    // ...B's young-but-rotated manifest and its dir both survive: a
+    // pointer swap landing now cannot reference deleted data
+    assert(after.contains("manifest-000000000002-zz"), after.mkString(", "))
+    assert(new java.io.File(root, "b-000000000002-zz").exists())
+    // and the never-referenced in-flight dir is untouched
+    assert(new java.io.File(root, "b-000000000777-inflight").exists())
+  }
+
   test("partitioned MERGE publish never exposes a mid-rewrite or mixed table to a concurrent reader") {
     import graft.types.TableConfig
     val dir = Files.createTempDirectory("graft_pmerge_conc").toString + "/table"
@@ -143,7 +183,10 @@ class SourcesSpec extends SparkSpec {
     def liveManifest(): Long =
       try {
         val src = scala.io.Source.fromFile(s"$dir/_current", "UTF-8")
-        try src.mkString.trim.stripPrefix("manifest-").toLong finally src.close()
+        // names carry a "-<uid>" suffix: parse the numeric prefix
+        try src.mkString.trim.stripPrefix("manifest-")
+          .takeWhile(_.isDigit).toLong
+        finally src.close()
       } catch { case _: Throwable => 0L }
     val reader = new Thread(() => {
       while (!stop && failure.isEmpty) {
