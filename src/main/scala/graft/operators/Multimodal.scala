@@ -55,13 +55,19 @@ object Multimodal {
       lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
 
   /** Real image decode: `javax.imageio` over the payload bytes.
-    * Returns (width, height, deterministic pixel-statistic features):
-    * per-channel means and a luma mean (exact integer accumulation,
-    * one IEEE division each, scaled to [-1, 1]) followed by
+    * Returns (width, height, pixel-statistic features): per-channel
+    * means and a luma mean (exact integer accumulation, one IEEE
+    * division each, scaled to [-1, 1]) followed by
     * dimension-normalized width/height — the feature shape a CLIP-ish
     * embedder would fill with the same plumbing. None when the bytes
     * are not a decodable image (wrong kind, corrupt file, or a codec
-    * the JRE lacks — audio/video land here by construction). */
+    * the JRE lacks).
+    *
+    * Determinism scope: features from LOSSLESS formats (PNG, BMP) are
+    * bit-stable everywhere; JPEG pixel output may differ by a ULP-ish
+    * amount across JRE versions/platforms (color management), so
+    * cross-environment gates should pin the `checksum` column (pure
+    * md5 of the payload — always stable), not JPEG-derived features. */
   private[operators] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * in first-seen order:
   *  - a column missing from a batch becomes typed nulls;
   *  - numeric types widen along byte < short < int < long < float <
-  *    double (the usual numeric-promotion lattice — lossless except
-  *    long→double, which is the standard SQL promotion);
+  *    double, EXCEPT that int/long meeting float promote to double
+  *    (a float mantissa silently rounds ints past 2^24; byte/short
+  *    fit a float exactly so they stay float) — lossless except
+  *    long→double, which is the standard SQL promotion;
   *  - DECIMAL widens by max(precision-scale) + max(scale), and throws
   *    rather than cap past 38 digits (a capped cast with ANSI off
   *    silently nulls overflowing values); DECIMAL meeting float/double
@@ -57,6 +59,12 @@ object SchemaEvolution {
       widen(d, DecimalType(intDigits(i), 0))
     case (i, d: DecimalType) if intDigits.contains(i) =>
       widen(DecimalType(intDigits(i), 0), d)
+    // int/long meeting FLOAT go to DOUBLE, not float: a 24-bit float
+    // mantissa silently rounds ints past 2^24 (double holds every int
+    // exactly; long→double stays the one documented lossy promotion).
+    // byte/short fit a float exactly, so plain rank-max keeps them.
+    case (IntegerType | LongType, FloatType) => DoubleType
+    case (FloatType, IntegerType | LongType) => DoubleType
     case _ if numericRank.contains(a) && numericRank.contains(b) =>
       if (numericRank(a) >= numericRank(b)) a else b
     case _ => throw new IllegalArgumentException(

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -204,15 +204,19 @@ object Pipelines {
     // resolutions built outside the pipeline still report sanely)
     val w =
       if (r.resolutions.columns.contains("_mult")) col("_mult") else lit(1L)
+    // sum over ZERO rows is NULL, and resolutions CAN be empty (the
+    // failed-schema-validation early return) — every counter must
+    // still report 0 there, matching the old count()-based contract
+    def sum0(c: Column): Column = coalesce(sum(c), lit(0L))
     val res = r.resolutions.agg(
-      sum(w).as("gsid_total_rows"),
-      sum(when(col("gsid").isNotNull, w).otherwise(0L)).as("gsid_resolved"),
-      sum(when(col("gsid").isNull, w).otherwise(0L)).as("gsid_unresolved"),
+      sum0(w).as("gsid_total_rows"),
+      sum0(when(col("gsid").isNotNull, w).otherwise(0L)).as("gsid_resolved"),
+      sum0(when(col("gsid").isNull, w).otherwise(0L)).as("gsid_unresolved"),
       countDistinct("gsid").as("gsid_unique"),
-      sum(when(col("action") === "create_new", w).otherwise(0L)).as("gsid_new_subjects"),
-      sum(when(col("action") === "link_existing", w).otherwise(0L)).as("gsid_existing_subjects"),
-      sum(when(col("action") === "conflict_resolved", w).otherwise(0L)).as("gsid_multi_conflicts"),
-      sum(when(col("conflict_resolution") === "center_mismatch", w).otherwise(0L))
+      sum0(when(col("action") === "create_new", w).otherwise(0L)).as("gsid_new_subjects"),
+      sum0(when(col("action") === "link_existing", w).otherwise(0L)).as("gsid_existing_subjects"),
+      sum0(when(col("action") === "conflict_resolved", w).otherwise(0L)).as("gsid_multi_conflicts"),
+      sum0(when(col("conflict_resolution") === "center_mismatch", w).otherwise(0L))
         .as("gsid_center_conflicts"))
     val rows = r.mapped.agg(count(lit(1)).as("row_count"))
     val lids = r.localIds.agg(count(lit(1)).as("local_id_records_count"))

@@ -36,7 +36,18 @@ import org.apache.spark.sql.types._
   *    fields in the JSON envelope (NocoDB v2: `list` and a nested
   *    path `pageInfo.totalRows`, written dotted)
   *  - `graft.rest.authHeader` / `graft.rest.authToken` — optional
-  *    header auth (`Authorization: Bearer <t>`, `xc-token: <t>`, …)
+  *    header auth (`Authorization: Bearer <t>`, `xc-token: <t>`, …).
+  *    SECRET-HANDLING CAVEAT: a token embedded in
+  *    `spark.executor.extraJavaOptions` is shown UNREDACTED on the
+  *    Spark UI Environment page and in event logs (Spark's redaction
+  *    matches config KEY names, not `-D` values inside another
+  *    config). Prefer the executor-side env var
+  *    `GRAFT_REST_AUTH_TOKEN` (read as a fallback when the system
+  *    property is absent — set it via
+  *    `spark.executorEnv.GRAFT_REST_AUTH_TOKEN`, which IS covered by
+  *    the default `spark.redaction.regex` since the name contains
+  *    TOKEN), or extend `spark.redaction.regex` to cover
+  *    `extraJavaOptions` if the `-D` route is unavoidable
   *  - `graft.rest.maxRetries` (default 5) — per-request transient
   *    retries, backoff `min(backoffMs * 2^min(attempt, 10),
   *    maxBackoffMs)`
@@ -102,7 +113,8 @@ class HttpRestPages extends RestPages {
     throttle()
     val b = HttpRequest.newBuilder(URI.create(uri))
       .timeout(Duration.ofMillis(timeoutMs)).GET()
-    Option(System.getProperty("graft.rest.authToken")).foreach { t =>
+    Option(System.getProperty("graft.rest.authToken"))
+      .orElse(sys.env.get("GRAFT_REST_AUTH_TOKEN")).foreach { t =>
       b.header(prop("authHeader", "Authorization"),
         if (prop("authHeader", "Authorization") == "Authorization") s"Bearer $t" else t)
     }

@@ -184,19 +184,31 @@ object Sources {
     val now = System.currentTimeMillis()
     val allManifests = manifestNames(fs, root).sorted
     val retained = allManifests.takeRight(3)
-    val (rotatedYoung, rotatedOld) = allManifests.dropRight(3).partition { m =>
-      now - fs.getFileStatus(new org.apache.hadoop.fs.Path(root, m))
-        .getModificationTime < graceMs
+    // a manifest listed a moment ago can vanish mid-prune (a
+    // concurrent publisher's prune won the race) — gone means
+    // already handled, so it simply drops out of this pass
+    val (rotatedYoung, rotatedOld) = allManifests.dropRight(3).flatMap { m =>
+      try Some(m -> (now - fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, m)).getModificationTime < graceMs))
+      catch { case _: java.io.FileNotFoundException => None }
+    }.partition(_._2) match {
+      case (y, o) => (y.map(_._1), o.map(_._1))
     }
     val referenced = (retained ++ rotatedYoung)
       .flatMap(readManifest(fs, root, _)).map(topSegmentOf).toSet
     val dead = rotatedOld.flatMap(readManifest(fs, root, _))
       .map(topSegmentOf).toSet -- referenced
+    // deletes tolerate concurrent-pruner races the same way: delete()
+    // on a vanished path returns false on most filesystems, but some
+    // object-store shims throw FNF from the recursive listing instead
+    def deleteQuiet(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
+      try fs.delete(p, recursive)
+      catch { case _: java.io.FileNotFoundException => () }
     rotatedOld.foreach { m =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, m), false)
+      deleteQuiet(new org.apache.hadoop.fs.Path(root, m), recursive = false)
     }
     dead.foreach { name =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+      deleteQuiet(new org.apache.hadoop.fs.Path(root, name), recursive = true)
     }
     merged
   }
@@ -261,11 +273,15 @@ object Sources {
       root: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root, name)
     if (!fs.exists(p)) Seq.empty
-    else {
+    else try {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
       s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    } catch {
+      // exists→open races a concurrent pruner deleting the rotated
+      // manifest; a vanished manifest reads as empty (already handled)
+      case _: java.io.FileNotFoundException => Seq.empty
     }
   }
 

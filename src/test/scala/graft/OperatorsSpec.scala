@@ -431,6 +431,12 @@ class SchemaEvolutionSpec extends SparkSpec {
   test("widen lattice: numerics, decimals, decimal-vs-double, incompatible throws") {
     assert(SchemaEvolution.widen(IntegerType, LongType) == LongType)
     assert(SchemaEvolution.widen(LongType, DoubleType) == DoubleType)
+    // int/long ⊔ float escalate to double (float rounds ints past
+    // 2^24); byte/short fit a float exactly and stay float
+    assert(SchemaEvolution.widen(IntegerType, FloatType) == DoubleType)
+    assert(SchemaEvolution.widen(FloatType, LongType) == DoubleType)
+    assert(SchemaEvolution.widen(ShortType, FloatType) == FloatType)
+    assert(SchemaEvolution.widen(FloatType, ByteType) == FloatType)
     assert(SchemaEvolution.widen(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
     assert(SchemaEvolution.widen(DecimalType(18, 2), DoubleType) == DoubleType)
     assert(SchemaEvolution.widen(LongType, DecimalType(18, 2)) == DecimalType(22, 2))
@@ -472,6 +478,27 @@ class BloomJoinSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(got == exact, s"fpp=$fpp")
     }
+  }
+
+  test("probe filter is the native might_contain expression, not a UDF") {
+    // spark.range, not toDF: a LocalRelation probe gets its filter
+    // EVALUATED at optimization time (ConvertToLocalRelation), which
+    // is itself proof of codegen-compatibility but leaves no Filter
+    // node to assert on
+    val probe = spark.range(1, 101).select($"id".as("k"))
+    val build = (1L to 100L).filter(_ % 7 == 0).toDF("b")
+    val out = BloomJoin.semiJoin(probe, "k", build, "b", 20L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF boundary survived:\n$plan")
+  }
+
+  test("empty build side yields the empty semi-join") {
+    val probe = (1L to 50L).toDF("k")
+    val build = Seq.empty[Long].toDF("b")
+    assert(BloomJoin.semiJoin(probe, "k", build, "b", 10L).count() == 0L)
   }
 }
 
