@@ -97,6 +97,67 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The LSH-bucketed PRODUCTION path of embedding near-dup under the
+    // full hash gate (same seeded-hyperplane replay trick as
+    // q_vec_ann_lsh): bucketing, margin-guided multiprobe fan-out,
+    // bucket-size cap, candidate self-join and exact-cosine verify are
+    // all recomputed independently by DuckDB. Gate config nBits=4 /
+    // nProbe=3 (not the tau>=0.9 production default of 10 bits): this
+    // synthetic table's near-dups top out at cosine ~0.5-0.6, where
+    // 10-bit sign-collision probability is ~2%, which would gate an
+    // all-or-mostly-empty result; 4 bits keeps 9 (sf0.01) / 105
+    // (sf0.1) survivor pairs while still cutting candidates ~2.3x vs
+    // all-pairs — a non-degenerate pin of the exact algorithm.
+    QueryDef.sql(
+      "q_dedup_embedding_lsh", {
+        val planes = SimilaritySearch.randomPlanes(4, 64)
+        val pLit = planes.map(_.map(v =>
+            "%.17E".formatLocal(java.util.Locale.ROOT, v))
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        s"""WITH pr AS (SELECT j, p[j] AS pv
+           |            FROM (SELECT $pLit AS p), UNNEST(range(1, 5)) AS r(j)),
+           |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |dots AS MATERIALIZED (
+           |  SELECT e.vec_id, pr.j,
+           |    list_sum(list_transform(range(1, len(v) + 1),
+           |      i -> CAST(v[i] AS DOUBLE) * pv[i])) AS dot
+           |  FROM e, pr),
+           |bucket AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END) AS BIGINT) AS b
+           |  FROM dots GROUP BY vec_id),
+           |flips AS (SELECT vec_id, j,
+           |            row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), j) AS rn
+           |          FROM dots),
+           |probed AS (
+           |  SELECT vec_id, b AS bucket FROM bucket
+           |  UNION ALL
+           |  SELECT f.vec_id, xor(b.b, (1::BIGINT << (f.j - 1)))
+           |  FROM flips f JOIN bucket b USING (vec_id) WHERE f.rn <= 2),
+           |capped AS (
+           |  SELECT p.vec_id, p.bucket FROM probed p
+           |  JOIN (SELECT bucket FROM probed GROUP BY bucket
+           |        HAVING count(*) <= 4096) s USING (bucket)),
+           |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |         FROM capped x JOIN capped y
+           |           ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |scored AS (
+           |  SELECT c.id_a, c.id_b,
+           |    list_sum(list_transform(range(1, len(a.v) + 1),
+           |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           |      AS cosine
+           |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+           |SELECT id_a, id_b, cosine FROM scored
+           |WHERE cosine >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, d) =>
+      Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.45, nBits = 4, dim = 64, nProbe = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // LSH ANN under the full hash gate: the seeded hyperplanes are
     // interpolated into the oracle as E-notation DOUBLE literals
     // (17 significant digits round-trip exactly; plain decimals would
