@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * Media travels as an opaque `binary` column plus typed metadata.
   * IMAGE payloads are decoded for real via `javax.imageio` (PNG/JPEG/
-  * GIF/BMP in any JRE): decoded width/height and deterministic
-  * channel-statistic features come from actual pixels. Payloads
-  * ImageIO cannot decode — audio/video (no JRE codecs), or image rows
-  * whose bytes aren't an image — fall back to deterministic
-  * hash-derived features, so plans, shuffles and joins behave
-  * identically either way and the whole path stays oracle-checkable
-  * through the md5 checksum column.
+  * GIF/BMP in any JRE): decoded width/height and channel-statistic
+  * features come from actual pixels. AUDIO payloads in PCM containers
+  * (WAV/AIFF/AU) are decoded for real via `javax.sound.sampled`:
+  * sample rate, channels, duration and exact PCM amplitude statistics
+  * come from actual samples. Payloads neither decoder handles —
+  * video and compressed audio (no JRE codecs), corrupt bytes — fall
+  * back to deterministic hash-derived features, so plans, shuffles
+  * and joins behave identically either way and the whole path stays
+  * oracle-checkable through the md5 checksum column.
   *
   * Scale design: decode work is per-row and embarrassingly parallel —
   * `mapPartitions` over the binary column keeps each media blob on one
@@ -40,8 +42,11 @@ object Multimodal {
       n_bytes: Int,
       checksum: Long,
       decoded: Boolean,        // true iff a real decoder produced the row
-      decoded_width: Int,      // 0 when not decodable
+      decoded_width: Int,      // 0 when not decodable / not an image
       decoded_height: Int,
+      sample_rate: Int,        // 0 when not decodable / not audio
+      channels: Int,
+      duration_ms: Long,       // decoded audio duration (frames/rate)
       features: Array[Float])  // fixed-dim feature vector
 
   /** Build a media table from any binary source column. */
@@ -94,9 +99,93 @@ object Multimodal {
         }
     } catch { case _: Throwable => None }
 
+  /** Real audio decode: `javax.sound.sampled.AudioSystem` over the
+    * payload bytes — WAV/AIFF/AU with 16-bit signed PCM decode in
+    * every JRE, no external codec. Returns (sampleRate, channels,
+    * durationMs, features): exact integer accumulation over the raw
+    * samples (sum, abs-sum, min, max, zero crossings), each feature
+    * one IEEE division, scaled to [-1, 1] — bit-stable everywhere
+    * (PCM containers are lossless; there is no JPEG-style
+    * color-management caveat here). None when the bytes are not a
+    * decodable PCM container (compressed formats — mp3/ogg/aac — have
+    * no JRE codec and take the deterministic fallback). */
+  private[operators] def decodeAudio(bytes: Array[Byte], dim: Int): Option[(Int, Int, Long, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          if (n == 0) None
+          else {
+            val be = fmt.isBigEndian
+            var i = 0
+            var (sum, absSum, zc) = (0L, 0L, 0L)
+            var (mn, mx) = (Int.MaxValue, Int.MinValue)
+            var prevNonNeg = false
+            var first = true
+            while (i + 1 < data.length) {
+              val v =
+                (if (be) (data(i) << 8) | (data(i + 1) & 0xFF)
+                 else (data(i + 1) << 8) | (data(i) & 0xFF)).toShort.toInt
+              sum += v; absSum += math.abs(v)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              val nonNeg = v >= 0
+              if (!first && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg; first = false
+              i += 2
+            }
+            val rate = fmt.getSampleRate.toInt
+            val ch = math.max(fmt.getChannels, 1)
+            val durMs = (n / ch).toLong * 1000L / rate
+            val base = Array(
+              ((sum.toDouble / n) / 32768.0).toFloat,
+              ((absSum.toDouble / n) / 32768.0).toFloat,
+              (mn / 32768.0).toFloat,
+              (mx / 32768.0).toFloat,
+              math.min(rate, 96000).toFloat / 96000 * 2 - 1,
+              math.min(ch, 8).toFloat / 8 * 2 - 1,
+              math.min(durMs, 60000).toFloat / 60000 * 2 - 1,
+              (zc.toDouble / math.max(n - 1, 1)).toFloat)
+            Some((rate, ch, durMs,
+              Array.tabulate(dim)(i => if (i < base.length) base(i) else 0f)))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Deterministic 16-bit mono PCM WAV fixture: frame i carries sample
+    * `((seed * 31 + i * 7919) mod 65536) - 32768` — an arithmetic any
+    * SQL engine replays from (seed, nFrames) alone, which is what lets
+    * the REAL decode path sit under a hash-gated oracle. */
+  def synthWavPcm16(seed: Long, nFrames: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)     // byte rate
+      .putShort(2).putShort(16)                      // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      b.putShort((((seed * 31 + i * 7919L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
   /** The batched decode shape: partition-local iteration, one output
-    * row per media row. Image rows go through the REAL
-    * [[decodeImage]] kernel; undecodable payloads fall back to
+    * row per media row. Image rows go through the REAL [[decodeImage]]
+    * kernel, audio rows through the REAL [[decodeAudio] kernel
+    * (PCM containers); undecodable payloads fall back to
     * deterministic hash-derived features so the batch never fails and
     * downstream plans are identical either way. */
   def mapBatches(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
@@ -112,16 +201,22 @@ object Multimodal {
         md.reset()
         val checksum = md.digest(bytes).take(7)
           .foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL))
-        val real = if (r.kind == "image") decodeImage(bytes, dim) else None
-        real match {
-          case Some((w, h, feats)) =>
+        val decoded: Option[MediaFeatures] = r.kind match {
+          case "image" => decodeImage(bytes, dim).map { case (w, h, feats) =>
             MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
-              decoded = true, w, h, feats)
-          case None =>
-            val feats = Array.tabulate(dim)(i =>
-              (((checksum >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2 - 1)
+              decoded = true, w, h, 0, 0, 0L, feats)
+          }
+          case "audio" => decodeAudio(bytes, dim).map { case (rate, ch, durMs, feats) =>
             MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
-              decoded = false, 0, 0, feats)
+              decoded = true, 0, 0, rate, ch, durMs, feats)
+          }
+          case _ => None
+        }
+        decoded.getOrElse {
+          val feats = Array.tabulate(dim)(i =>
+            (((checksum >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2 - 1)
+          MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
+            decoded = false, 0, 0, 0, 0, 0L, feats)
         }
       }
     }

@@ -1102,6 +1102,52 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // REAL audio decode under the hash gate: each document mints a
+    // deterministic 16-bit mono PCM WAV (sample i of doc d is
+    // ((d*31 + i*7919) mod 65536) - 32768, 800 + (d mod 100)*8 frames
+    // at 8 kHz), the engine round-trips it through
+    // javax.sound.sampled, and the oracle recomputes sample rate,
+    // channels, duration, byte count and the amplitude statistics
+    // from (doc_id, nFrames) arithmetic alone — a wrong header parse,
+    // endianness slip or sample decode all break the hash. Frame
+    // counts are multiples of 8, so duration_ms = nf/8 is exact
+    // integer math in both engines; mean/min/max divisions are single
+    // IEEE ops on exact integer sums.
+    QueryDef.sql(
+      "q_multimodal_audio",
+      """WITH f AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS nf FROM documents),
+        |s AS (SELECT doc_id, nf,
+        |        list_transform(range(0, nf),
+        |          i -> CAST(((doc_id * 31 + i * 7919) % 65536) - 32768 AS BIGINT)) AS pcm
+        |      FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(44 + nf * 2 AS INT) AS n_bytes,
+        |  TRUE AS decoded,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  CAST(nf // 8 AS BIGINT) AS duration_ms,
+        |  CAST((CAST(list_sum(pcm) AS DOUBLE) / nf) / 32768.0 AS REAL) AS mean_norm,
+        |  CAST(CAST(list_min(pcm) AS DOUBLE) / 32768.0 AS REAL) AS min_norm,
+        |  CAST(CAST(list_max(pcm) AS DOUBLE) / 32768.0 AS REAL) AS max_norm
+        |FROM s
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = 800 + (id % 100).toInt * 8
+          (id, "audio",
+            graft.operators.Multimodal.synthWavPcm16(id, nf, 8000),
+            "audio/wav", 0, 0, 0L)
+        })
+        .toDF("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
+      graft.operators.Multimodal.extractFeatures(s, media)
+        .select(col("media_id"), col("n_bytes"), col("decoded"),
+          col("sample_rate"), col("channels"), col("duration_ms"),
+          element_at(col("features"), 1).as("mean_norm"),
+          element_at(col("features"), 3).as("min_norm"),
+          element_at(col("features"), 4).as("max_norm"))
+        .orderBy("media_id")
+    },
+
     // Exact media dedup by content hash, exercised on a simulated
     // re-ingest (every payload arrives twice under different ids):
     // byte-identical media collapse to the lowest id; only the

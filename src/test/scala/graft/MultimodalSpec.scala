@@ -68,6 +68,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("checksum") == out(1L).getAs[Long]("checksum"))
   }
 
+  test("real javax.sound.sampled decode: synthetic WAVs yield exact PCM stats") {
+    val seed = 7L
+    val nf = 16
+    val wav = Multimodal.synthWavPcm16(seed, nf, 8000)
+    val samples = (0 until nf).map(i => (((seed * 31 + i * 7919L) % 65536L) - 32768L).toInt)
+    val media = Seq((1L, "audio", wav),
+        (2L, "audio", "not audio".getBytes("UTF-8")),   // corrupt: fallback
+        (3L, "video", wav))                             // wrong kind: fallback
+      .toDF("id", "kind", "payload")
+      .select(col("id").as("media_id"), col("kind"), col("payload"),
+        lit("audio/wav").as("mime"), lit(0).as("width"), lit(0).as("height"),
+        lit(0L).as("duration_ms"))
+    val out = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("decoded"))
+    assert(out(1L).getAs[Int]("sample_rate") == 8000)
+    assert(out(1L).getAs[Int]("channels") == 1)
+    assert(out(1L).getAs[Long]("duration_ms") == nf * 1000L / 8000)
+    val f = out(1L).getAs[scala.collection.Seq[Float]]("features")
+    assert(f(0) == ((samples.map(_.toLong).sum.toDouble / nf) / 32768.0).toFloat)
+    assert(f(2) == (samples.min / 32768.0).toFloat)
+    assert(f(3) == (samples.max / 32768.0).toFloat)
+    assert(f.length == 8)
+
+    assert(!out(2L).getAs[Boolean]("decoded") && out(2L).getAs[Int]("sample_rate") == 0)
+    assert(!out(3L).getAs[Boolean]("decoded"))
+    // checksum is payload-derived regardless of decode path
+    assert(out(3L).getAs[Long]("checksum") == out(1L).getAs[Long]("checksum"))
+  }
+
   test("frame sampling explodes one row per sampled frame") {
     val vid = Seq((1L, "video", Array[Byte](1), "video/mp4", 0, 0, 1000L))
       .toDF("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
