@@ -334,7 +334,15 @@ object IdentityResolver {
     *    when several requests link the same subject in one batch);
     *  - review flags: center-mismatch links flag the chosen subject,
     *    multi-GSID conflicts flag ALL matched subjects (`:156-211`),
-    *    appending a dated note to `review_notes`. */
+    *    appending a dated note to `review_notes`.
+    *
+    * Note appends are guarded by an already-present check, which makes
+    * re-presenting the SAME batch on the same date a byte-identical
+    * no-op (match-first resolution mints nothing on a rerun, and the
+    * guard keeps the rerun from duplicating its own conflict notes) —
+    * the idempotent-rerun property `q_identity_rerun` gates. A later
+    * batch's note carries a different date, so real note chains still
+    * append. */
   def applyBatch(
       registry: Registry,
       resolutions: DataFrame,
@@ -373,7 +381,12 @@ object IdentityResolver {
         when(col("center_id") === 0 && col("_new_center").isNotNull, col("_new_center"))
           .otherwise(col("center_id")))
       .withColumn("review_notes",
-        when(col("_notes").isNotNull, concat_ws("\n", col("review_notes"), col("_notes")))
+        // already-present guard: a same-day rerun of the same batch
+        // regenerates the identical note block and must not duplicate
+        // it (idempotent rerun); a new date is a new string and chains
+        when(col("_notes").isNotNull &&
+            !coalesce(col("review_notes"), lit("")).contains(col("_notes")),
+          concat_ws("\n", col("review_notes"), col("_notes")))
           .otherwise(col("review_notes")))
       .withColumn("flagged_for_review", col("flagged_for_review") || col("_notes").isNotNull)
       .drop("_new_center", "_notes")
@@ -403,7 +416,10 @@ object IdentityResolver {
       .join(w.select("global_subject_id", "_w_note"), Seq("global_subject_id"), "left")
       .withColumn("withdrawn", col("withdrawn") || col("_w_note").isNotNull)
       .withColumn("review_notes",
-        when(col("_w_note").isNotNull, concat_ws("\n", col("review_notes"), col("_w_note")))
+        // same-day re-withdrawal is a no-op (see applyBatch's guard)
+        when(col("_w_note").isNotNull &&
+            !coalesce(col("review_notes"), lit("")).contains(col("_w_note")),
+          concat_ws("\n", col("review_notes"), col("_w_note")))
           .otherwise(col("review_notes")))
       .drop("_w_note")
   }

@@ -225,6 +225,71 @@ object PipelineQueries {
         .orderBy("global_subject_id")
     },
 
+    // Idempotent-rerun gate: the SAME batch is pushed through
+    // resolve -> links -> applyBatch TWICE (same date), and the gated
+    // output is the registry delta after the SECOND apply — against
+    // the SAME oracle a single apply satisfies. Match-first semantics
+    // make the rerun a no-op by design (every id resolves to its
+    // already-minted gsid, zero create_new; upgrades/flags/link merges
+    // are delete-and-replace or guarded appends), so any re-mint,
+    // duplicated note, flag flip or extra link row breaks rows/hash.
+    QueryDef.sql(
+      "q_identity_rerun",
+      """WITH b1 AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS ctr
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |sub1 AS (
+        |  SELECT k, ctr,
+        |    'GSID-' || upper(substr(md5('NEW:ev-' || CAST(k AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM b1),
+        |b2 AS (
+        |  SELECT c_custkey AS request_id, CAST(c_nationkey AS INT) AS center_id,
+        |         c_custkey - 1 AS prev
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |linked AS (
+        |  SELECT s.gsid, s.ctr AS sub_ctr, r.center_id AS req_ctr
+        |  FROM b2 r JOIN sub1 s ON s.k = r.prev)
+        |SELECT s.gsid AS global_subject_id,
+        |  CAST(CASE WHEN s.ctr = 0 AND l.req_ctr IS NOT NULL AND l.req_ctr <> 0
+        |            THEN l.req_ctr ELSE s.ctr END AS INT) AS center_id,
+        |  '2024-06-01' AS created_at,
+        |  coalesce(l.req_ctr <> l.sub_ctr AND l.req_ctr <> 0 AND l.sub_ctr <> 0, FALSE)
+        |    AS flagged_for_review,
+        |  CASE WHEN l.req_ctr <> l.sub_ctr AND l.req_ctr <> 0 AND l.sub_ctr <> 0
+        |       THEN 'CENTER CONFLICT detected on 2024-07-01' END AS review_notes
+        |FROM sub1 s LEFT JOIN linked l USING (gsid)
+        |UNION ALL
+        |SELECT 'GSID-' || upper(substr(md5('NEW:ev-' || CAST(prev AS VARCHAR)), 1, 16)),
+        |  center_id, '2024-07-01', FALSE, NULL
+        |FROM b2 WHERE prev NOT IN (SELECT k FROM sub1)
+        |ORDER BY global_subject_id""".stripMargin) { (s, d) =>
+      val day = java.sql.Date.valueOf("2024-07-01")
+      val (_, reg1) = evolutionBatch1(s, d)
+      val batch2 = evolutionBatch2(s, d)
+      val res2 = IdentityResolver.resolve(batch2, reg1, deterministicMint = true,
+        groupingIterations = 1).localCheckpoint(false) // single-id batch
+      val links2 = IdentityResolver.links(batch2, res2, reg1.localIds)
+      val reg2r = IdentityResolver.applyBatch(reg1, res2, links2, day)
+      // materialize run 1's registry so the rerun resolves against it
+      // without re-deriving the doubled lineage
+      val reg2 = reg2r.copy(
+        subjects = reg2r.subjects.localCheckpoint(false),
+        localIds = reg2r.localIds.localCheckpoint(false))
+      val res3 = IdentityResolver.resolve(batch2, reg2, deterministicMint = true,
+        groupingIterations = 1).localCheckpoint(false)
+      val links3 = IdentityResolver.links(batch2, res3, reg2.localIds)
+      val reg3 = IdentityResolver.applyBatch(reg2, res3, links3, day)
+      val baseGsids = IdentityQueries.registry(s, d).subjects
+        .select("global_subject_id")
+      reg3.subjects
+        .join(baseGsids, Seq("global_subject_id"), "left_anti")
+        .select(col("global_subject_id"),
+          col("center_id").cast("int").as("center_id"),
+          date_format(col("created_at"), "yyyy-MM-dd").as("created_at"),
+          col("flagged_for_review"), col("review_notes"))
+        .orderBy("global_subject_id")
+    },
+
     // §3.3 load pipeline end-to-end: a string-typed "staged fragment"
     // (CSV-land) goes through exclusion (P4), lenient coercion (F1-F7),
     // schema projection (P5) and the U1 MERGE — merged snapshot gated.

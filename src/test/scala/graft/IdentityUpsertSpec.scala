@@ -233,6 +233,64 @@ class IdentityResolverSpec extends SparkSpec {
   }
 }
 
+class IdentityRerunSpec extends SparkSpec {
+  import spark.implicits._
+  import IdentityResolver._
+
+  test("re-presenting the same batch is a byte-identical registry no-op") {
+    val registry = Registry(
+      Seq(("G-A", 5, Date.valueOf("2019-01-01")),
+          ("G-B", 0, Date.valueOf("2020-01-01")))
+        .toDF("global_subject_id", "center_id", "created_at"),
+      Seq((5, "a-1", "primary", "G-A"), (0, "b-1", "primary", "G-B"))
+        .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id"))
+    // link + center conflict, center 0->real upgrade, and a fresh mint
+    val batch = Seq(
+      (1L, 9, "A-1", "primary"),    // conflict vs G-A's center 5 → note
+      (2L, 3, "B-1", "primary"),    // 0→3 upgrade on G-B
+      (3L, 4, "new-1", "primary"))  // create_new
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+    val day = Date.valueOf("2024-07-01")
+
+    def applyOnce(reg: Registry): Registry = {
+      val res = resolve(batch, reg, deterministicMint = true, groupingIterations = 1)
+        .localCheckpoint(false)
+      val lk = links(batch, res, reg.localIds)
+      val out = applyBatch(reg, res, lk, day)
+      Registry(out.subjects.localCheckpoint(false), out.localIds.localCheckpoint(false))
+    }
+    val once = applyOnce(registry)
+    val twice = applyOnce(once)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    assert(rows(twice.subjects) == rows(once.subjects))
+    assert(rows(twice.localIds) == rows(once.localIds))
+    assert(once.subjects.count() == 3L && twice.subjects.count() == 3L) // zero re-mints
+    // the run-1 effects actually happened (this is not a no-op fixture)
+    val s = once.subjects.collect().map(r =>
+      r.getAs[String]("global_subject_id") -> r).toMap
+    assert(s("G-A").getAs[Boolean]("flagged_for_review"))
+    assert(s("G-A").getAs[String]("review_notes") ==
+      "CENTER CONFLICT detected on 2024-07-01")
+    assert(s("G-B").getAs[Int]("center_id") == 3)
+  }
+
+  test("same-day re-withdrawal does not duplicate the note; new date chains") {
+    val subjects = Seq(("G-W", 5, Date.valueOf("2019-01-01")))
+      .toDF("global_subject_id", "center_id", "created_at")
+    val w = Seq(("G-W", "requested")).toDF("global_subject_id", "reason")
+    val d1 = Date.valueOf("2024-07-01")
+    val once = withdraw(subjects, w, d1).localCheckpoint(false)
+    val again = withdraw(once, w, d1)
+    val note1 = "Withdrawn on 2024-07-01. Reason: requested"
+    assert(again.collect().head.getAs[String]("review_notes") == note1)
+    val later = withdraw(again, w, Date.valueOf("2024-08-01"))
+    assert(later.collect().head.getAs[String]("review_notes") ==
+      note1 + "\nWithdrawn on 2024-08-01. Reason: requested")
+  }
+}
+
 class UpsertWriterSpec extends SparkSpec {
   import spark.implicits._
 
