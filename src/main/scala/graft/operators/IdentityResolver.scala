@@ -124,10 +124,26 @@ object IdentityResolver {
       lower(col("local_subject_id")).as("_nid"))
       .localCheckpoint(false)
 
-    val li = registry.localIds.select(
-      lower(col("local_subject_id")).as("_nid"),
-      col("center_id").as("_id_center"),
-      col("global_subject_id").as("_gsid"))
+    // AUTO-ROUTE on a cataloged registry: RegistryCatalog persists
+    // local_subject_ids with a precomputed `norm_id` =
+    // lower(local_subject_id), bucketed + sorted on it. When that
+    // column is present, join on the ATTRIBUTE itself — re-deriving
+    // lower(...) would hide the bucketing from the planner and put an
+    // Exchange back under the registry side of J1. With the attribute,
+    // the bucketed scan's output partitioning satisfies the join and
+    // only the (batch-sized) probe reshuffles. norm_id's content is
+    // the catalog's write-time contract (CatalogSpec pins equality of
+    // both routes).
+    val li = (if (registry.localIds.columns.contains("norm_id"))
+      registry.localIds.select(
+        col("norm_id").as("_nid"),
+        col("center_id"), col("global_subject_id"))
+    else
+      registry.localIds.select(
+        lower(col("local_subject_id")).as("_nid"),
+        col("center_id"), col("global_subject_id")))
+      .select(col("_nid"), col("center_id").as("_id_center"),
+        col("global_subject_id").as("_gsid"))
 
     val subj = withSubjectFlags(registry.subjects).select(
       col("global_subject_id").as("_gsid"),

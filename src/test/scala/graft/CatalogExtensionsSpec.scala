@@ -75,4 +75,59 @@ class CatalogSpec extends SparkSpec {
       assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1500))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("resolve auto-routes a cataloged registry: no Exchange above the bucketed scan, same output") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.IdentityResolver
+
+    val localIds = Seq(
+      (3, "ID-1", "primary", "G1"),
+      (4, "ID-2", "primary", "G2"))
+      .toDF("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+    val subjects = Seq(
+      ("G1", 3, java.sql.Date.valueOf("2020-01-01")),
+      ("G2", 4, java.sql.Date.valueOf("2021-01-01")))
+      .toDF("global_subject_id", "center_id", "created_at")
+    RegistryCatalog.publish(spark, subjects, localIds, buckets = 4)
+
+    val batch = Seq(
+      (1L, 3, "id-1", "primary"),
+      (2L, 9, "never", "primary"))
+      .toDF("request_id", "center_id", "local_subject_id", "identifier_type")
+
+    val catReg = IdentityResolver.Registry(
+      RegistryCatalog.subjects(spark), RegistryCatalog.localIds(spark))
+    val plainReg = IdentityResolver.Registry(subjects, localIds)
+
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = IdentityResolver.resolve(batch, catReg,
+        deterministicMint = true, groupingIterations = 1)
+      val got = out.select("request_id", "action", "gsid").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // same output as the uncataloged lower(...) route
+      val want = IdentityResolver.resolve(batch, plainReg,
+          deterministicMint = true, groupingIterations = 1)
+        .select("request_id", "action", "gsid").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == want && got.exists(_._2 == "link_existing"))
+
+      // no shuffle anywhere above the bucketed local-ids scan (AQE off
+      // so the physical tree is directly walkable)
+      def hasRegistryScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == RegistryCatalog.LocalIdsTable)
+        case _ => false
+      }
+      val offending = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if hasRegistryScan(e.child) => e
+      }
+      assert(offending.isEmpty,
+        s"registry side reshuffled:\n${offending.headOption}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
