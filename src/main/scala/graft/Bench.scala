@@ -32,6 +32,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // dev-side subset filter (comma-separated names) for big-SF runs
+    // where the full suite is impractical (e.g. sf10 excludes the
+    // labeled-quadratic all-pairs baseline); unset = driver contract,
+    // every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,7 +46,9 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     var nRun = 0
-    val results = SparkEntry.allDefs.map { q =>
+    val results = SparkEntry.allDefs
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       val t0 = System.nanoTime()
       // a per-query failure must be LOUD: print it, and record the
       // query as -1 in the map (a silent catch turns a red query into

@@ -49,18 +49,29 @@ object Pipelines {
 
     // 4: identity resolution (§2.9) — candidates from the configured
     // subject-id columns, one row per (row, candidate column).
-    // Request ids are CONTENT-derived (md5 over batch id + every mapped
-    // column), not monotonically_increasing_id(): the same input always
-    // yields the same ids regardless of partitioning, task retries, or
-    // split planning, so resolution-log correlation keys are stable
-    // across runs on a cluster. Content-identical duplicate rows
-    // deliberately collapse to ONE logical resolution request — they
-    // are indistinguishable and resolve identically (resolve() is
-    // per-request-id), and each copy still receives its gsid through
-    // the join-back below.
+    // Request ids are CONTENT-derived (hash over batch id + every
+    // mapped column), not monotonically_increasing_id(): the same
+    // input always yields the same ids regardless of partitioning,
+    // task retries, or split planning, so resolution-log correlation
+    // keys are stable across runs on a cluster. Content-identical
+    // duplicate rows deliberately collapse to ONE logical resolution
+    // request — they are indistinguishable and resolve identically
+    // (resolve() is per-request-id), and each copy still receives its
+    // gsid through the join-back below.
+    //
+    // The key is TWO independent structural xxhash64 passes (domain-
+    // separated by the batch-id literal), 128 bits total: collision-
+    // safe like the md5(to_json(...)) it replaces, but hashing the
+    // columns structurally — the JSON serialization of every column
+    // per row was the single hottest expression in the validate
+    // pipeline (BENCH r4→r5 regression), and its row-format cost grows
+    // with column count, which at 100 TB is pure waste for an
+    // engine-internal correlation key that no oracle ever recomputes.
+    val allCols = m.df.columns.map(col).toSeq
     val withRow = m.df.withColumn("_row_id",
-      md5(to_json(struct(
-        lit(batchId).as("_graft_batch") +: m.df.columns.map(col): _*))))
+      concat_ws("-",
+        xxhash64(lit(s"$batchId:a") +: allCols: _*).cast("string"),
+        xxhash64(lit(s"$batchId:b") +: allCols: _*).cast("string")))
     val centerCol = mapping.centerIdField
       .map(c => coalesce(col(c).cast("int"), lit(mapping.defaultCenterId)))
       .getOrElse(lit(mapping.defaultCenterId))

@@ -60,6 +60,16 @@ object PipelineQueries {
     // §3.1 validator pipeline end-to-end. Internal row ids are
     // nondeterministic but every OUTPUT value is data-derived, so the
     // mapped rows hash-check against a full SQL re-derivation.
+    //
+    // Bench note (r5 +0.6 s at sf0.1 vs r4, kept deliberately): round
+    // 5 added three features on this path — content-derived request
+    // ids (partitioning/retry-stable correlation keys), the
+    // content-identical duplicate collapse + _mult weighting (exact
+    // per-input-row report counts), and the hot-key skew probe in
+    // resolve (one extra bounded aggregation job). Each buys cluster
+    // correctness for a fraction of a second at sf0.1; round 6 cut
+    // the id-derivation cost by replacing md5(to_json(row)) with two
+    // structural xxhash64 passes (no per-row JSON serialization).
     QueryDef.sql(
       "q_pipeline_validate",
       """WITH localids AS (

@@ -340,17 +340,35 @@ object Sources {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Atomic `_current` pointer swap (temp write + rename-OVERWRITE via
-    * FileContext; stale checksum sidecars dropped first). */
+  /** Atomic `_current` pointer swap (temp write + atomic
+    * rename-over; stale checksum sidecars dropped first).
+    *
+    * The rename must be ATOMIC-OVERWRITE: concurrent publishers race
+    * their swaps, and readers resolve the pointer unlocked. On HDFS,
+    * `FileContext.rename(OVERWRITE)` is a single NameNode op. On the
+    * local FS Hadoop EMULATES overwrite as delete-then-rename, which
+    * both leaves a no-pointer window for readers and throws
+    * FileAlreadyExistsException when two publishers interleave
+    * (delete A, delete B, rename A, rename B → dest exists) — so
+    * file:// swaps go through POSIX rename(2) via NIO ATOMIC_MOVE,
+    * which replaces in one syscall. The N×M publisher/reader stress
+    * spec is what flushed this out. */
   private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
       root: org.apache.hadoop.fs.Path, content: String, stamp: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp-$stamp")
     writeRaw(uri, conf, tmp, content)
     fs.delete(new org.apache.hadoop.fs.Path(root, "._current.crc"), false)
-    org.apache.hadoop.fs.FileContext.getFileContext(uri, conf).rename(
-      tmp, new org.apache.hadoop.fs.Path(root, "_current"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dst = new org.apache.hadoop.fs.Path(root, "_current")
+    if (Option(uri.getScheme).forall(_ == "file"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    else
+      org.apache.hadoop.fs.FileContext.getFileContext(uri, conf).rename(
+        tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Small-file compaction: rewrite a parquet table dir into

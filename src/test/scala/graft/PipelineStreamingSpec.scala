@@ -230,6 +230,109 @@ class SourcesSpec extends SparkSpec {
     assert(fin.filter(_.getAs[Int]("p") != 0).forall(_.getAs[Double]("v") == 4.0))
   }
 
+  test("stress: N publishers x M readers with active grace-window pruning stay consistent") {
+    import graft.types.TableConfig
+    // 3 publishers each own one partition and publish 4 versions of it
+    // concurrently; 2 readers continuously assert snapshot consistency;
+    // an ager thread keeps pushing ROTATED manifests past the grace
+    // window so pruning (and its FileNotFound races) runs DURING the
+    // publish/read traffic, not after it. The documented concurrent-
+    // publisher degradation is a LOST UPDATE (a partition may read an
+    // older of its own versions) — never a torn partition, a mixed
+    // per-partition version set, a changed untouched partition, or a
+    // row-count change.
+    val dir = Files.createTempDirectory("graft_pmerge_stress").toString + "/table"
+    def batch(v: Double, ps: Seq[Int]): org.apache.spark.sql.DataFrame =
+      ps.flatMap(p => (0 until 25).map(i => (p * 100L + i, p, v)))
+        .toDF("id", "p", "v")
+    batch(0.0, Seq(0, 1, 2, 3)).write.partitionBy("p").parquet(dir)
+    val cfg = TableConfig("t", Seq("id"), Seq.empty)
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    def liveManifest(): Long =
+      try {
+        val src = scala.io.Source.fromFile(s"$dir/_current", "UTF-8")
+        try src.mkString.trim.stripPrefix("manifest-")
+          .takeWhile(_.isDigit).toLong
+        finally src.close()
+      } catch { case _: Throwable => 0L }
+
+    val publishers = (1 to 3).map { k =>
+      new Thread(() => {
+        try {
+          for (v <- 1 to 4 if failure.isEmpty)
+            Sources.publishMergePartitioned(spark, dir,
+              batch(v.toDouble, Seq(k)), cfg, "p")
+        } catch {
+          case e: Throwable => failure = Some(s"publisher $k died: ${e.getMessage}")
+        }
+      })
+    }
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop && failure.isEmpty) {
+          val resolvedAtLeast = liveManifest()
+          def inWindow: Boolean = liveManifest() - resolvedAtLeast < 3
+          try {
+            val rows = Sources.readMergePartitioned(spark, dir, "p").collect()
+            if (rows.length != 100) {
+              if (inWindow) failure = Some(s"partial table: ${rows.length} rows")
+            } else {
+              val perPart = rows.groupBy(_.getAs[Int]("p"))
+                .map { case (p, rs) => p -> rs.map(_.getAs[Double]("v")).distinct.toSeq }
+              perPart.find(_._2.length != 1).foreach { case (p, vs) =>
+                if (inWindow) failure = Some(s"torn partition p=$p: versions $vs")
+              }
+              if (perPart(0) != Seq(0.0))
+                failure = Some(s"untouched partition changed: ${perPart(0)}")
+              perPart.values.flatten.find(v => v < 0.0 || v > 4.0).foreach(v =>
+                failure = Some(s"phantom version $v"))
+            }
+          } catch {
+            case e: Throwable =>
+              if (inWindow)
+                failure = Some(s"reader failed inside the retention window: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    val ager = new Thread(() => {
+      val root = new java.io.File(dir)
+      while (!stop) {
+        // age only manifests STRICTLY OLDER than the live pointer's
+        // predecessor — i.e. genuinely rotated ones. A written-but-
+        // not-yet-swapped manifest (number >= live) must keep its
+        // mtime: aging it would simulate a publisher stalled past the
+        // grace window, which degrades by contract to a lost update.
+        val live = liveManifest()
+        Option(root.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("manifest-"))
+          .filter(_.getName.stripPrefix("manifest-").takeWhile(_.isDigit).toLong < live - 1)
+          .foreach(f =>
+            f.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000): Unit)
+        Thread.sleep(20)
+      }
+    })
+    (publishers ++ readers :+ ager).foreach(_.start())
+    publishers.foreach(_.join(120000))
+    stop = true
+    (readers :+ ager).foreach(_.join(60000))
+    assert(failure.isEmpty, failure.getOrElse(""))
+
+    // end state: every partition is a single consistent version; the
+    // untouched partition is byte-stable; pruning actually ran (the
+    // rotated-manifest population stayed bounded despite 12+ publishes)
+    val fin = Sources.readMergePartitioned(spark, dir, "p").collect()
+    assert(fin.length == 100)
+    val finPer = fin.groupBy(_.getAs[Int]("p"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Double]("v")).distinct.toSeq }
+    assert(finPer(0) == Seq(0.0))
+    (1 to 3).foreach(p => assert(finPer(p).length == 1, s"torn end state p=$p"))
+    val manifestsLeft = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("manifest-"))
+    assert(manifestsLeft <= 6, s"pruning never ran: $manifestsLeft manifests")
+  }
+
   test("S6/S7 real-path JDBC scan round-trips with predicate pushdown (embedded Derby)") {
     // Derby ships with Spark's jars — an in-JVM database, no network.
     val url = "jdbc:derby:memory:graftdb;create=true"
@@ -352,8 +455,9 @@ class ValidatePipelineSpec extends SparkSpec {
     val (rowsB, idsB) = run(17)
     assert(rowsA == rowsB && rowsA.nonEmpty)
     assert(idsA == idsB)
-    // and the ids themselves are reproducible strings, not counters
-    assert(idsA.forall(_.matches("[0-9a-f]{32}")))
+    // and the ids themselves are reproducible content-hash strings
+    // (two domain-separated xxhash64 words), not counters
+    assert(idsA.forall(_.matches("-?\\d+--?\\d+")))
   }
 
   test("validator pipeline fails fast on missing required column") {

@@ -182,16 +182,19 @@ class PlanAuditSpec extends SparkSpec {
       p.take(1500))
   }
 
-  test("bloom semi-join: probe prefilter sits below the exchange") {
+  test("bloom semi-join: native might_contain prefilter sits below the exchange") {
     val p = planOf("q_bloom_semi")
-    // plans print parents first, so "deeper than the shuffle" means
-    // the UDF prefilter appears AFTER the first SHUFFLE exchange in
-    // the text ("Exchange hashpartitioning" — a bare indexOf(Exchange)
+    // the probe is Spark's native might_contain over the filter-bits
+    // literal (codegen-fused with the scan) — NOT a UDF boundary.
+    // Plans print parents first, so "deeper than the shuffle" means
+    // the prefilter appears AFTER the first SHUFFLE exchange in the
+    // text ("Exchange hashpartitioning" — a bare indexOf(Exchange)
     // would anchor on a BroadcastExchange and prove nothing): the
     // shuffle then carries only rows that passed the bloom
     val firstExchange = p.indexOf("Exchange hashpartitioning")
-    val filterAt = p.indexOf("UDF(")
+    val filterAt = p.indexOf("might_contain")
     assert(filterAt >= 0, p.take(1500))
+    assert(!p.contains("UDF("), p.take(1500))
     if (firstExchange >= 0) assert(filterAt > firstExchange, p.take(1500))
     assert(p.contains("LeftSemi"), p.take(1500))
   }
