@@ -158,6 +158,24 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The PRODUCTION-shaped run of the same operator: nBits scales
+    // with the table (~log2(n/256), the way a real deployment sizes
+    // its bucket count so occupancy stays bounded as data grows) —
+    // at sf10 that is 10 bits / 1024 buckets with every bucket under
+    // the cap, where the 4-bit gate config above would cap out
+    // entirely. rows-only: the adaptive bit count depends on a
+    // count() and has no fixed SQL replay; the algorithm itself is
+    // hash-gated by q_dedup_embedding_lsh.
+    QueryDef.rowsOnly("q_dedup_embedding_lsh_scale") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val nBits = math.max(4,
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 256)))
+      Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+          threshold = 0.45, nBits = nBits, dim = 64, nProbe = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // LSH ANN under the full hash gate: the seeded hyperplanes are
     // interpolated into the oracle as E-notation DOUBLE literals
     // (17 significant digits round-trip exactly; plain decimals would
