@@ -46,9 +46,7 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     var nRun = 0
-    val results = SparkEntry.allDefs
-      .filter(q => only.forall(_.contains(q.name)))
-      .map { q =>
+    def timeQuery(q: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
       // a per-query failure must be LOUD: print it, and record the
       // query as -1 in the map (a silent catch turns a red query into
@@ -73,13 +71,33 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       nRun += 1
       if (nRun % 8 == 0) System.gc()
-      q.name -> (if (err.isDefined) -1.0 else dt)
+      if (err.isDefined) -1.0 else dt
     }
+    val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
+    val results = defs.map(q => q.name -> timeQuery(q))
+
+    // The headline subset is re-timed twice more and reported as the
+    // MEDIAN of the three runs: a single contended driver run (the
+    // r08 bench regressed 10-44x on shuffle-heavy queries with
+    // bit-identical code) can then no longer halve the apparent
+    // throughput of any headline row. Bounded cost: repeats only for
+    // the ~38 headline queries.
+    val hset = headline.toSet
+    val headlineDefs = defs.filter(q => hset(q.name))
+    val reps: Map[String, Seq[Double]] = {
+      val extra = (1 to 2).map(_ => headlineDefs.map(q => q.name -> timeQuery(q)).toMap)
+      val first = results.toMap
+      headlineDefs.map(q => q.name ->
+        (Seq(first(q.name)) ++ extra.map(_(q.name)))).toMap
+    }
+    def median3(v: Seq[Double]): Double =
+      if (v.exists(_ < 0)) -1.0 else v.sorted.apply(v.length / 2)
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def jsonLine(qs: Seq[(String, Double)], total: Double): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
-    }
+    def jmap(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    def jsonLine(qs: Seq[(String, Double)], total: Double, tail: String = ""): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jmap(qs)},"sf":"$sfDir"$tail}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     if (nFailed > 0)
@@ -87,15 +105,32 @@ object Bench {
     val full = jsonLine(results, total)
     // full map: printed first (human log) and persisted for dev diffing
     println(full)
-    try {
-      val p = java.nio.file.Paths.get("target/bench_full.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    // final line = compact headline subset, guaranteed inside the
-    // driver's tail window (see `headline` scaladoc)
-    val hset = headline.toSet
-    println(jsonLine(results.filter(r => hset(r._1)), total))
+    // per-headline median/min/max: printed for the log, persisted for
+    // dev diffing (kept OFF the final line to stay under the driver's
+    // ~1.5 KB tail window)
+    val spreadJson = reps.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k":{"median":${f2(median3(v))},"min":${f2(v.min)},"max":${f2(v.max)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"headline_spread","reps":3,"queries":$spreadJson}""")
+    for ((name, text) <- Seq("bench_full.json" -> full,
+        "bench_headline_spread.json" ->
+          s"""{"metric":"headline_spread","reps":3,"queries":$spreadJson}""")) {
+      try {
+        val p = java.nio.file.Paths.get(s"target/$name")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
+    // final line = compact headline subset (median-of-3 values),
+    // guaranteed inside the driver's tail window (see `headline`
+    // scaladoc). spread_max_rel = worst (max-min)/median across
+    // headline rows — a one-number contention indicator.
+    val medians = results.collect { case (k, _) if hset(k) => k -> median3(reps(k)) }
+    val spreadMaxRel = reps.values.collect {
+      case v if v.forall(_ >= 0) && median3(v) > 0.05 => (v.max - v.min) / median3(v)
+    }.foldLeft(0.0)(math.max)
+    println(jsonLine(medians, total,
+      s""","reps":3,"spread_max_rel":${f2(spreadMaxRel)}"""))
     spark.stop()
   }
 }

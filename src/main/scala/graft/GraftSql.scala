@@ -7,10 +7,20 @@ import org.apache.spark.sql.SparkSession
   * DataFrame API — both compile to the same Catalyst plans. */
 object GraftSql {
 
+  /** Per-table fault isolation: one table failing to load (missing
+    * file, schema drift the loader doesn't know yet) must not take
+    * down the whole SQL surface — a query over orders should not die
+    * because the events view could not register. */
   def registerTables(spark: SparkSession, sfDir: String): Unit =
-    Tables.names.foreach {
-      case "events" => Tables.events(spark, sfDir).createOrReplaceTempView("events")
-      case t => Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    Tables.names.foreach { t =>
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.createOrReplaceTempView(t)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"graft: skipping SQL view '$t': ${e.getMessage}")
+      }
     }
 
   def registerFunctions(spark: SparkSession): Unit = {

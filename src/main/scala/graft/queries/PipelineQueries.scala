@@ -409,9 +409,7 @@ object PipelineQueries {
         |FROM events
         |WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      graft.streaming.EventStream.incrementalSinceNanos(
-          Tables.eventsWithRawTs(s, d), "ts_ns",
-          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+      Tables.eventsSince(s, d, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
         .select("event_id", "ts", "user_id", "event_type")
         .orderBy("event_id")
     },

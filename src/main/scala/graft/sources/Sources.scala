@@ -94,11 +94,12 @@ object Sources {
     * resolves the pointer once and then scans a frozen, fully-written
     * set of dirs — it can never observe a partition mid-rewrite or a
     * mix of old and new partitions, the two windows the previous
-    * in-place dynamic-partition-overwrite left open. Retention mirrors
-    * the snapshot contract: the two previous manifests' dirs survive,
-    * so a reader lagging up to two publishes keeps its files;
-    * concurrent publishers last-swap-wins whole (lost update, never
-    * corruption).
+    * in-place dynamic-partition-overwrite left open. Retention is
+    * anchored to the live pointer (see [[pruneMergePartitioned]]):
+    * the two manifests below the swapped-live one keep their dirs, so
+    * a reader lagging up to two publishes keeps its files; concurrent
+    * publishers degrade to a whole lost update (newest-number swap
+    * wins), never corruption.
     *
     * A pre-manifest table (plain `tableDir/<col>=<val>` dirs) is
     * adopted as the baseline manifest on first publish; its untouched
@@ -138,7 +139,7 @@ object Sources {
       val mfile0 = f"manifest-$next%012d-$uid"
       writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
         entries.sorted.mkString("\n"))
-      swapPointer(fs, uri, conf, root, mfile0, s"$next-$uid-0")
+      swapPointerForward(fs, uri, conf, root, mfile0, s"$next-$uid-0")
       next += 1
     }
     // touched partitions: bounded by the incoming batch, never by the
@@ -166,51 +167,105 @@ object Sources {
     val mfile = f"manifest-$next%012d-$uid"
     writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
       newEntries.sorted.mkString("\n"))
-    swapPointer(fs, uri, conf, root, mfile, s"$next-$uid-1")
+    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
+    pruneMergePartitioned(fs, root)
+    merged
+  }
 
-    // prune: a dir referenced by the live manifest or either of the
-    // two previous ones survives (same two-publish reader slack as
-    // publishSnapshot). Deletion is REFERENCE-SCOPED: only dirs that
-    // a rotated-out manifest referenced (and no retained one does)
-    // are deleted — a dir referenced by NO manifest is a concurrent
-    // publisher's in-flight batch and must be left alone (orphans
-    // from crashed publishers persist; bounded by crash count).
-    // Rotated manifests younger than the GRACE WINDOW also survive,
-    // with their dirs: a concurrent publisher that wrote its manifest
-    // but has not yet swapped the pointer must not have it deleted
-    // from under the swap — its stall is bounded by the grace, after
-    // which it degrades to the documented lost update.
-    val graceMs = 10L * 60 * 1000
+  /** Prune rotated manifests and the batch dirs only they reference.
+    *
+    * The retention contract is anchored to the LIVE POINTER, not the
+    * file listing: a reader that resolved `_current` at manifest
+    * number k keeps every dir k references until at least two newer
+    * manifests have been SWAPPED live (the two-publish reader slack).
+    * Written-but-not-yet-swapped manifests therefore cannot consume
+    * the slack — the round-8 N×M stress failure was `takeRight(3)`
+    * counting three in-flight publishers' manifests as the retained
+    * set and rotating out a manifest a live reader had just resolved.
+    * Protection set = every manifest numbered ≥ live−2 (the live one,
+    * the two-publish slack below it, anything newer or pending) plus
+    * any younger-than-grace candidate (a stalled publisher whose
+    * number fell behind; past the grace it degrades to the documented
+    * lost update).
+    *
+    * The pass is ABORT-ON-DOUBT: if any manifest in the ≥ live−2
+    * protection set vanishes before its reference list is read (a
+    * concurrent pruner won a race), this pass deletes NOTHING — the
+    * round-8 failure's second ingredient was a vanished retained
+    * manifest silently reading as an empty reference list, shrinking
+    * the protection set. Deferral leaks nothing: the next publish
+    * re-runs the prune. A vanished CANDIDATE (number < live−2,
+    * whether aged or inside the grace) just drops out of both the
+    * protection and the deletion sets — no in-window reader can be
+    * holding it, by the pointer arithmetic above, and a concurrent
+    * pruner deleting it means its dirs were already adjudicated.
+    *
+    * Deletion order is dirs-then-manifests: a crash between the two
+    * leaves a still-readable rotated manifest whose next prune is
+    * idempotent, never an orphan dir referenced by no manifest (which
+    * the in-flight-batch rule would preserve forever). */
+  private[sources] def pruneMergePartitioned(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, graceMs: Long = 10L * 60 * 1000): Unit = {
+    val liveNum = currentPointer(fs, root) match {
+      case Some(m) if m.startsWith("manifest-") => numberOf(m, "manifest-")
+      case _ => return // unreadable/foreign pointer: nothing safe to do
+    }
+    val (protect, candidates) =
+      manifestNames(fs, root).partition(m => numberOf(m, "manifest-") >= liveNum - 2)
     val now = System.currentTimeMillis()
-    val allManifests = manifestNames(fs, root).sorted
-    val retained = allManifests.takeRight(3)
-    // a manifest listed a moment ago can vanish mid-prune (a
-    // concurrent publisher's prune won the race) — gone means
-    // already handled, so it simply drops out of this pass
-    val (rotatedYoung, rotatedOld) = allManifests.dropRight(3).flatMap { m =>
+    val aged = candidates.flatMap { m =>
       try Some(m -> (now - fs.getFileStatus(
         new org.apache.hadoop.fs.Path(root, m)).getModificationTime < graceMs))
       catch { case _: java.io.FileNotFoundException => None }
-    }.partition(_._2) match {
-      case (y, o) => (y.map(_._1), o.map(_._1))
     }
-    val referenced = (retained ++ rotatedYoung)
-      .flatMap(readManifest(fs, root, _)).map(topSegmentOf).toSet
-    val dead = rotatedOld.flatMap(readManifest(fs, root, _))
+    val young = aged.collect { case (m, true) => m }
+    val old   = aged.collect { case (m, false) => m }
+    if (old.isEmpty) return
+    val protectRefs = protect.map(readManifestOpt(fs, root, _))
+    if (protectRefs.exists(_.isEmpty)) return // abort-on-doubt
+    val youngRefs = young.flatMap(readManifestOpt(fs, root, _)).flatten
+    val referenced = (protectRefs.flatMap(_.get) ++ youngRefs).map(topSegmentOf).toSet
+    val dead = old.flatMap(readManifest(fs, root, _))
       .map(topSegmentOf).toSet -- referenced
-    // deletes tolerate concurrent-pruner races the same way: delete()
-    // on a vanished path returns false on most filesystems, but some
-    // object-store shims throw FNF from the recursive listing instead
-    def deleteQuiet(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
-      try fs.delete(p, recursive)
-      catch { case _: java.io.FileNotFoundException => () }
-    rotatedOld.foreach { m =>
-      deleteQuiet(new org.apache.hadoop.fs.Path(root, m), recursive = false)
-    }
-    dead.foreach { name =>
-      deleteQuiet(new org.apache.hadoop.fs.Path(root, name), recursive = true)
-    }
-    merged
+    dead.foreach(d =>
+      deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, d), recursive = true))
+    old.foreach(m =>
+      deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, m), recursive = false))
+  }
+
+  /** delete() tolerating concurrent-pruner races: on a vanished path
+    * it returns false on most filesystems, but some object-store
+    * shims throw FNF from the recursive listing instead. */
+  private def deleteQuiet(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
+    try { fs.delete(p, recursive); () }
+    catch { case _: java.io.FileNotFoundException => () }
+
+  private[sources] def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, "_current"))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      Some(s)
+    } catch { case _: java.io.IOException => None }
+
+  /** [[swapPointer]] guarded to never move the pointer BACKWARDS by
+    * manifest number: with concurrent publishers, a slow swap landing
+    * after a faster rival's would otherwise regress the pointer —
+    * time travel for readers and a shrunk window for the
+    * pointer-anchored retention math. Skipping the swap degrades this
+    * publish to the same documented lost update as losing the swap
+    * race. (read-then-rename is not a CAS; the residual regression
+    * window is the gap between the two, which the abort-on-doubt
+    * prune tolerates.) */
+  private[sources] def swapPointerForward(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path, content: String, stamp: String): Unit = {
+    val newer = currentPointer(fs, root).exists(cur =>
+      cur.startsWith("manifest-") && content.startsWith("manifest-") &&
+        numberOf(cur, "manifest-") > numberOf(content, "manifest-"))
+    if (!newer) swapPointer(fs, uri, conf, root, content, stamp)
   }
 
   /** Read the live state of a [[publishMergePartitioned]] table:
@@ -269,21 +324,25 @@ object Sources {
     Seq.empty // unreachable
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, name)
-    if (!fs.exists(p)) Seq.empty
-    else try {
-      val in = fs.open(p)
+  /** A manifest's reference list, or None if it vanished (a
+    * concurrent pruner deleted it mid-pass). Callers must distinguish
+    * the two: for a PROTECTED manifest a vanished read must abort the
+    * prune, never silently shrink the protection set. */
+  private def readManifestOpt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Option[Seq[String]] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, name))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-      s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    } catch {
-      // exists→open races a concurrent pruner deleting the rotated
-      // manifest; a vanished manifest reads as empty (already handled)
-      case _: java.io.FileNotFoundException => Seq.empty
-    }
-  }
+      Some(s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** [[readManifestOpt]] where vanished-reads-as-empty is safe (the
+    * rotated-out side of a prune, the reader's already-validated live
+    * manifest). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Seq[String] =
+    readManifestOpt(fs, root, name).getOrElse(Seq.empty)
 
   /** One DataFrame over a manifest's dirs: one basePath-scan per batch
     * dir (partition discovery restores the typed partition column),

@@ -57,9 +57,12 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(800))
   }
 
-  test("incremental pull pushes the since-predicate into the scan as a raw-long filter") {
+  test("incremental pull pushes the since-predicate into the scan") {
     val p = planOf("q_stream_incremental")
-    assert(p.contains("GreaterThan(ts,"), p.take(800)) // in PushedFilters on the INT64 column
+    // PushedFilters on the physical ts column: the raw INT64-nanos
+    // long in the legacy layout, the native timestamp otherwise
+    // (Tables.eventsSince plants the filter below the NTZ→TZ cast)
+    assert(p.contains("GreaterThan(ts,"), p.take(800))
   }
 
   test("pairwise cosine joins broadcast the small side (no shuffled cartesian)") {

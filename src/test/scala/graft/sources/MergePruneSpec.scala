@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Deterministic unit coverage for the merge-publish prune and
+  * pointer-swap invariants the N×M stress spec exercises
+  * statistically (the round-8 reader-data-loss race):
+  *
+  *  - retention is anchored to the LIVE POINTER, so in-flight
+  *    (written-but-unswapped) manifests cannot consume the
+  *    two-publish reader slack;
+  *  - candidates younger than the grace window survive with dirs;
+  *  - the pointer never swaps BACKWARDS by manifest number.
+  */
+class MergePruneSpec extends SparkSpec {
+
+  private def fsRoot(): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, String) = {
+    val dir = Files.createTempDirectory("graft_prune").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    (fs, new org.apache.hadoop.fs.Path(dir), dir)
+  }
+
+  /** manifest-<n>-test referencing `dirs`; dirs materialized with one
+    * marker file each; mtime optionally aged past the grace window. */
+  private def manifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: Int, dirs: Seq[String],
+      aged: Boolean): String = {
+    val name = f"manifest-$n%012d-test"
+    dirs.foreach { d =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$d/part-0"), true)
+      out.write(1); out.close()
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+    out.write(dirs.mkString("\n").getBytes("UTF-8")); out.close()
+    if (aged) {
+      val f = new java.io.File(root.toUri.getPath, name)
+      assert(f.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    }
+    name
+  }
+
+  private def pointTo(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_current"), true)
+    out.write(name.getBytes("UTF-8")); out.close()
+  }
+
+  private def names(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] =
+    fs.listStatus(root).map(_.getPath.getName).toSet
+
+  test("prune keeps live-2 slack and deletes older aged manifests with their exclusive dirs") {
+    val (fs, root, _) = fsRoot()
+    (1 to 5).foreach(i => manifest(fs, root, i, Seq(s"b-$i/p=1"), aged = true))
+    pointTo(fs, root, f"manifest-${5}%012d-test")
+    Sources.pruneMergePartitioned(fs, root)
+    val left = names(fs, root)
+    // protected: numbers >= live-2 = 3; deleted: 1, 2 and their dirs
+    assert(!left.contains(f"manifest-${1}%012d-test") && !left.contains("b-1"))
+    assert(!left.contains(f"manifest-${2}%012d-test") && !left.contains("b-2"))
+    (3 to 5).foreach { i =>
+      assert(left.contains(f"manifest-$i%012d-test") && left.contains(s"b-$i"), s"lost $i")
+    }
+  }
+
+  test("a dir referenced by a protected manifest survives even when an aged one references it") {
+    val (fs, root, _) = fsRoot()
+    manifest(fs, root, 1, Seq("b-1/p=1", "shared/p=1"), aged = true)
+    (4 to 6).foreach(i => manifest(fs, root, i, Seq(s"b-$i/p=1", "shared/p=1"), aged = true))
+    pointTo(fs, root, f"manifest-${6}%012d-test")
+    Sources.pruneMergePartitioned(fs, root)
+    val left = names(fs, root)
+    assert(!left.contains("b-1") && left.contains("shared"), left.toSeq.sorted.mkString(","))
+  }
+
+  test("in-flight manifests above the live pointer do not consume the reader slack") {
+    val (fs, root, _) = fsRoot()
+    // live = 3; manifests 4 and 5 are written but NOT swapped (three
+    // concurrent publishers). takeRight(3) would have retained {3,4,5}
+    // and pruned 1 and 2 — dirs a reader that just resolved the
+    // pointer chain may still be scanning.
+    (1 to 5).foreach(i => manifest(fs, root, i, Seq(s"b-$i/p=1"), aged = true))
+    pointTo(fs, root, f"manifest-${3}%012d-test")
+    Sources.pruneMergePartitioned(fs, root)
+    val left = names(fs, root)
+    (1 to 5).foreach { i =>
+      assert(left.contains(f"manifest-$i%012d-test") && left.contains(s"b-$i"),
+        s"in-flight erosion: lost $i (${left.toSeq.sorted.mkString(",")})")
+    }
+  }
+
+  test("candidates younger than the grace window survive with their dirs") {
+    val (fs, root, _) = fsRoot()
+    manifest(fs, root, 1, Seq("b-1/p=1"), aged = true)
+    manifest(fs, root, 2, Seq("b-2/p=1"), aged = false) // young straggler
+    (5 to 7).foreach(i => manifest(fs, root, i, Seq(s"b-$i/p=1"), aged = true))
+    pointTo(fs, root, f"manifest-${7}%012d-test")
+    Sources.pruneMergePartitioned(fs, root)
+    val left = names(fs, root)
+    assert(!left.contains("b-1"))
+    assert(left.contains(f"manifest-${2}%012d-test") && left.contains("b-2"))
+  }
+
+  test("pointer never swaps backwards by manifest number") {
+    val (fs, root, dir) = fsRoot()
+    val uri = new java.net.URI(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.mkdirs(root)
+    pointTo(fs, root, f"manifest-${7}%012d-test")
+    Sources.swapPointerForward(fs, uri, conf, root, f"manifest-${6}%012d-late", "t1")
+    assert(Sources.currentPointer(fs, root).contains(f"manifest-${7}%012d-test"))
+    Sources.swapPointerForward(fs, uri, conf, root, f"manifest-${8}%012d-next", "t2")
+    assert(Sources.currentPointer(fs, root).contains(f"manifest-${8}%012d-next"))
+  }
+}
