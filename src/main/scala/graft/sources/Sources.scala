@@ -261,10 +261,11 @@ object Sources {
     * prune tolerates.) */
   private[sources] def swapPointerForward(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
-      root: org.apache.hadoop.fs.Path, content: String, stamp: String): Unit = {
+      root: org.apache.hadoop.fs.Path, content: String, stamp: String,
+      prefix: String = "manifest-"): Unit = {
     val newer = currentPointer(fs, root).exists(cur =>
-      cur.startsWith("manifest-") && content.startsWith("manifest-") &&
-        numberOf(cur, "manifest-") > numberOf(content, "manifest-"))
+      cur.startsWith(prefix) && content.startsWith(prefix) &&
+        numberOf(cur, prefix) > numberOf(content, prefix))
     if (!newer) swapPointer(fs, uri, conf, root, content, stamp)
   }
 
@@ -281,6 +282,69 @@ object Sources {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     assembleManifest(spark, tableDir, manifestEntries(fs, root, partitionCol))
       .getOrElse(spark.read.parquet(tableDir))
+  }
+
+  /** Retained manifest versions of a [[publishMergePartitioned]]
+    * table, ascending — the live-pointer number and the two-publish
+    * slack below it (plus any pending/unpruned rivals). */
+  def mergeVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    manifestNames(fs, new org.apache.hadoop.fs.Path(tableDir))
+      .map(numberOf(_, "manifest-")).distinct.sorted
+  }
+
+  /** Time travel over a merge-partitioned table: read the table state
+    * a specific RETAINED manifest number published (see
+    * [[mergeVersions]]) — the merge-table twin of
+    * [[readSnapshotVersion]], with the same pin-the-start-state /
+    * audit-the-pre-load-state uses. Fails loudly if pruned. When
+    * rival same-numbered manifests exist (lost swap races) the
+    * pointer-named one wins, else the choice is name-deterministic. */
+  def readMergePartitionedVersion(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val named = manifestNames(fs, root).filter(numberOf(_, "manifest-") == version)
+    require(named.nonEmpty,
+      s"manifest $version not retained (have: ${mergeVersions(spark, tableDir).mkString(",")})")
+    val chosen = currentPointer(fs, root)
+      .filter(named.contains).getOrElse(named.min)
+    assembleManifest(spark, tableDir, readManifest(fs, root, chosen))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Operational vacuum for [[publishMergePartitioned]] tables:
+    * delete batch dirs referenced by NO manifest once older than
+    * `olderThanMs` (default 24 h). Crashed publishers orphan their
+    * in-flight batch dirs — the prune's in-flight rule must preserve
+    * unreferenced dirs, so the leak is bounded by crash count but
+    * never reclaimed; at 100 TB a periodic vacuum is part of
+    * operating the table (a table format's VACUUM of uncommitted
+    * files). The age threshold keeps live in-flight publishes safe: a
+    * publisher stalled past it degrades to the documented lost
+    * update. A referenced-dir set read from a vanishing manifest is
+    * safe here: only a prune deletes manifests, and its pointer
+    * arithmetic already adjudicated that manifest's dirs — and any
+    * dir young enough to be mid-publish is spared by mtime anyway.
+    * Returns the deleted dir names. */
+  def vacuumOrphans(spark: SparkSession, tableDir: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) return Seq.empty
+    val referenced = manifestNames(fs, root)
+      .flatMap(readManifest(fs, root, _)).map(topSegmentOf).toSet
+    val now = System.currentTimeMillis()
+    val orphans = fs.listStatus(root).toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("b-") &&
+        !referenced(st.getPath.getName) &&
+        now - st.getModificationTime > olderThanMs
+    }
+    orphans.foreach(st => deleteQuiet(fs, st.getPath, recursive = true))
+    orphans.map(_.getPath.getName)
   }
 
   /** Live manifest entries (relative dir paths), resolving `_current`;
@@ -477,7 +541,14 @@ object Sources {
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val versions = listVersions(fs, root)
     val next = (versions.map(_._1) :+ 0L).max + 1
-    val vdir = f"v-$next%012d"
+    // per-publisher unique suffix (same scheme as the merge-publish
+    // batch dirs): two concurrent publishers that read the same max
+    // number write DISTINCT dirs instead of overwriting ONE version
+    // dir mid-write — which the pointer may already name — so the
+    // swap loser degrades to a whole lost update, never a torn table.
+    // Legacy un-suffixed v-dirs parse the same (numeric prefix).
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val vdir = f"v-$next%012d-$uid"
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir")
     // atomic pointer swap: write a temp pointer, rename OVER the live
     // one. BOTH steps go through FileContext: the FileSystem API on a
@@ -486,15 +557,24 @@ object Sources {
     // reader then validates the new pointer against the stale sidecar
     // and fails with a checksum error. FileContext writes raw (no
     // sidecar); any sidecar left by an older writer is dropped first.
-    swapPointer(fs, uri, conf, root, vdir, next.toString)
-    // prune: keep the new version plus the TWO most recent previous
-    // ones (a reader that resolved the pointer may still be scanning;
-    // two publish cycles of slack is the retention window — the same
-    // bounded-retention trade a table format's VACUUM makes); delete
-    // older
-    versions.map(_._1).sorted.dropRight(2).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, f"v-$v%012d"), true)
-    }
+    // Forward-only, so a slow rival's late swap cannot regress the
+    // pointer below a version a reader has already resolved past.
+    swapPointerForward(fs, uri, conf, root, vdir, s"$next-$uid", prefix = "v-")
+    // prune: anchored to the LIVE POINTER like the merge-publish path
+    // — only versions numbered below live−2 go (a reader that
+    // resolved the pointer may still be scanning; two SWAPPED publish
+    // cycles of slack is the retention window, the same
+    // bounded-retention trade a table format's VACUUM makes).
+    // Counting the pre-publish listing instead would let concurrent
+    // publishers' written-but-unswapped versions consume the slack
+    // and delete the version the pointer still names. An unswapped
+    // rival below the slack is a whole lost update no reader ever
+    // resolved — deletable. deleteQuiet: a concurrent pruner may have
+    // won the race.
+    val liveNum = currentPointer(fs, root)
+      .filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(next)
+    versions.collect { case (v, p) if v < liveNum - 2 => p }
+      .foreach(p => deleteQuiet(fs, p, recursive = true))
   }
 
   /** Resolve a snapshot root to its live data directory: follow the
@@ -522,19 +602,28 @@ object Sources {
   def snapshotVersions(spark: SparkSession, tableRoot: String): Seq[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
-    listVersions(fs, new org.apache.hadoop.fs.Path(tableRoot)).map(_._1).sorted
+    listVersions(fs, new org.apache.hadoop.fs.Path(tableRoot)).map(_._1).distinct.sorted
   }
 
   /** Time travel: read a specific RETAINED version (see
     * [[snapshotVersions]]) — what lets a long job pin the table state
     * it started from across concurrent publishes, and an audit re-read
-    * the pre-load state. Fails loudly if the version was pruned. */
+    * the pre-load state. Fails loudly if the version was pruned. When
+    * rival same-numbered dirs exist (a lost concurrent publish), the
+    * one the live pointer names wins; otherwise the choice is
+    * name-deterministic. */
   def readSnapshotVersion(spark: SparkSession, tableRoot: String,
       version: Long): DataFrame = {
-    val retained = snapshotVersions(spark, tableRoot)
-    require(retained.contains(version),
-      s"version $version not retained (have: ${retained.mkString(",")})")
-    spark.read.parquet(f"$tableRoot/v-$version%012d")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val dirs = listVersions(fs, root).collect { case (v, p) if v == version => p }
+    require(dirs.nonEmpty,
+      s"version $version not retained (have: ${snapshotVersions(spark, tableRoot).mkString(",")})")
+    val chosen = currentPointer(fs, root)
+      .flatMap(cur => dirs.find(_.getName == cur))
+      .getOrElse(dirs.minBy(_.getName))
+    spark.read.parquet(chosen.toString)
   }
 
   /** True if the snapshot root has a live version (pointer or plain
@@ -548,11 +637,13 @@ object Sources {
     } catch { case _: Throwable => false }
   }
 
+  // accepts both the uid-suffixed layout (`v-<n>-<uid>`) and the
+  // legacy plain one (`v-<n>`) — numeric prefix only
   private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("v-") =>
-        (java.lang.Long.parseLong(st.getPath.getName.stripPrefix("v-")), st.getPath)
+        (numberOf(st.getPath.getName, "v-"), st.getPath)
     }
 }

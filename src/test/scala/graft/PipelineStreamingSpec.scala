@@ -43,8 +43,8 @@ class SourcesSpec extends SparkSpec {
     Sources.publishSnapshot(Seq(7, 8).toDF("x"), dir)
     val versions = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("v-")).sorted
-    assert(versions.length == 3 && !versions.contains("v-000000000001"),
-      versions.mkString(","))
+    val vnums = versions.map(_.stripPrefix("v-").takeWhile(_.isDigit).toLong)
+    assert(versions.length == 3 && !vnums.contains(1L), versions.mkString(","))
     assert(Sources.readSnapshot(spark, dir).count() == 2)
   }
 
@@ -77,7 +77,7 @@ class SourcesSpec extends SparkSpec {
         // until two further publishes complete; only a reader lagging
         // 3+ versions behind the live pointer may see pruning
         val resolved = Sources.resolveSnapshot(spark, dir)
-        def vOf(p: String): Long = p.split("/v-").last.toLong
+        def vOf(p: String): Long = p.split("/v-").last.takeWhile(_.isDigit).toLong
         try {
           // every observed snapshot must be a COMPLETE version: 50 rows
           // of a single constant value, never empty, never mixed
@@ -100,6 +100,49 @@ class SourcesSpec extends SparkSpec {
     stop = true
     reader.join(30000)
     assert(failure.isEmpty, failure.getOrElse(""))
+  }
+
+  test("concurrent snapshot publishers never tear a version dir (distinct uid dirs)") {
+    // Two publishers racing the same next-number must land in DISTINCT
+    // version dirs: before the uid suffix both computed v-<n> and the
+    // second Overwrite deleted the first's files while the pointer
+    // could already name them. Degradation contract: whole lost
+    // updates only — every observable snapshot is one publisher's
+    // complete frame.
+    val dir = Files.createTempDirectory("graft_snap_race").toString + "/table"
+    Sources.publishSnapshot(Seq.fill(50)(0).toDF("x"), dir)
+    @volatile var failure: Option[String] = None
+    val publishers = (1 to 3).map { k =>
+      new Thread(() => {
+        try {
+          for (i <- 1 to 4 if failure.isEmpty)
+            Sources.publishSnapshot(Seq.fill(50)(k * 10 + i).toDF("x"), dir)
+        } catch {
+          case e: Throwable => failure = Some(s"publisher $k died: ${e.getMessage}")
+        }
+      })
+    }
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val rows = Sources.readSnapshot(spark, dir).collect()
+          if (rows.length != 50 || rows.map(_.getInt(0)).distinct.length != 1)
+            failure = Some(s"torn snapshot: ${rows.length} rows, " +
+              s"values ${rows.map(_.getInt(0)).distinct.toSeq}")
+        } catch {
+          case _: Throwable => () // retention lag is exercised by the spec above
+        }
+      }
+    })
+    (publishers :+ reader).foreach(_.start())
+    publishers.foreach(_.join(60000))
+    stop = true
+    reader.join(30000)
+    assert(failure.isEmpty, failure.getOrElse(""))
+    // end state: complete, single-version table from some publisher
+    val fin = Sources.readSnapshot(spark, dir).collect()
+    assert(fin.length == 50 && fin.map(_.getInt(0)).distinct.length == 1)
   }
 
   test("partitioned MERGE publish rewrites only touched partitions") {

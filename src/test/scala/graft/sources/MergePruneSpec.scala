@@ -104,6 +104,46 @@ class MergePruneSpec extends SparkSpec {
     assert(left.contains(f"manifest-${2}%012d-test") && left.contains("b-2"))
   }
 
+  test("merge time travel: retained prior manifests readable, pruned fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mtt").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("id"), Seq.empty)
+    for (v <- 1 to 3)
+      Sources.publishMergePartitioned(spark, dir,
+        Seq((1L, 1, v.toDouble), (2L, 1, v.toDouble)).toDF("id", "p", "v"), cfg, "p")
+    assert(Sources.mergeVersions(spark, dir) == Seq(1L, 2L, 3L))
+    // a job that pinned manifest 2 still reads that state after 3 published
+    val v2 = Sources.readMergePartitionedVersion(spark, dir, 2L)
+      .collect().map(_.getAs[Double]("v")).toSeq
+    assert(v2 == Seq(2.0, 2.0), v2)
+    intercept[IllegalArgumentException] {
+      Sources.readMergePartitionedVersion(spark, dir, 99L)
+    }
+  }
+
+  test("vacuum reclaims aged unreferenced batch dirs, spares referenced and young ones") {
+    val (fs, root, dir) = fsRoot()
+    manifest(fs, root, 5, Seq("b-5/p=1"), aged = false)
+    pointTo(fs, root, f"manifest-${5}%012d-test")
+    def mkOrphan(name: String, old: Boolean): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$name/p=1/part-0"), true)
+      out.write(1); out.close()
+      if (old) {
+        assert(new java.io.File(root.toUri.getPath, name)
+          .setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+      }
+    }
+    mkOrphan("b-90", old = true)   // crashed publisher, stale → reclaimed
+    mkOrphan("b-91", old = false)  // in-flight publish, fresh → spared
+    // referenced dir b-5 is old but referenced → spared
+    assert(new java.io.File(root.toUri.getPath, "b-5")
+      .setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    val deleted = Sources.vacuumOrphans(spark, dir)
+    assert(deleted == Seq("b-90"), deleted)
+    val left = names(fs, root)
+    assert(!left.contains("b-90") && left.contains("b-91") && left.contains("b-5"))
+  }
+
   test("pointer never swaps backwards by manifest number") {
     val (fs, root, dir) = fsRoot()
     val uri = new java.net.URI(dir)
