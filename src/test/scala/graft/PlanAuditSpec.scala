@@ -65,6 +65,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThan(ts,"), p.take(800))
   }
 
+  test("events loader normalization does not break pushdown or column pruning") {
+    // the ts-normalizing projection must sit ABOVE the scan without
+    // blocking either: event_type equality still reaches PushedFilters
+    // and the wide `props` column is still pruned from ReadSchema
+    val p = planOf("q_asof_purchase")
+    assert(p.contains("EqualTo(event_type,click)"), p.take(1200))
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(1200))
+    assert(!p.contains("props"), "props survived column pruning")
+    val w = planOf("q_stream_windowed")
+    assert(!w.contains("props") && !w.contains("event_id"),
+      "windowed stats read more columns than it needs")
+  }
+
   test("pairwise cosine joins broadcast the small side (no shuffled cartesian)") {
     val p = planOf("q_dedup_embedding")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
