@@ -32,6 +32,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // The generated-class cache defaults to 100 entries; this
+      // engine's query surface compiles ~1,500 distinct codegen units
+      // (measured via CodegenMetrics, tools/CodegenCacheProbe), so at
+      // the default every pass over the suite recompiles ~1,300
+      // evicted units (~40 s of serialized driver-side janino work)
+      // and even a single heavy query (90 units) can evict itself.
+      // 2048 holds the whole workload: zero recompiles on re-run.
+      // Cost is a few MB of classes per JVM — negligible on executors.
+      .config("spark.sql.codegen.cache.maxEntries", "2048")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {
