@@ -315,6 +315,94 @@ object Sources {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** Build per-batch-dir Bloom key filters for a
+    * [[publishMergePartitioned]] table: every immutable batch dir
+    * (`b-*`) lacking one gets a `_keybloom-<keyCol>` sidecar built
+    * from a scan of ONLY the key column (column-pruned parquet read).
+    * Idempotent and safe to run any time — batch dirs never change
+    * after publish, so a sidecar is built once and stays valid for
+    * the dir's lifetime; the prune/vacuum deletes it with its dir.
+    * Underscore-prefixed sidecars are invisible to Spark's file
+    * listing, so normal reads are unaffected. Concurrent indexers
+    * write identical bits (Bloom insertion is order-independent and
+    * Spark's sketch hashes are fixed-seed), so the tmp+rename race is
+    * benign. At 100 TB this is the off-critical-path index build: the
+    * publish stays lean, and a nightly indexer touches only the new
+    * batch dirs' key columns. Returns the number of filters built. */
+  def indexBatchKeys(spark: SparkSession, tableDir: String, keyCol: String,
+      fpp: Double = 0.01): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) return 0
+    var built = 0
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("b-")) {
+        val sidecar = new org.apache.hadoop.fs.Path(st.getPath, s"_keybloom-$keyCol")
+        if (!fs.exists(sidecar)) {
+          val keyed = spark.read.parquet(st.getPath.toString).select(keyCol)
+          val bloom = keyed.stat.bloomFilter(keyCol,
+            math.max(keyed.count(), 1L), fpp)
+          val tmp = new org.apache.hadoop.fs.Path(st.getPath,
+            s"._keybloom-$keyCol.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          val out = fs.create(tmp, true)
+          try bloom.writeTo(out) finally out.close()
+          if (!fs.rename(tmp, sidecar)) deleteQuiet(fs, tmp, false)
+          built += 1
+        }
+      }
+    }
+    built
+  }
+
+  /** Keyed lookup over a [[publishMergePartitioned]] table that skips
+    * every batch dir whose `_keybloom-<keyCol>` sidecar (see
+    * [[indexBatchKeys]]) excludes ALL requested keys. Exactly
+    * equivalent to `readMergePartitioned(...).filter(key isin keys)` —
+    * Bloom false positives or a missing sidecar only widen the read
+    * set, never the result. The skip test gates only the batch dirs
+    * the LIVE manifest still references, so a key whose partition was
+    * since rewritten by a newer batch costs at most a stale-positive
+    * extra dir scan. At 100 TB this turns a point lookup from
+    * read-every-live-dir into open-a-few-KB-sidecars +
+    * read-the-one-dir-that-matches. */
+  def readMergePartitionedKeyed(spark: SparkSession, tableDir: String,
+      partitionCol: String, keyCol: String, keys: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val entries = manifestEntries(fs, root, partitionCol)
+    val kept = entries.groupBy(topSegmentOf).toSeq.sortBy(_._1).flatMap {
+      case (top, es) =>
+        val sidecar = new org.apache.hadoop.fs.Path(root, s"$top/_keybloom-$keyCol")
+        val mayContain =
+          if (!top.startsWith("b-") || !fs.exists(sidecar)) true // unindexed: read
+          else {
+            val in = fs.open(sidecar)
+            val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                        finally in.close()
+            keys.exists {
+              case l: Long   => bloom.mightContainLong(l)
+              case i: Int    => bloom.mightContainLong(i.toLong)
+              case s: Short  => bloom.mightContainLong(s.toLong)
+              case b: Byte   => bloom.mightContainLong(b.toLong)
+              case s: String => bloom.mightContainString(s)
+              case o         => bloom.mightContain(o)
+            }
+          }
+        if (mayContain) es else Nil
+    }
+    assembleManifest(spark, tableDir, kept) match {
+      case Some(df) => df.filter(col(keyCol).isin(keys: _*))
+      case None => // every dir excluded: schema-only plan, zero files
+        val schema = assembleManifest(spark, tableDir, entries)
+          .getOrElse(spark.read.parquet(tableDir)).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Operational vacuum for [[publishMergePartitioned]] tables:
     * delete batch dirs referenced by NO manifest once older than
     * `olderThanMs` (default 24 h). Crashed publishers orphan their

@@ -144,6 +144,52 @@ class MergePruneSpec extends SparkSpec {
     assert(!left.contains("b-90") && left.contains("b-91") && left.contains("b-5"))
   }
 
+  test("bloom key index: keyed read skips non-matching batch dirs, result-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_kidx").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
+    // two publishes with disjoint keys AND disjoint partitions, so the
+    // live manifest references both batch dirs
+    Sources.publishMergePartitioned(spark, dir,
+      (0L until 50L).map(k => (k, (k % 2).toInt, s"a$k")).toDF("k", "p", "v"), cfg, "p")
+    Sources.publishMergePartitioned(spark, dir,
+      (100L until 150L).map(k => (k, 2 + (k % 2).toInt, s"b$k")).toDF("k", "p", "v"), cfg, "p")
+    assert(Sources.indexBatchKeys(spark, dir, "k") == 2)
+    assert(Sources.indexBatchKeys(spark, dir, "k") == 0) // idempotent
+
+    // a key only batch 2 holds AND batch 1's filter excludes (Bloom
+    // false positives are deterministic — fixed-seed hashes — so probe
+    // with a key the sidecar actually rules out, not a hard-coded one)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val b1 = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("b-000000000001")).head
+    val in = fs.open(new org.apache.hadoop.fs.Path(b1, "_keybloom-k"))
+    val bloom1 = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+    val probe = (100L until 150L).find(!bloom1.mightContainLong(_)).get
+    val hit = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", Seq(probe))
+    assert(hit.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+      == Seq((probe, s"b$probe")))
+    val touchedDirs = hit.inputFiles.map(f =>
+      f.split("/").dropWhile(_ != "t").drop(1).head).toSet
+    assert(touchedDirs.size == 1, s"read extra dirs: $touchedDirs")
+
+    // result-identical to scan-then-filter for keys across both batches
+    val keys: Seq[Any] = Seq(10L, 120L, 999L)
+    val keyed = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", keys)
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    val full = Sources.readMergePartitioned(spark, dir, "p")
+      .filter(col("k").isin(keys: _*))
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    assert(keyed == full && keyed.size == 2, s"$keyed vs $full")
+
+    // all-miss key set: empty result, zero data dirs opened
+    val none = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", Seq(999L))
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+  }
+
   test("pointer never swaps backwards by manifest number") {
     val (fs, root, dir) = fsRoot()
     val uri = new java.net.URI(dir)
