@@ -355,6 +355,148 @@ object Sources {
     built
   }
 
+  // ---- zone-map sidecars: dir-level min/max for range skipping ----
+
+  /** Comparable driver-side key for zone-map bounds. Strings compare
+    * by UTF-8 bytes (Spark's binary string order — Java
+    * `String.compareTo` diverges on supplementary characters, which
+    * would turn a skip into a wrong answer). Timestamps floor-divide
+    * to micros so pre-epoch values stay correct; dates are epoch
+    * days. */
+  private def zoneKey(v: Any): (String, Either[Long, Either[Double, Array[Byte]]]) = v match {
+    case l: Long    => ("long", Left(l))
+    case i: Int     => ("long", Left(i.toLong))
+    case s: Short   => ("long", Left(s.toLong))
+    case b: Byte    => ("long", Left(b.toLong))
+    case d: Double  => ("double", Right(Left(d)))
+    case f: Float   => ("double", Right(Left(f.toDouble)))
+    case s: String  => ("string", Right(Right(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    case t: java.sql.Timestamp =>
+      ("timestamp", Left(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L))
+    case d: java.sql.Date => ("date", Left(d.toLocalDate.toEpochDay))
+    case other => throw new IllegalArgumentException(
+      s"zone map does not support ${other.getClass.getName}")
+  }
+
+  private def zoneLeq(a: Either[Long, Either[Double, Array[Byte]]],
+      b: Either[Long, Either[Double, Array[Byte]]]): Boolean = (a, b) match {
+    case (Left(x), Left(y)) => x <= y
+    case (Right(Left(x)), Right(Left(y))) => x <= y
+    case (Right(Right(x)), Right(Right(y))) =>
+      java.util.Arrays.compareUnsigned(x, y) <= 0
+    case _ => throw new IllegalArgumentException("zone-map type mismatch")
+  }
+
+  private def zoneRepr(tag: String, k: Either[Long, Either[Double, Array[Byte]]]): String =
+    k match {
+      case Left(l) => l.toString
+      case Right(Left(d)) => java.lang.Double.doubleToRawLongBits(d).toString
+      case Right(Right(b)) => java.util.Base64.getEncoder.encodeToString(b)
+    }
+
+  private def zoneParse(tag: String, s: String): Either[Long, Either[Double, Array[Byte]]] =
+    tag match {
+      case "long" | "timestamp" | "date" => Left(s.toLong)
+      case "double" => Right(Left(java.lang.Double.longBitsToDouble(s.toLong)))
+      case "string" => Right(Right(java.util.Base64.getDecoder.decode(s)))
+      case t => throw new IllegalArgumentException(s"unknown zone-map type $t")
+    }
+
+  /** Build per-batch-dir min/max zone maps: every immutable batch dir
+    * lacking one gets a `_zonemap-<col>` sidecar (type tag + min +
+    * max from a column-pruned scan; `empty` for an all-null dir).
+    * Same operational contract as [[indexBatchKeys]] — idempotent,
+    * off the publish critical path, dies with its dir — but for RANGE
+    * predicates: the "Modified > last_sync" incremental pull over a
+    * merge table skips every batch dir whose max is below the
+    * watermark without opening a single parquet footer. Zone maps
+    * have no false positives, so skipping is deterministic. */
+  def indexBatchStats(spark: SparkSession, tableDir: String, statCol: String): Int = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) return 0
+    var built = 0
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("b-")) {
+        val sidecar = new org.apache.hadoop.fs.Path(st.getPath, s"_zonemap-$statCol")
+        if (!fs.exists(sidecar)) {
+          val row = spark.read.parquet(st.getPath.toString)
+            .agg(fmin(col(statCol)), fmax(col(statCol))).head()
+          val body =
+            if (row.isNullAt(0)) "empty"
+            else {
+              val (tag, lo) = zoneKey(row.get(0))
+              val (_, hi) = zoneKey(row.get(1))
+              s"$tag\n${zoneRepr(tag, lo)}\n${zoneRepr(tag, hi)}"
+            }
+          val tmp = new org.apache.hadoop.fs.Path(st.getPath,
+            s"._zonemap-$statCol.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          val out = fs.create(tmp, true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, sidecar)) deleteQuiet(fs, tmp, false)
+          built += 1
+        }
+      }
+    }
+    built
+  }
+
+  /** Range scan over a [[publishMergePartitioned]] table that skips
+    * every batch dir whose `_zonemap-<col>` sidecar (see
+    * [[indexBatchStats]]) proves no row can satisfy
+    * `lower <= col <= upper` (either bound optional, both
+    * inclusive). Exactly equivalent to
+    * `readMergePartitioned(...).filter(...)`: a missing sidecar is
+    * read, an `empty` (all-null) dir is skipped — null never
+    * satisfies a range predicate — and overlap is decided with the
+    * same orderings Spark uses (binary UTF-8 for strings). */
+  def readMergePartitionedRange(spark: SparkSession, tableDir: String,
+      partitionCol: String, statCol: String,
+      lower: Option[Any], upper: Option[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val entries = manifestEntries(fs, root, partitionCol)
+    val lo = lower.map(zoneKey)
+    val hi = upper.map(zoneKey)
+    val kept = entries.groupBy(topSegmentOf).toSeq.sortBy(_._1).flatMap {
+      case (top, es) =>
+        val sidecar = new org.apache.hadoop.fs.Path(root, s"$top/_zonemap-$statCol")
+        val overlaps =
+          if (!top.startsWith("b-") || !fs.exists(sidecar)) true // unindexed: read
+          else {
+            val in = fs.open(sidecar)
+            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                       finally in.close()
+            if (body == "empty") false
+            else {
+              val Array(tag, minS, maxS) = body.split("\n", 3)
+              val dirLo = zoneParse(tag, minS)
+              val dirHi = zoneParse(tag, maxS)
+              // no overlap iff dirHi < lower or upper < dirLo
+              lo.forall { case (_, l) => zoneLeq(l, dirHi) } &&
+                hi.forall { case (_, u) => zoneLeq(dirLo, u) }
+            }
+          }
+        if (overlaps) es else Nil
+    }
+    val bounded = (df: DataFrame) => {
+      val afterLo = lower.map(v => df.filter(col(statCol) >= lit(v))).getOrElse(df)
+      upper.map(v => afterLo.filter(col(statCol) <= lit(v))).getOrElse(afterLo)
+    }
+    assembleManifest(spark, tableDir, kept) match {
+      case Some(df) => bounded(df)
+      case None => // every dir excluded: schema-only plan, zero files
+        val schema = assembleManifest(spark, tableDir, entries)
+          .getOrElse(spark.read.parquet(tableDir)).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Keyed lookup over a [[publishMergePartitioned]] table that skips
     * every batch dir whose `_keybloom-<keyCol>` sidecar (see
     * [[indexBatchKeys]]) excludes ALL requested keys. Exactly

@@ -190,6 +190,57 @@ class MergePruneSpec extends SparkSpec {
     assert(none.count() == 0 && none.inputFiles.isEmpty)
   }
 
+  test("zone maps: range read skips disjoint batch dirs, handles string and date bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_zidx").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
+    def day(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
+    Sources.publishMergePartitioned(spark, dir,
+      (0L until 50L).map(k => (k, (k % 2).toInt, s"a$k", day(1 + (k % 9).toInt)))
+        .toDF("k", "p", "v", "d"), cfg, "p")
+    Sources.publishMergePartitioned(spark, dir,
+      (100L until 150L).map(k => (k, 2 + (k % 2).toInt, s"b$k", day(20 + (k % 9).toInt)))
+        .toDF("k", "p", "v", "d"), cfg, "p")
+    assert(Sources.indexBatchStats(spark, dir, "k") == 2)
+    assert(Sources.indexBatchStats(spark, dir, "k") == 0) // idempotent
+    Sources.indexBatchStats(spark, dir, "v")
+    Sources.indexBatchStats(spark, dir, "d")
+
+    // long range entirely in batch 2: batch 1 ([0,49]) skipped, no FPs
+    val hit = Sources.readMergePartitionedRange(spark, dir, "p", "k",
+      Some(120L), Some(125L))
+    assert(hit.select("k").as[Long].collect().sorted.toSeq == (120L to 125L))
+    val touched = hit.inputFiles.map(f =>
+      f.split("/").dropWhile(_ != "t").drop(1).head).toSet
+    assert(touched.size == 1, s"read extra dirs: $touched")
+
+    // string bounds (binary UTF-8 order): only batch 2 holds b* values
+    val sHit = Sources.readMergePartitionedRange(spark, dir, "p", "v",
+      Some("b"), Some("c"))
+    assert(sHit.count() == 50 &&
+      sHit.inputFiles.forall(_.contains(touched.head)))
+
+    // date watermark ("since last sync"): batch 1's days all < Jan 20
+    val dHit = Sources.readMergePartitionedRange(spark, dir, "p", "d",
+      Some(day(20)), None)
+    assert(dHit.count() == 50 &&
+      dHit.inputFiles.forall(_.contains(touched.head)))
+
+    // straddling range ≡ scan-then-filter
+    val both = Sources.readMergePartitionedRange(spark, dir, "p", "k",
+      Some(40L), Some(110L)).select("k", "p", "v").orderBy("k").collect().toSeq
+    val full = Sources.readMergePartitioned(spark, dir, "p")
+      .filter(col("k") >= 40L && col("k") <= 110L)
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    assert(both == full && both.size == 21)
+
+    // fully-outside range: empty result, zero files opened
+    val none = Sources.readMergePartitionedRange(spark, dir, "p", "k",
+      Some(500L), Some(600L))
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+  }
+
   test("pointer never swaps backwards by manifest number") {
     val (fs, root, dir) = fsRoot()
     val uri = new java.net.URI(dir)
