@@ -78,6 +78,18 @@ class PlanAuditSpec extends SparkSpec {
       "windowed stats read more columns than it needs")
   }
 
+  test("keyed and range merge-table reads push their predicate into the kept dirs' scans") {
+    // dir skipping (asserted in MergePruneSpec) composes with parquet
+    // row-group pruning INSIDE the dirs that are read: the isin /
+    // range predicate must reach PushedFilters of the remaining scan
+    val kp = planOf("q_merge_keyed_lookup")
+    assert(kp.contains("PushedFilters: [In(o_orderkey") ||
+      kp.contains("PushedFilters: [IsNotNull(o_orderkey), In(o_orderkey"), kp.take(1200))
+    val rp = planOf("q_merge_range_scan")
+    assert(rp.contains("GreaterThanOrEqual(o_orderkey,1000)") &&
+      rp.contains("LessThanOrEqual(o_orderkey,2000)"), rp.take(1200))
+  }
+
   test("pairwise cosine joins broadcast the small side (no shuffled cartesian)") {
     val p = planOf("q_dedup_embedding")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
