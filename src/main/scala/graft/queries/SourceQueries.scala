@@ -285,6 +285,76 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // Merge-table compaction under the gate: replay the
+    // q_merge_partitioned merge, COMPACT the table (live state
+    // rewritten into one batch dir, forward-only publish), read back.
+    // The oracle is the uncompacted merge result — compaction must be
+    // content-identical, hash-for-hash.
+    QueryDef.sql(
+      "q_merge_compacted",
+      """WITH incoming AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+        |    o_orderdate + INTERVAL 1 DAY AS o_orderdate
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority, o_orderdate
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT coalesce(i.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    i.o_orderkey IS NOT NULL AS in_p, c.o_orderkey IS NOT NULL AS ex_p,
+        |    i.o_totalprice AS i_tp, c.o_totalprice AS c_tp,
+        |    i.o_orderstatus AS i_os, c.o_orderstatus AS c_os,
+        |    i.o_orderpriority AS i_op, c.o_orderpriority AS c_op,
+        |    i.o_orderdate AS i_od, c.o_orderdate AS c_od
+        |  FROM incoming i FULL JOIN (SELECT * FROM cur WHERE o_orderkey % 4 <> 0) c
+        |    ON i.o_orderkey = c.o_orderkey),
+        |cls AS (
+        |  SELECT *,
+        |    CASE WHEN NOT ex_p THEN 'insert' WHEN NOT in_p THEN 'orphaned'
+        |         WHEN (i_tp IS DISTINCT FROM c_tp) OR (i_os IS DISTINCT FROM c_os)
+        |              OR (i_op IS DISTINCT FROM c_op) THEN 'update'
+        |         ELSE 'unchanged' END AS status
+        |  FROM j)
+        |SELECT o_orderkey,
+        |  CASE WHEN status IN ('insert','update') THEN i_tp ELSE c_tp END AS o_totalprice,
+        |  CASE WHEN status IN ('insert','update') THEN i_os ELSE c_os END AS o_orderstatus,
+        |  CASE WHEN status IN ('insert','update') THEN i_op ELSE c_op END AS o_orderpriority,
+        |  CASE WHEN status = 'insert' THEN i_od ELSE c_od END AS o_orderdate,
+        |  CAST(o_orderkey % 4 AS INT) AS p
+        |FROM cls
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority, o_orderdate,
+        |  CAST(0 AS INT) AS p
+        |FROM cur WHERE o_orderkey % 4 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val cfg = graft.types.TableConfig("orders", Seq("o_orderkey"), Seq("o_orderdate"))
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      val current = base.filter(col("o_orderkey") % 7 =!= 0)
+      val incoming = base
+        .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 4 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, concat(lit("X-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      val dir = scratch(d, "pmergec")
+      current.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("p").parquet(dir)
+      Sources.publishMergePartitioned(s, dir, incoming, cfg, "p")
+      Sources.compactMergePartitioned(s, dir, "p")
+      Sources.readMergePartitioned(s, dir, "p")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
+          "o_orderdate", "p")
+        .orderBy("o_orderkey")
+    },
+
     // Zone-map range scan on the merge table under the gate: same
     // seed + merge as q_merge_partitioned, then indexBatchStats
     // builds per-batch-dir min/max `_zonemap` sidecars and the range

@@ -355,6 +355,48 @@ object Sources {
     built
   }
 
+  /** Compaction for [[publishMergePartitioned]] tables: rewrite the
+    * LIVE manifest's state into one fresh batch dir (one file per
+    * partition via a partition-column repartition) and publish a
+    * manifest referencing only it; the standard pointer-anchored
+    * retention then reclaims the old batch dirs after two more
+    * publishes. Content is bit-identical — compaction exists because
+    * per-batch MERGE publishes accrete a batch dir per publish, and
+    * at 100 TB the manifest's dir fan-out (footer reads, sidecar
+    * opens, task scheduling) degrades scans long before data volume
+    * does. Concurrency degrades exactly like a rival publisher: the
+    * forward-only pointer swap makes one side a whole lost update,
+    * never a torn table. Index sidecars are not carried over — the
+    * idempotent indexers rebuild them for the new dir on their next
+    * run. Returns the number of partition dirs written (0 = empty
+    * table, nothing to do). */
+  def compactMergePartitioned(spark: SparkSession, tableDir: String,
+      partitionCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val entries = manifestEntries(fs, root, partitionCol)
+    val state = assembleManifest(spark, tableDir, entries).getOrElse(return 0)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$next%012d-$uid"
+    state.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
+      .collect { case st if st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
+      .toSeq
+    val mfile = f"manifest-$next%012d-$uid"
+    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
+      written.map(s => s"$bdir/$s").sorted.mkString("\n"))
+    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-c")
+    pruneMergePartitioned(fs, root)
+    written.size
+  }
+
   // ---- zone-map sidecars: dir-level min/max for range skipping ----
 
   /** Comparable driver-side key for zone-map bounds. Strings compare

@@ -241,6 +241,30 @@ class MergePruneSpec extends SparkSpec {
     assert(none.count() == 0 && none.inputFiles.isEmpty)
   }
 
+  test("merge-table compaction: one batch dir, identical content, table stays publishable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mcmp").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
+    for (b <- 0 until 3)
+      Sources.publishMergePartitioned(spark, dir,
+        (0L until 20L).map(k => (b * 100L + k, (k % 2).toInt, s"v$b")).toDF("k", "p", "v"),
+        cfg, "p")
+    val before = Sources.readMergePartitioned(spark, dir, "p")
+      .orderBy("k").collect().toSeq
+    assert(Sources.compactMergePartitioned(spark, dir, "p") == 2) // p=0, p=1
+    val after = Sources.readMergePartitioned(spark, dir, "p")
+    assert(after.orderBy("k").collect().toSeq == before)
+    // live manifest references exactly one batch dir, one file/partition
+    val tops = after.inputFiles.map(f =>
+      f.split("/").dropWhile(_ != "t").drop(1).head).toSet
+    assert(tops.size == 1 && after.inputFiles.length == 2, s"$tops")
+    // the table keeps accepting publishes after compaction
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((999L, 1, "z")).toDF("k", "p", "v"), cfg, "p")
+    val rows = Sources.readMergePartitioned(spark, dir, "p")
+    assert(rows.count() == before.size + 1)
+  }
+
   test("pointer never swaps backwards by manifest number") {
     val (fs, root, dir) = fsRoot()
     val uri = new java.net.URI(dir)
