@@ -430,6 +430,98 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // Row-level change feed between retained versions: replay the
+    // q_merge_partitioned publish, pin `since` = the live version,
+    // publish a SECOND batch (touching only the odd partitions), and
+    // read mergeRowChangesSince(since) — the full-outer state diff of
+    // only the rewritten partitions, classified new/updated with the
+    // name-sorted changed-fields list. The oracle replays both merges
+    // in SQL and diffs state2 against state1 for p IN (1,3). Keys the
+    // second batch leaves bit-identical must NOT appear (the
+    // `unchanged` drop), and untouched partitions contribute nothing.
+    QueryDef.sql(
+      "q_merge_changefeed",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority, o_orderdate,
+        |         CAST(o_orderkey % 4 AS INT) AS p
+        |  FROM orders),
+        |cur AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |i1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+        |    o_orderdate + INTERVAL 1 DAY AS o_orderdate,
+        |    p
+        |  FROM base WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 <> 0),
+        |s1 AS (
+        |  SELECT coalesce(i.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE c.o_totalprice END AS o_totalprice,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE c.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderpriority ELSE c.o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderdate ELSE i.o_orderdate END AS o_orderdate,
+        |    coalesce(i.p, c.p) AS p
+        |  FROM i1 i FULL JOIN (SELECT * FROM cur WHERE o_orderkey % 4 <> 0) c
+        |    ON i.o_orderkey = c.o_orderkey),
+        |i2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 2.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus, o_orderpriority, o_orderdate, p
+        |  FROM base WHERE o_orderkey % 2 = 1 AND (o_orderkey % 6 = 1 OR o_orderkey % 21 = 0)),
+        |old13 AS (SELECT * FROM s1 WHERE p IN (1, 3)),
+        |d AS (
+        |  SELECT coalesce(i.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    i.o_orderkey IS NOT NULL AS in_p, o.o_orderkey IS NOT NULL AS ex_p,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE o.o_totalprice END AS n_tp, o.o_totalprice AS o_tp,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE o.o_orderstatus END AS n_os, o.o_orderstatus AS o_os,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderpriority ELSE o.o_orderpriority END AS n_op, o.o_orderpriority AS o_op,
+        |    CASE WHEN o.o_orderkey IS NOT NULL THEN o.o_orderdate ELSE i.o_orderdate END AS n_od, o.o_orderdate AS o_od
+        |  FROM i2 i FULL JOIN old13 o ON i.o_orderkey = o.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT ex_p THEN 'new' ELSE 'updated' END AS change_status,
+        |  CASE WHEN NOT ex_p THEN ''
+        |       ELSE trim(concat(
+        |    CASE WHEN n_od IS DISTINCT FROM o_od THEN 'o_orderdate,' ELSE '' END,
+        |    CASE WHEN n_op IS DISTINCT FROM o_op THEN 'o_orderpriority,' ELSE '' END,
+        |    CASE WHEN n_os IS DISTINCT FROM o_os THEN 'o_orderstatus,' ELSE '' END,
+        |    CASE WHEN n_tp IS DISTINCT FROM o_tp THEN 'o_totalprice,' ELSE '' END), ',')
+        |  END AS changed_fields
+        |FROM d
+        |WHERE NOT ex_p OR (n_tp IS DISTINCT FROM o_tp) OR (n_os IS DISTINCT FROM o_os)
+        |   OR (n_op IS DISTINCT FROM o_op) OR (n_od IS DISTINCT FROM o_od)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val cfg = graft.types.TableConfig("orders", Seq("o_orderkey"), Seq("o_orderdate"))
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      val current = base.filter(col("o_orderkey") % 7 =!= 0)
+      val incoming1 = base
+        .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 4 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, concat(lit("X-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      val incoming2 = base
+        .filter(col("o_orderkey") % 2 === 1 &&
+          (col("o_orderkey") % 6 === 1 || col("o_orderkey") % 21 === 0))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") + 2.0)
+            .otherwise(col("o_totalprice")))
+      val dir = scratch(d, "pmergecf")
+      current.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("p").parquet(dir)
+      Sources.publishMergePartitioned(s, dir, incoming1, cfg, "p")
+      val since = Sources.mergeVersions(s, dir).max
+      Sources.publishMergePartitioned(s, dir, incoming2, cfg, "p")
+      Sources.mergeRowChangesSince(s, dir, since, Seq("o_orderkey"), "p")
+        .select(col("o_orderkey"), col("change_status"),
+          array_join(col("changed_fields"), ",").as("changed_fields"))
+        .orderBy("o_orderkey")
+    },
+
     // S12 per-entity JSON sink + S3 JSON scan: orders partitioned by
     // priority -> JSONL -> read back -> per-partition aggregate. The
     // partition column is restored from the directory layout.

@@ -170,6 +170,50 @@ class SourcesSpec extends SparkSpec {
     assert(afterFiles == untouchedFiles)
   }
 
+  test("change feed: partition-level and row-level deltas between retained versions") {
+    import graft.types.TableConfig
+    val dir = Files.createTempDirectory("graft_pmerge_cf").toString + "/table"
+    val cfg = TableConfig("t", Seq("id"), Seq.empty)
+    Seq((1L, "c1", 10.0), (2L, "c1", 20.0), (3L, "c2", 30.0), (4L, "c3", 40.0))
+      .toDF("id", "center", "v")
+      .write.partitionBy("center").parquet(dir)
+    val incoming1 = Seq((1L, "c1", 11.0), (5L, "c2", 50.0)).toDF("id", "center", "v")
+    Sources.publishMergePartitioned(spark, dir, incoming1, cfg, "center")
+    val since = Sources.mergeVersions(spark, dir).max
+
+    // second publish touches c1 only: update id=2, insert id=6, and
+    // re-send id=1 bit-identical (must drop out of the row feed)
+    val incoming2 = Seq((1L, "c1", 11.0), (2L, "c1", 21.0), (6L, "c1", 60.0))
+      .toDF("id", "center", "v")
+    Sources.publishMergePartitioned(spark, dir, incoming2, cfg, "center")
+
+    // partition feed: only c1's current state, named by dir diff alone
+    val part = Sources.readMergePartitionedChanges(spark, dir, since, "center").collect()
+    assert(part.map(_.getAs[String]("center")).toSet == Set("c1"))
+    assert(part.map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap ==
+      Map(1L -> 11.0, 2L -> 21.0, 6L -> 60.0))
+
+    // row feed: unchanged id=1 dropped, update classified with fields
+    val rows = Sources.mergeRowChangesSince(spark, dir, since, Seq("id"), "center")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("change_status"), r.getAs[Seq[String]]("changed_fields")))
+      .toMap
+    assert(rows == Map(2L -> ("updated", Seq("v")), 6L -> ("new", Seq.empty)))
+
+    // compaction is invisible to the row feed (content-identical)...
+    val since2 = Sources.mergeVersions(spark, dir).max
+    Sources.compactMergePartitioned(spark, dir, "center")
+    assert(Sources.mergeRowChangesSince(spark, dir, since2, Seq("id"), "center").isEmpty)
+    // ...while the partition feed degrades to a full, still-correct read
+    assert(Sources.readMergePartitionedChanges(spark, dir, since2, "center").count() == 6)
+
+    // a pruned since-version fails loudly, never a silent full delta
+    val ex = intercept[IllegalArgumentException] {
+      Sources.mergeRowChangesSince(spark, dir, 0L, Seq("id"), "center")
+    }
+    assert(ex.getMessage.contains("not retained"))
+  }
+
   test("prune deletes aged rotated manifests but spares a stalled publisher's young one") {
     import graft.types.TableConfig
     val dir = Files.createTempDirectory("graft_pmerge_grace").toString + "/table"
