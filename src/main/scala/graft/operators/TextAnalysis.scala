@@ -395,6 +395,62 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** Okapi-BM25 document ranking for a fixed term query — the lexical
+    * retrieval half of corpus search (the dense half is
+    * [[SimilaritySearch]]); also the standard relevance filter when
+    * mining a corpus for topic-specific training data.
+    *
+    * Bit-portability (differential-oracle contract): the idf is the
+    * LINEAR Robertson form `(N - df + 0.5) / (df + 0.5)` without the
+    * usual `ln(1 + ·)` wrapper — `ln` differs at the ULP across math
+    * libraries, while this form is two exactly-representable sums and
+    * one correctly-rounded division, and it is monotone in df exactly
+    * like the logged form, so per-query rankings agree. The per-doc
+    * score sums term scores by a FIXED-ORDER left fold over the
+    * term-name-sorted score list (`aggregate` over `array_sort`),
+    * because a plain SUM over doubles is reduction-order-dependent;
+    * an oracle reproduces the fold as explicitly-parenthesized
+    * pivoted addition in term order (adding 0.0 for an absent term is
+    * the IEEE identity on the positive scores, so both sides compute
+    * the identical bits).
+    *
+    * Scale: term filtering happens BEFORE the tf groupBy, so every
+    * shuffle is bounded by docs-containing-query-terms, never corpus
+    * size; corpus stats (N, total length) and per-term dfs ride
+    * broadcast one-row/`|Q|`-row aggregates; the final top-k is a
+    * TakeOrdered (per-partition heaps + driver merge of k), not a
+    * global sort. Only docs matching at least one query term appear —
+    * the score of every other doc is identically zero. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("tot"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    // (k1 + 1) is COMPUTED, not a merged literal: 1.2 + 1.0 lands on a
+    // round-to-even tie, and both engines must take the same side
+    val sat = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_t", idf * sat)
+    scored.groupBy("doc_id").agg(
+        aggregate(array_sort(collect_list(struct(col("term"), col("s_t")))),
+          lit(0.0), (acc, x) => acc + x.getField("s_t")).as("score"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Tokenizer-vocabulary induction: the top-`topN` corpus tokens by
     * occurrence count with document frequency and CUMULATIVE corpus
     * coverage — the "how big must the vocab be" curve every tokenizer

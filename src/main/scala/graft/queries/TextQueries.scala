@@ -615,6 +615,41 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Okapi-BM25 lexical retrieval: top-25 docs for a 3-term query,
+    // linear Robertson idf + fixed-order fold for bit-portability
+    // (see TextAnalysis.bm25 — the oracle's pivoted sum reproduces
+    // the term-name-ordered left fold exactly).
+    QueryDef.sql(
+      "q_text_bm25",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM documents),
+         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score,
+         |    CAST(COUNT(*) AS INT) AS n_terms
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, score, n_terms FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("merge", "spark", "vector"), k = 25)
+        .select("doc_id", "score", "n_terms")
+    },
+
     // BPE merge application (Sennrich apply_bpe: char symbols, then
     // each merge as a rank-ordered global replace): per-doc BPE unit
     // counts under a fixed 8-merge list, plus the segmented form of

@@ -239,4 +239,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("bm25: stats/df broadcast, top-k as TakeOrdered, no sort-merge join") {
+    val p = planOf("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }

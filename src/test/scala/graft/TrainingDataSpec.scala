@@ -73,6 +73,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 150000000L)))
   }
 
+  test("BM25: saturating tf, length normalization, only matching docs ranked") {
+    val docs = Seq(("a", "x x y"), ("b", "x z"), ("c", "y y y"), ("d", "z z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("x", "y"), k = 10)
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("n_terms"))).toMap
+    // N=4, tot=10, avgdl=2.5; df(x)=2, df(y)=2 -> idf = 2.5/2.5 = 1.0
+    def sat(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / 2.5)))
+    val expA = 1.0 * sat(2, 3) + 1.0 * sat(1, 3)
+    val expB = 1.0 * sat(1, 2)
+    val expC = 1.0 * sat(3, 3)
+    assert(out.keySet == Set("a", "b", "c")) // d matches nothing
+    assert(out("a")._2 == 2 && out("b")._2 == 1 && out("c")._2 == 1)
+    assert(math.abs(out("a")._1 - expA) < 1e-12)
+    assert(math.abs(out("b")._1 - expB) < 1e-12)
+    assert(math.abs(out("c")._1 - expC) < 1e-12)
+    // two-term doc with saturated tf beats the single-term docs
+    assert(out("a")._1 > out("c")._1 && out("c")._1 > out("b")._1)
+  }
+
   test("vocab induction: rank by count then term, exact cumulative coverage") {
     val docs = Seq((1L, "b a b c b a"), (2L, "a x")).toDF("doc_id", "text")
     val out = TextAnalysis.buildVocab(docs, "doc_id", "text", topN = 3)
