@@ -312,6 +312,64 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Corpus-level sequence packing — the GPT-style concat-and-split
+    * step of a pretraining pipeline: documents are laid end to end in
+    * `idCol` order and the token stream is cut into fixed
+    * `seqTokens`-sized training sequences, so a document may span a
+    * sequence boundary and a sequence may hold many short documents
+    * (zero padding waste, unlike per-doc [[chunkDocuments]]).
+    *
+    * The layout is a GLOBAL prefix sum of token counts, computed
+    * scalably in two phases instead of one single-partition window:
+    * coarse order-preserving buckets (`floor(doc_id / bucketWidth)`)
+    * aggregate to per-bucket totals, the tiny bucket table takes the
+    * only serial cumsum (rows = #buckets, thousands at 100 TB, never
+    * rows of data), and the offsets broadcast-join back so the
+    * per-doc window runs PARTITIONED by bucket. A doc starting at
+    * global offset o with n tokens spans sequences
+    * floor(o/L)..floor((o+n-1)/L), exploded with exact per-sequence
+    * token counts — all int64 arithmetic, reproducible in ANSI SQL.
+    *
+    * Output: one row per (seq_id, doc_id) span with `span_tokens`,
+    * plus each sequence's totals — every sequence holds exactly
+    * `seqTokens` tokens except the last. Empty docs are dropped
+    * (they contribute no tokens to any sequence). */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seqTokens: Int,
+      bucketWidth: Long = 1 << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqTokens > 0 && bucketWidth > 0, s"bad L=$seqTokens/W=$bucketWidth")
+    val sized = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .withColumn("_b", floor(col("doc_id").cast("double") / bucketWidth).cast("long"))
+    val bucketTotals = sized.groupBy("_b").agg(sum("dl").as("_btot"))
+    // the ONLY serial window: #buckets rows, not #docs
+    val offsets = bucketTotals.withColumn("_boff",
+      coalesce(sum("_btot").over(Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_boff")
+    val local = Window.partitionBy("_b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = sized.join(broadcast(offsets), "_b")
+      .withColumn("_start", col("_boff") + coalesce(sum("dl").over(local), lit(0L)))
+    val L = lit(seqTokens.toLong)
+    val spans = placed
+      .withColumn("seq_id", explode(sequence(
+        floor(col("_start").cast("double") / seqTokens).cast("long"),
+        floor((col("_start") + col("dl") - 1).cast("double") / seqTokens).cast("long"))))
+      .withColumn("span_tokens",
+        least(col("_start") + col("dl"), (col("seq_id") + 1) * L) -
+          greatest(col("_start"), col("seq_id") * L))
+    // per-sequence totals as a window over the one seq_id shuffle —
+    // not a groupBy + self-join (two shuffles of the same rows)
+    val wSeq = Window.partitionBy("seq_id")
+    spans.select(col("seq_id"), col("doc_id"), col("span_tokens"),
+      count(lit(1)).over(wSeq).cast("int").as("seq_docs"),
+      sum("span_tokens").over(wSeq).as("seq_tokens"))
+  }
+
   /** Corpus-level repeated-span removal — the exact-substring dedup
     * step (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better") in its scalable k-gram form: any word k-gram

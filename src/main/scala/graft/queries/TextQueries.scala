@@ -615,6 +615,41 @@ object TextQueries {
         .orderBy("doc_id", "term")
     },
 
+    // Sequence packing (GPT-style concat-and-split): documents laid
+    // end to end in doc_id order, cut into 256-token training
+    // sequences; one row per (sequence, doc) span with exact span and
+    // sequence token counts. bucketWidth=64 forces the two-phase
+    // prefix sum through many buckets; the oracle is the plain global
+    // cumsum (the bucketing must be invisible in the result).
+    QueryDef.sql(
+      "q_text_pack",
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM documents
+         |  WHERE len($toksDuck) > 0),
+         |placed AS (
+         |  SELECT doc_id, dl,
+         |    CAST(coalesce(SUM(dl) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM sized),
+         |spans AS (
+         |  SELECT doc_id, dl, s,
+         |    unnest(generate_series(s // 256, (s + dl - 1) // 256)) AS seq_id
+         |  FROM placed),
+         |sp AS (
+         |  SELECT seq_id, doc_id,
+         |    CAST(least(s + dl, (seq_id + 1) * 256)
+         |         - greatest(s, seq_id * 256) AS BIGINT) AS span_tokens
+         |  FROM spans)
+         |SELECT seq_id, doc_id, span_tokens,
+         |  CAST(COUNT(*) OVER (PARTITION BY seq_id) AS INT) AS seq_docs,
+         |  CAST(SUM(span_tokens) OVER (PARTITION BY seq_id) AS BIGINT) AS seq_tokens
+         |FROM sp
+         |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+          seqTokens = 256, bucketWidth = 64)
+        .orderBy("seq_id", "doc_id")
+    },
+
     // Okapi-BM25 lexical retrieval: top-25 docs for a 3-term query,
     // linear Robertson idf + fixed-order fold for bit-portability
     // (see TextAnalysis.bm25 — the oracle's pivoted sum reproduces

@@ -73,6 +73,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 150000000L)))
   }
 
+  test("sequence packing: cross-doc spans, exact budgets, bucketing invisible") {
+    val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "c c c c"), (4L, " "))
+      .toDF("doc_id", "text")
+    // starts: 1->0, 2->3, 3->5 (doc 4 empty, dropped); L=4:
+    // seq0 = a,a,a,b  seq1 = b,c,c,c  seq2 = c
+    val expected = Set(
+      (0L, 1L, 3L, 2, 4L), (0L, 2L, 1L, 2, 4L),
+      (1L, 2L, 1L, 2, 4L), (1L, 3L, 3L, 2, 4L),
+      (2L, 3L, 1L, 1, 1L))
+    for (w <- Seq(1L, 2L, 100L)) { // bucket width must not change the layout
+      val got = TextAnalysis.packSequences(docs, "doc_id", "text", 4, bucketWidth = w)
+        .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_tokens"), r.getAs[Int]("seq_docs"),
+          r.getAs[Long]("seq_tokens"))).toSet
+      assert(got == expected, s"bucketWidth=$w")
+    }
+  }
+
   test("BM25: saturating tf, length normalization, only matching docs ranked") {
     val docs = Seq(("a", "x x y"), ("b", "x z"), ("c", "y y y"), ("d", "z z"))
       .toDF("doc_id", "text")
