@@ -214,6 +214,45 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("not retained"))
   }
 
+  test("incremental consumer: checkpointed deltas, idle skip, crash re-delivery") {
+    import graft.types.TableConfig
+    val base = Files.createTempDirectory("graft_pmerge_inc").toString
+    val dir = base + "/table"
+    val ck = base + "/ckpt"
+    val cfg = TableConfig("t", Seq("id"), Seq.empty)
+    def run() = Sources.processMergeChanges(spark, dir, ck, "center") {
+      (df, v) => (df.count(), v)
+    }
+
+    // nothing published yet
+    assert(run().isEmpty)
+    Seq((1L, "c1", 10.0), (2L, "c2", 20.0)).toDF("id", "center", "v")
+      .write.partitionBy("center").parquet(dir)
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((3L, "c1", 30.0)).toDF("id", "center", "v"), cfg, "center")
+
+    // first cycle: full state; second: idle skip
+    assert(run().contains((3L, Sources.mergeVersions(spark, dir).max)))
+    assert(run().isEmpty)
+
+    // third cycle: only the rewritten partition's state (c1: ids 1,3,4)
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((4L, "c1", 40.0)).toDF("id", "center", "v"), cfg, "center")
+    assert(run().map(_._1).contains(3L))
+    assert(run().isEmpty)
+
+    // a crash inside f leaves the checkpoint alone -> re-delivery
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((5L, "c2", 50.0)).toDF("id", "center", "v"), cfg, "center")
+    intercept[RuntimeException] {
+      Sources.processMergeChanges(spark, dir, ck, "center") {
+        (_, _) => throw new RuntimeException("consumer died")
+      }
+    }
+    assert(run().isDefined) // same delta delivered again
+    assert(run().isEmpty)
+  }
+
   test("prune deletes aged rotated manifests but spares a stalled publisher's young one") {
     import graft.types.TableConfig
     val dir = Files.createTempDirectory("graft_pmerge_grace").toString + "/table"
