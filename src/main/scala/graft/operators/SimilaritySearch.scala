@@ -296,6 +296,86 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  // ---- 8-bit scalar quantization (the FAISS ScalarQuantizer QT_8bit
+  //      shape): per-dimension uniform bins — 4× smaller than float32
+  //      at far better fidelity than PQ, the standard first rung of
+  //      the vector-compression ladder ----
+
+  /** Train per-dimension [min, max] bounds over the corpus. Min/max
+    * are order-independent exact float comparisons, so training over
+    * ALL rows stays deterministic (no designated-row subset needed).
+    * Scale: posexplode shuffles (dim, value) pairs but partial
+    * aggregation collapses each map task to D rows before the wire;
+    * the driver collects exactly D rows. */
+  def sqTrain(table: DataFrame, vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    val mm = table.select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
+      .groupBy("_i").agg(min(col("_x").cast("double")).as("mn"),
+        max(col("_x").cast("double")).as("mx"))
+      .orderBy("_i").collect() // D tiny rows
+    (mm.map(_.getDouble(1)).toSeq, mm.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Encode every vector to one byte per dimension:
+    * `floor((x − min_d) · 255 / (max_d − min_d))` clamped to [0, 255]
+    * (constant-width dims encode as 0). Pure per-row expression work
+    * against broadcast literal bounds — zero shuffle, and every
+    * arithmetic step is reproducible in ANSI SQL (floor, not round:
+    * round's half-case rule differs across engines). */
+  def sqEncode(table: DataFrame, mins: Seq[Double], maxs: Seq[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mn = array(mins.map(lit): _*)
+    val mx = array(maxs.map(lit): _*)
+    val codes = transform(col(vecCol), (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi > lo,
+        least(greatest(
+          floor(((x.cast("double") - lo) * lit(255.0)) / (hi - lo)), lit(0.0)),
+          lit(255.0)))
+        .otherwise(lit(0.0)).cast("int")
+    })
+    table.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric squared-L2 of an exact query vector against a coded
+    * row: codes reconstruct to their bin midpoints
+    * `min_d + (c + 0.5) · (max_d − min_d) / 255`, and the per-dim
+    * squared differences fold left-to-right in dimension order (the
+    * same reproducible-sum discipline as [[pqTopK]]'s ADC). */
+  private def sqDist(mins: Seq[Double], maxs: Seq[Double],
+      qv: Column, codes: Column): Column = {
+    val mn = array(mins.map(lit): _*)
+    val mx = array(maxs.map(lit): _*)
+    val recon = transform(codes, (c, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      lo + ((c.cast("double") + lit(0.5)) * ((hi - lo) / lit(255.0)))
+    })
+    aggregate(zip_with(qv, recon, (x, r) => {
+      val d = x.cast("double") - r; d * d
+    }), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** SQ8 top-k: the scan side carries D bytes per row instead of D
+    * floats; queries keep exact vectors (asymmetric distance, like
+    * ADC). Same shape as [[pqTopK]]: broadcast query side, per-query
+    * window rank, ties to the lower neighbor id. At billion scale this
+    * nests inside IVF lists exactly like PQ does. */
+  def sqTopK(table: DataFrame, queries: DataFrame, mins: Seq[Double],
+      maxs: Seq[Double], k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val enc = sqEncode(table, mins, maxs, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sq_dist"), col("neighbor_id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sq_dist", sqDist(mins, maxs, col("_qv"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sq_dist")
+  }
+
   /** IVF-PQ: the billion-scale composition — vectors live in IVF lists
     * as PQ codes, queries probe `nProbe` lists and evaluate ADC against
     * only the probed candidates. Index memory is m codes + 1 list id

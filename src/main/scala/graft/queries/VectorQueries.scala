@@ -335,6 +335,44 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // 8-bit scalar quantization (FAISS QT_8bit shape): per-dim
+    // min/max bins trained on the WHOLE corpus (min/max are exact and
+    // order-independent), floor-encode, mid-bin reconstruct,
+    // asymmetric squared-L2 top-5. The oracle re-derives bounds,
+    // codes, reconstruction and the dim-ordered distance fold.
+    QueryDef.sql(
+      "q_vec_sq8",
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |mm AS (SELECT i, min(CAST(v[i] AS DOUBLE)) AS mn, max(CAST(v[i] AS DOUBLE)) AS mx
+        |       FROM e CROSS JOIN UNNEST(range(1, 65)) AS s(i) GROUP BY i),
+        |codes AS (
+        |  SELECT vec_id, i,
+        |    CAST(CASE WHEN mx > mn THEN least(greatest(
+        |      floor(((CAST(v[i] AS DOUBLE) - mn) * 255.0) / (mx - mn)), 0.0), 255.0)
+        |    ELSE 0.0 END AS INT) AS c
+        |  FROM e CROSS JOIN UNNEST(range(1, 65)) AS s(i) JOIN mm USING (i)),
+        |recon AS (
+        |  SELECT vec_id, i, mn + ((CAST(c AS DOUBLE) + 0.5) * ((mx - mn) / 255.0)) AS r
+        |  FROM codes JOIN mm USING (i)),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |dj AS (SELECT q.query_id, r.vec_id AS neighbor_id, r.i,
+        |    (CAST(qv[r.i] AS DOUBLE) - r.r) * (CAST(qv[r.i] AS DOUBLE) - r.r) AS d
+        |  FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+        |dist AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY i)) AS sq_dist
+        |         FROM dj GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, sq_dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id)
+        |           AS "rank"
+        |       FROM dist)
+        |SELECT query_id, "rank", neighbor_id, sq_dist
+        |FROM rk WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (mins, maxs) = SimilaritySearch.sqTrain(emb)
+      SimilaritySearch.sqTopK(emb, emb.filter(col("vec_id") < 5), mins, maxs, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Product quantization encode (Jégou et al. TPAMI'11): 64 dims ->
     // 4 subspaces x 4-entry seeded-medoid codebooks. The oracle
     // re-derives every subspace codebook from the data rows, every

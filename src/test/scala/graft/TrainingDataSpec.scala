@@ -296,6 +296,25 @@ class DedupSpec extends SparkSpec {
       s"recall ${(lsh intersect exact).size.toDouble / exact.size}")
   }
 
+  test("SQ8: full-range codes, bounded reconstruction, exact-agreeing top-1") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.1f)),
+      (2L, Array(5.0f, 5.0f)), (3L, Array(5.1f, 5.0f)), (4L, Array(10.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val (mins, maxs) = SimilaritySearch.sqTrain(vecs)
+    assert(mins == Seq(0.0, 0.0) && maxs == Seq(10.0, 9.0))
+    val codes = SimilaritySearch.sqEncode(vecs, mins, maxs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toList).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    assert(codes(0L) == List(0, 0) && codes(4L) == List(255, 255))
+    // on well-separated points the quantized ranking agrees with exact
+    val top1 = SimilaritySearch.sqTopK(vecs, vecs, mins, maxs, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(top1 == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("simhash: identical docs hamming 0, near dups close, distinct docs far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
