@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries"),
       graft.functions.SqlBuilders.misraGries))
+    e.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName, "kmv_distinct"),
+      graft.functions.SqlBuilders.kmvDistinct))
   }
 }

@@ -35,6 +35,8 @@ object GraftSql {
       graft.functions.SqlBuilders.topKRows, "built-in")
     reg.createOrReplaceTempFunction("misra_gries",
       graft.functions.SqlBuilders.misraGries, "built-in")
+    reg.createOrReplaceTempFunction("kmv_distinct",
+      graft.functions.SqlBuilders.kmvDistinct, "built-in")
     graft.functions.Similarity.register(spark)
   }
 }

@@ -40,4 +40,10 @@ object SqlBuilders {
     MisraGries(args.head, literalInt(args(1), "misra_gries", "k"))
       .toAggregateExpression()
   }
+
+  val kmvDistinct: Seq[Expression] => Expression = args0 => {
+    val args = arity("kmv_distinct", "(hash48, k)", 2)(args0)
+    KmvDistinct(args.head, literalInt(args(1), "kmv_distinct", "k"))
+      .toAggregateExpression()
+  }
 }

@@ -834,6 +834,38 @@ object ReportingQueries {
     // bucket = floor(x / width), top bucket clamped — one map-side-
     // combined aggregate, deterministic (IEEE divide + floor are
     // exact), vs percentile's per-group value sort.
+    // KMV distinct-count sketch vs exact COUNT(DISTINCT) per group:
+    // the md5-derived 48-bit hash family makes the k-minimum-values
+    // estimate BIT-REPRODUCIBLE in the oracle (unlike any native
+    // approx_count_distinct) — the oracle ranks distinct hashes per
+    // group and replays floor((k-1)·2^48 / h_k) exactly.
+    QueryDef.sql(
+      "q_agg_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT o_orderpriority,
+        |             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |           FROM orders),
+        |rk AS (SELECT o_orderpriority, h,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS nd
+        |       FROM h),
+        |est AS (SELECT o_orderpriority,
+        |          CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT)
+        |               ELSE CAST(floor((CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                    / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT)
+        |          END AS kmv_estimate
+        |        FROM rk GROUP BY o_orderpriority),
+        |ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+        |       FROM orders GROUP BY o_orderpriority)
+        |SELECT est.o_orderpriority, est.kmv_estimate, ex.n_exact
+        |FROM est JOIN ex USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority").agg(
+          graft.functions.KmvDistinct.kmvDistinct(col("o_custkey"), 64)
+            .as("kmv_estimate"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .orderBy("o_orderpriority")
+    },
+
     QueryDef.sql(
       "q_rep_histogram",
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,

@@ -622,7 +622,7 @@ object TextQueries {
     // prefix sum through many buckets; the oracle is the plain global
     // cumsum (the bucketing must be invisible in the result).
     QueryDef.sql(
-      "q_text_pack",
+      "q_text_pack_spans",
       s"""WITH sized AS (
          |  SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM documents
          |  WHERE len($toksDuck) > 0),

@@ -46,6 +46,31 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT top_k_rows(struct(p, t), 2) FROM tk").collect()
     }: Unit
   }
+
+  test("kmv_distinct: exact below k, ~accurate above, merge-invariant, SQL-callable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.KmvDistinct.kmvDistinct
+    val small = (1 to 10).map(i => s"v$i").toDF("x")
+    assert(small.agg(kmvDistinct(col("x"), 64)).collect()(0).getLong(0) == 10L)
+    // 5000 distinct values, k=64: deterministic estimate within ~3/sqrt(k)
+    val big = (1 to 5000).flatMap(i => Seq(s"k$i", s"k$i")).toDF("x")
+    val est = big.agg(kmvDistinct(col("x"), 64)).collect()(0).getLong(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est")
+    // mergeability: partial buffers must union to the same sketch
+    for (p <- Seq(1, 7)) {
+      val e = big.repartition(p).agg(kmvDistinct(col("x"), 64))
+        .collect()(0).getLong(0)
+      assert(e == est, s"partitions=$p gave $e, expected $est")
+    }
+    // SQL surface
+    graft.GraftSql.registerFunctions(spark)
+    big.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      """SELECT kmv_distinct(CAST(conv(substr(md5(CAST(x AS STRING)), 1, 12), 16, 10)
+        |  AS BIGINT), 64) AS e FROM kmv_in""".stripMargin).collect()(0).getLong(0)
+    assert(viaSql == est)
+  }
 }
 
 class CatalogSpec extends SparkSpec {
