@@ -55,6 +55,37 @@ object Sampling {
     df.filter(bucket < rate)
   }
 
+  /** Temperature-reweighted domain mixing (the multilingual-
+    * pretraining upsampling rule, α = 0.5): target mix share of
+    * stratum d is `√N_d / Σ√N` — between proportional (α = 1, big
+    * domains dominate) and uniform (α = 0, tail domains over-repeat) —
+    * and each stratum keeps
+    * `min(1, targetFraction · N_total · share_d / N_d)` of its rows
+    * by the same md5 fate as [[stratifiedByHash]].
+    *
+    * α is fixed at 0.5 because √ is the one exponent with a
+    * correctly-rounded IEEE primitive: a general `pow(n, α)` differs
+    * at the ULP across math libraries and would break the
+    * differential oracle. Determinism of the rate derivation: counts
+    * are exact longs, `Σ√N` folds in stratum-name order (both engines
+    * left-fold the same sorted list), and the rate chain is fixed-
+    * order products/divisions. Scale: one tiny counts aggregate
+    * (#strata rows) drives a driver-computed rate map; the selection
+    * stays a zero-shuffle per-row filter. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0,
+        ((targetFraction * total.toDouble) * (math.sqrt(n.toDouble) / sumW)) / n.toDouble)
+    }.toMap
+    stratifiedByHash(df, keyCol, stratumCol, rates, defaultRate = 0.0)
+  }
+
   /** EXACTLY-k-per-stratum sample: rank rows inside each stratum by
     * their md5 (a uniform, reproducible permutation; ties broken by
     * the key itself) and keep the first k — how a fixed-size eval/dev

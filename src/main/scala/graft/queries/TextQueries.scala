@@ -1007,6 +1007,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature-reweighted mixing (α=0.5): per-source keep rates
+    // DERIVED from the corpus (√N_d / Σ√N target shares, capped at
+    // keep-all), then the md5-fate row filter. The oracle re-derives
+    // the rates with the identical fixed-order arithmetic — sqrt is
+    // the one exponent whose IEEE primitive is correctly rounded, so
+    // the whole chain is bit-portable.
+    QueryDef.sql(
+      "q_sample_temperature",
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |             list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS sumw
+        |      FROM c),
+        |r AS (SELECT c.source,
+        |        least(CAST(1 AS DOUBLE),
+        |          ((CAST(0.5 AS DOUBLE) * CAST(t.total AS DOUBLE))
+        |           * (sqrt(CAST(c.n AS DOUBLE)) / t.sumw)) / CAST(c.n AS DOUBLE)) AS rate
+        |      FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
+        |      % 10000
+        |      < CAST(floor(r.rate * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "source",
+          targetFraction = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Exactly-k-per-stratum sample: md5-permutation rank inside each
     // source, keep the first 5 — the fixed-size per-domain eval-set
     // carve. Deterministic under retries; the oracle replays the

@@ -593,6 +593,29 @@ class VectorSpec extends SparkSpec {
     assert(small == big.filter(_ < 500L))
   }
 
+  test("temperature mix: tail domains upweighted, head capped, budget honored") {
+    // 3 domains, very skewed: 800 / 150 / 50 rows
+    val rows = (0L until 800L).map(i => (i, "web")) ++
+      (800L until 950L).map(i => (i, "books")) ++
+      (950L until 1000L).map(i => (i, "code"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(df, "doc_id", "source", targetFraction = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptRate = Map(
+      "web" -> kept("web") / 800.0,
+      "books" -> kept("books") / 150.0,
+      "code" -> kept("code") / 50.0)
+    // α=0.5 orders keep-rates inversely to domain size
+    assert(keptRate("code") > keptRate("books") && keptRate("books") > keptRate("web"),
+      keptRate.toString)
+    // overall budget ~ targetFraction (md5 fate jitters a few percent)
+    val total = kept.values.sum
+    assert(total > 400 && total < 600, s"total $total")
+    // √N share: code (√50) should keep everything or nearly so
+    assert(keptRate("code") > 0.9, keptRate.toString)
+  }
+
   test("leakage-free split: every near-dup cluster member shares one fate") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
