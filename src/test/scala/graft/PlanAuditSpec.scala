@@ -240,6 +240,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("kmv sketch: ObjectHashAggregate pair with map-side partials, one shuffle") {
+    val p = planOf("q_agg_kmv_distinct")
+    assert(p.contains("partial_kmv_distinct"), p.take(1500))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
+  test("sequence packing: per-doc window partitioned by bucket, offsets broadcast") {
+    val p = planOf("q_text_pack_spans")
+    // the broadcast of the tiny bucket-offset table is the two-phase
+    // prefix sum's signature — without it the plan would be a global
+    // single-partition window over every data row
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("temperature mix: selection is a zero-shuffle scan filter") {
+    val p = planOf("q_sample_temperature")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1500))
+  }
+
   test("bm25: stats/df broadcast, top-k as TakeOrdered, no sort-merge join") {
     val p = planOf("q_text_bm25")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
