@@ -124,6 +124,52 @@ object Sampling {
         when(hashBucket(concat(lit("cluster:"), col("cluster_id").cast("string")),
           100) < trainPct, lit("train")).otherwise(lit("holdout")))
 
+  /** Weighted sample WITHOUT replacement, k rows per stratum
+    * (Efraimidis & Spirakis, IPL 2006, "A-ES"): each row draws its
+    * uniform u from the md5 bucket of its key — u = (b + 0.5)/10000,
+    * never exactly 0 or 1 — and scores ln(u)/w; the k LARGEST scores
+    * per stratum are distributed exactly as sequential weighted
+    * draws without replacement (ln(u)/w orders identically to the
+    * classic u^(1/w) key and avoids underflow for large weights).
+    * The training-mix use: carve a per-domain subset where longer /
+    * higher-quality documents are proportionally likelier, without
+    * an RNG — fate depends only on the row's own (key, weight), so
+    * the sample is reproducible across retries, engines and
+    * partitionings, and adding documents to one stratum never
+    * disturbs another's picks.
+    *
+    * Scale: one hash + log per row and one window top-k per stratum —
+    * a single shuffle on the stratum key; no global sort. Rows with
+    * non-positive or null weight are excluded (their draw
+    * probability is 0). Ties (identical key-hash AND weight) break
+    * by key ascending, keeping the output a total order. */
+  def weightedSampleKPerStratum(df: DataFrame, keyCol: String, weightCol: String,
+      stratumCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hashBucket(col(keyCol), 10000).cast("double") + lit(0.5)) / lit(10000.0)
+    val es = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("_es").desc, col(keyCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_es", es)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_es", "_rk")
+  }
+
+  /** Global (single-stratum) weighted sample without replacement:
+    * the same A-ES key, ranked corpus-wide. Planned as a sort-limit
+    * (per-partition top-k, then a k-row merge — no full shuffle). */
+  def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (hashBucket(col(keyCol), 10000).cast("double") + lit(0.5)) / lit(10000.0)
+    val es = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_es", es)
+      .orderBy(col("_es").desc, col(keyCol).asc)
+      .limit(k)
+      .drop("_es")
+  }
+
   /** Deterministic corpus shuffle into `nShards` output shards — the
     * final pre-training step (examples must arrive in pseudo-random
     * order, identically on every re-run): shard = md5 bucket of the

@@ -49,6 +49,45 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Matryoshka (truncated-dimension) cosine top-k (Kusupati et al.,
+    * NeurIPS 2022, "Matryoshka Representation Learning"): score on
+    * only the first `dims` components of each embedding. MRL-trained
+    * embeddings front-load information, so a dims-of-D prefix search
+    * costs dims/D of the flops AND of the scan bandwidth (the slice
+    * happens before the scoring kernel) — the standard cheap first
+    * pass of a billion-vector retrieval funnel. Cosine renormalizes
+    * over the slice, so no separate re-normalization pass is needed. */
+  def matryoshkaTopK(table: DataFrame, queries: DataFrame, dims: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def trunc(df: DataFrame) = df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    bruteForceTopK(trunc(table), trunc(queries), k, idCol, vecCol)
+  }
+
+  /** The full truncate-then-rerank funnel: shortlist `shortlist`
+    * candidates per query on the `dims`-prefix score, then rerank
+    * ONLY the shortlist with full-dimension cosine and keep the top
+    * k. At scale the corpus-wide pass touches dims/D of the vector
+    * bytes and the exact pass touches `shortlist` rows per query —
+    * the two knobs trade recall for bandwidth independently. Both
+    * stages are deterministic (IEEE adds/multiplies over identical
+    * floats, ties broken by id), so the funnel is oracle-checkable
+    * end to end. */
+  def matryoshkaRerank(table: DataFrame, queries: DataFrame, dims: Int,
+      shortlist: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = matryoshkaTopK(table, queries, dims, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val t = table.select(col(idCol).as("neighbor_id"), col(vecCol).as("_tv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    cand.join(t, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", cosine(col("_qv"), col("_tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Deterministic seeded hyperplanes (values in [-1, 1)). */
   def randomPlanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)

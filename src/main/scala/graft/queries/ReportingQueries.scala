@@ -866,6 +866,73 @@ object ReportingQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Fixed-boundary histogram SKETCH (TypedImperativeAggregate,
+    // graft.functions.FixedHistogram): per-group state is 42 longs
+    // regardless of group size — one row per group per map partition
+    // on the wire, vs one row per (group, bucket) for the groupBy
+    // formulation below. The gate explodes the counts array and the
+    // oracle re-derives every (slot, cnt) pair from the same exact
+    // bucket map (IEEE divide + floor), pinning the sketch bit-exactly.
+    QueryDef.sql(
+      "q_agg_hist_sketch",
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 400.0 THEN 41
+        |         ELSE CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1 END AS slot
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, slot, COUNT(*) AS cnt
+        |FROM b GROUP BY event_type, slot
+        |ORDER BY event_type, slot""".stripMargin) { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(graft.functions.Histograms.histFixed(col("value"), 0.0, 10.0, 40).as("h"))
+        .select(col("event_type"), posexplode(col("h")).as(Seq("slot", "cnt")))
+        .filter(col("cnt") > 0)
+        .orderBy("event_type", "slot")
+    },
+
+    // Quantile estimates read off the histogram sketch — the constant-
+    // memory alternative to exact percentile's per-group value sort:
+    // at 100 TB the sketch agg ships 42 longs per group while
+    // percentile() shuffles every value. Both engines interpolate
+    // from their own independently-derived counts with the identical
+    // single-rounding formula, so even the DOUBLE estimates hash-match.
+    QueryDef.sql(
+      "q_agg_hist_quantile",
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 400.0 THEN 41
+        |         ELSE CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1 END AS slot
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, slot, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, slot, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS total,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY slot
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c),
+        |q50 AS (SELECT event_type,
+        |          0.0 + 10.0 * (CAST(slot - 1 AS DOUBLE)
+        |            + (0.5 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+        |              / CAST(cnt AS DOUBLE)) AS p50
+        |        FROM w
+        |        WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+        |        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY slot) = 1),
+        |q90 AS (SELECT event_type,
+        |          0.0 + 10.0 * (CAST(slot - 1 AS DOUBLE)
+        |            + (0.9 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+        |              / CAST(cnt AS DOUBLE)) AS p90
+        |        FROM w
+        |        WHERE CAST(cum AS DOUBLE) >= 0.9 * CAST(total AS DOUBLE)
+        |        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY slot) = 1)
+        |SELECT q50.event_type AS event_type, q50.p50, q90.p90
+        |FROM q50 JOIN q90 ON q50.event_type = q90.event_type
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d).groupBy("event_type")
+        .agg(graft.functions.Histograms.histFixed(col("value"), 0.0, 10.0, 40).as("h"))
+      graft.functions.Histograms.quantilesFromHistogram(
+          h, Seq("event_type"), "h", 0.0, 10.0, Seq("p50" -> 0.5, "p90" -> 0.9))
+        .orderBy("event_type")
+    },
+
     QueryDef.sql(
       "q_rep_histogram",
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,

@@ -1074,6 +1074,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted sample without replacement, 7 docs per language
+    // (Efraimidis-Spirakis A-ES over md5-derived uniforms): longer
+    // documents are proportionally likelier, no RNG, fate per-row —
+    // the deterministic "sample by quality weight" carve of a
+    // training mix. The oracle replays the ln(u)/w ranking; the
+    // score itself is never emitted (selection is ulp-robust, the
+    // transcendental's last bit is not).
+    QueryDef.sql(
+      "q_sample_weighted",
+      """WITH s AS (SELECT lang, doc_id, n_chars,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10000
+        |         AS DOUBLE) + 0.5) / 10000.0)
+        |      / CAST(n_chars AS DOUBLE) AS es
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS rk
+        |  FROM s)
+        |WHERE rk <= 7
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      Sampling.weightedSampleKPerStratum(
+          Tables.documents(s, d), "doc_id", "n_chars", "lang", 7)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
+
     // Training-sequence packing: assign documents to ~2048-token
     // chunks per source via a windowed running total — chunk id =
     // floor(start_offset / budget). Deterministic and partition-

@@ -76,6 +76,52 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Matryoshka truncate-then-rerank funnel (MRL, Kusupati et al.
+    // NeurIPS'22): shortlist 20 candidates per query on the 16-dim
+    // PREFIX cosine (1/4 the flops and vector bandwidth of the full
+    // scan), then exact 64-dim rerank of only the shortlist. Both
+    // stages are IEEE-deterministic, so DuckDB replays the entire
+    // funnel — prefix slice, shortlist boundary, rerank — bit-exactly.
+    QueryDef.sql(
+      "q_vec_matryoshka",
+      """WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv,
+        |             embedding AS qfull
+        |           FROM embeddings WHERE vec_id < 5),
+        |t AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS tv,
+        |        embedding AS tfull
+        |      FROM embeddings),
+        |pre AS (
+        |  SELECT query_id, neighbor_id, qfull, tfull,
+        |    list_sum(list_transform(range(1, len(tv) + 1),
+        |        i -> CAST(tv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      AS pscore
+        |  FROM t CROSS JOIN q
+        |  WHERE neighbor_id <> query_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY pscore DESC, neighbor_id) <= 20),
+        |rr AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(tfull) + 1),
+        |        i -> CAST(tfull[i] AS DOUBLE) * CAST(qfull[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qfull, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(tfull, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      AS score
+        |  FROM pre),
+        |rk AS (SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS "rank"
+        |       FROM rr)
+        |SELECT query_id, "rank", neighbor_id, score
+        |FROM rk WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.matryoshkaRerank(emb, emb.filter(col("vec_id") < 5),
+          dims = 16, shortlist = 20, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding-cosine near-dup pairs — exact baseline under the hash
     // gate (both engines fold dot products left-to-right in double).
     // The LSH-bucketed scale variant is recall-pinned in DedupSpec.

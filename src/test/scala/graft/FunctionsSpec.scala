@@ -209,3 +209,32 @@ class IdValidationSpec extends SparkSpec {
     assert(r2.getString(1) == "warning")
   }
 }
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixed histogram: exact counts incl. under/overflow, null-safe, partition-invariant") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 9.999, 10.0, 15.0, 39.9, 40.0, 55.0, null)
+      .toDF("v")
+    def counts(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(Histograms.histFixed(col("v"), 0.0, 10.0, 4).as("h"))
+        .collect()(0).getSeq[Long](0)
+    val c = counts(df)
+    // slots: under | [0,10) | [10,20) | [20,30) | [30,40) | over
+    assert(c == Seq(1L, 2L, 2L, 0L, 1L, 2L))
+    assert(c.sum == 8L)                       // the null is skipped, nothing else dropped
+    assert(counts(df.repartition(7)) == c)    // merge path = single-partition path
+    assert(counts(df.repartition(1)) == c)
+  }
+
+  test("histogram quantiles: interpolation formula exact on a uniform distribution") {
+    // 100 values at 0.5, 1.5, …, 99.5 over 10 equal buckets: every
+    // interpolated quantile lands exactly on 100·p
+    val df = (0 until 100).map(i => ("x", i + 0.5)).toDF("g", "v")
+    val h = df.groupBy("g").agg(Histograms.histFixed(col("v"), 0.0, 10.0, 10).as("h"))
+    val q = Histograms.quantilesFromHistogram(h, Seq("g"), "h", 0.0, 10.0,
+      Seq("p50" -> 0.5, "p90" -> 0.9)).collect()(0)
+    assert(q.getAs[Double]("p50") == 50.0)
+    assert(q.getAs[Double]("p90") == 90.0)
+  }
+}

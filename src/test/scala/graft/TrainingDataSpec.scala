@@ -833,4 +833,54 @@ class VectorSpec extends SparkSpec {
     assert(out(3L)._2 == 0)
     assert(out(3L)._3 == "completely unrelated content with no overlap at all")
   }
+
+  test("matryoshka: full-width prefix = brute force; full-table shortlist reranks exactly") {
+    val many = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 31.0 + j * 7.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = many.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSet
+    val brute = rows(SimilaritySearch.bruteForceTopK(many, qs, 5))
+    // a prefix that spans every dimension IS the exact search
+    assert(rows(SimilaritySearch.matryoshkaTopK(many, qs, dims = 8, k = 5)) == brute)
+    // a funnel whose shortlist admits the whole table reranks to the exact answer
+    assert(rows(SimilaritySearch.matryoshkaRerank(many, qs, dims = 4,
+      shortlist = 40, k = 5)) == brute)
+    // a narrow funnel still yields k full-precision rows per query, and
+    // every emitted score is the TRUE full-dimension cosine
+    val narrow = SimilaritySearch.matryoshkaRerank(many, qs, dims = 4,
+      shortlist = 10, k = 5).collect()
+    assert(narrow.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    val exact = SimilaritySearch.bruteForceTopK(many, qs, 39).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    narrow.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    }
+  }
+
+  test("weighted sample: k per stratum, per-stratum fate isolation, zero weights excluded") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", (i % 13) + 1L))
+      .toDF("id", "dom", "w")
+    val out = Sampling.weightedSampleKPerStratum(df, "id", "w", "dom", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap == Map("a" -> 5, "b" -> 5))
+    // growing stratum b must not disturb stratum a's picks
+    val aug = df.union(Seq((1001L, "b", 999L), (1003L, "b", 999L)).toDF("id", "dom", "w"))
+    val out2 = Sampling.weightedSampleKPerStratum(aug, "id", "w", "dom", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out2.filter(_._1 == "a").toSet == out.filter(_._1 == "a").toSet)
+    // only positive-weight rows are eligible; with 3 eligible and k=5 all 3 return
+    val few = (1L to 20L).map(i => (i, "x", if (i <= 3) 1L else 0L)).toDF("id", "dom", "w")
+    val picks = Sampling.weightedSampleKPerStratum(few, "id", "w", "dom", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(picks == Set(1L, 2L, 3L))
+    // the global variant agrees with the windowed one on a single stratum
+    val g = Sampling.weightedSampleK(df.filter($"dom" === "a"), "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(g == out.filter(_._1 == "a").map(_._2).toSet)
+  }
 }
