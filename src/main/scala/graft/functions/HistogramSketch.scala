@@ -111,6 +111,37 @@ object Histograms {
       FixedHistogram(Bridge.expression(c.cast("double")), lo, width, nBuckets)
         .toAggregateExpression())
 
+  /** Exact integer L1 drift between two [[histFixed]] counts columns
+    * over the SAME bucket layout: `Σ_i |cA_i·N_B − cB_i·N_A|`, where
+    * N = the histogram's total count. Cross-multiplying by the totals
+    * compares the two SHAPES (normalized distributions) in pure
+    * BIGINT arithmetic — exact, associative, order-free — so the
+    * drift statistic is deterministic under any partitioning and
+    * bit-reproducible in any engine, with no floating-point reduction
+    * anywhere. Safe while each count and total stays under ~2³¹
+    * (their product must fit int64); at larger scale feed it
+    * per-partition histograms, not the global one. */
+  def l1Drift(ha: Column, hb: Column): Column = {
+    val na = aggregate(ha, lit(0L), (acc, x) => acc + x)
+    val nb = aggregate(hb, lit(0L), (acc, x) => acc + x)
+    aggregate(
+      zip_with(ha, hb, (a, b) => abs(a * nb - b * na)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Total-variation distance read off the same pair:
+    * `TV = L1 / (2·N_A·N_B)` ∈ [0, 1] — the fraction of probability
+    * mass that moved between the two distributions, the standard
+    * drift alarm between a training snapshot and a serving window.
+    * One rounded IEEE multiply and divide over the exact integer L1,
+    * so even the DOUBLE is oracle-reproducible. */
+  def tvDistance(ha: Column, hb: Column): Column = {
+    val na = aggregate(ha, lit(0L), (acc, x) => acc + x)
+    val nb = aggregate(hb, lit(0L), (acc, x) => acc + x)
+    l1Drift(ha, hb).cast("double") /
+      (lit(2.0) * (na.cast("double") * nb.cast("double")))
+  }
+
   /** Quantile estimates read off a [[histFixed]] counts column:
     * for each requested `(name, p)`, the histogram's linear-
     * interpolation estimate

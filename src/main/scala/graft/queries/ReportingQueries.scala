@@ -933,6 +933,52 @@ object ReportingQueries {
         .orderBy("event_type")
     },
 
+    // Distribution drift off the histogram sketches: each event
+    // type's value distribution vs the 'view' baseline, as exact
+    // integer L1 (Σ|cA·N_B − cB·N_A| — cross-multiplied counts, no
+    // float reduction anywhere) and the total-variation distance
+    // L1/(2·N_A·N_B). The drift check between a training snapshot
+    // and a serving window costs two 42-long arrays per pair — the
+    // raw data is never rescanned.
+    QueryDef.sql(
+      "q_agg_hist_drift",
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 400.0 THEN 41
+        |         ELSE CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1 END AS slot
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, slot, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |spine AS (SELECT et.event_type, CAST(r.range AS INT) AS slot
+        |          FROM (SELECT DISTINCT event_type FROM c WHERE event_type <> 'view') et
+        |          CROSS JOIN range(0, 42) r),
+        |fa AS (SELECT s.event_type, s.slot, coalesce(c.cnt, 0) AS ca
+        |       FROM spine s LEFT JOIN c
+        |         ON c.event_type = s.event_type AND c.slot = s.slot),
+        |fb AS (SELECT s.slot, coalesce(c.cnt, 0) AS cb
+        |       FROM (SELECT DISTINCT slot FROM spine) s
+        |       LEFT JOIN c ON c.event_type = 'view' AND c.slot = s.slot),
+        |l AS (SELECT fa.event_type,
+        |        CAST(SUM(abs(fa.ca * nb.n - fb.cb * na.n)) AS BIGINT) AS l1,
+        |        max(na.n) AS na, max(nb.n) AS nb
+        |      FROM fa JOIN fb USING (slot)
+        |      JOIN n na ON na.event_type = fa.event_type
+        |      JOIN (SELECT n FROM n WHERE event_type = 'view') nb ON true
+        |      GROUP BY fa.event_type)
+        |SELECT event_type, l1,
+        |  CAST(l1 AS DOUBLE) / (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS tvd
+        |FROM l ORDER BY event_type""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d).groupBy("event_type")
+        .agg(graft.functions.Histograms.histFixed(col("value"), 0.0, 10.0, 40).as("h"))
+      val base = h.filter(col("event_type") === "view").select(col("h").as("hb"))
+      h.filter(col("event_type") =!= "view")
+        .crossJoin(broadcast(base))
+        .select(col("event_type"),
+          graft.functions.Histograms.l1Drift(col("h"), col("hb")).as("l1"),
+          graft.functions.Histograms.tvDistance(col("h"), col("hb")).as("tvd"))
+        .orderBy("event_type")
+    },
+
     QueryDef.sql(
       "q_rep_histogram",
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Retrieval, Sampling, SimilaritySearch, TextAnalysis}
 
 /** Text-analysis + dedup queries over the `documents` table (the
   * training-data-pipeline surface: token counting, quality scoring,
@@ -683,6 +683,77 @@ object TextQueries {
       TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
           Seq("merge", "spark", "vector"), k = 25)
         .select("doc_id", "score", "n_terms")
+    },
+
+    // Hybrid retrieval: the BM25 lexical top-20 (same query as
+    // q_text_bm25) and the embedding-cosine top-20 for query vector 0
+    // (embeddings keyed 1:1 to doc_ids where coverage exists — dense
+    // coverage is PARTIAL at sf0.1, which is exactly what rank-level
+    // fusion absorbs), merged by reciprocal-rank fusion. Ranks are
+    // ints and each RRF contribution is one IEEE division summed in
+    // declaration order, so DuckDB replays lexical ranking, dense
+    // ranking, and the fused ordering bit-exactly. rank_* = 0 marks
+    // "not retrieved by that system".
+    QueryDef.sql(
+      "q_retrieval_hybrid",
+      s"""WITH dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM documents),
+         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score
+         |  FROM scored GROUP BY doc_id),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |          AS rank_lex
+         |        FROM agg ORDER BY score DESC, doc_id LIMIT 20),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vsc AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(qv.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |      AS vscore
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY vscore DESC, doc_id) AS INT)
+         |          AS rank_vec
+         |        FROM vsc ORDER BY vscore DESC, doc_id LIMIT 20),
+         |fused AS (
+         |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |    coalesce(rank_lex, 0) AS rank_lex,
+         |    coalesce(rank_vec, 0) AS rank_vec,
+         |    coalesce(1.0 / (CAST(60 AS DOUBLE) + CAST(rank_lex AS DOUBLE)), 0.0)
+         |      + coalesce(1.0 / (CAST(60 AS DOUBLE) + CAST(rank_vec AS DOUBLE)), 0.0)
+         |      AS rrf_score
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+         |SELECT doc_id, rank_lex, rank_vec, rrf_score
+         |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = TextAnalysis.bm25(docs, "doc_id", "text",
+          Seq("merge", "spark", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val vec = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
     },
 
     // BPE merge application (Sennrich apply_bpe: char symbols, then

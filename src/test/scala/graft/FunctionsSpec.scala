@@ -237,4 +237,20 @@ class HistogramSpec extends SparkSpec {
     assert(q.getAs[Double]("p50") == 50.0)
     assert(q.getAs[Double]("p90") == 90.0)
   }
+
+  test("drift: scale-free zero for same shape, TV=1 on disjoint support, exact midpoint") {
+    import org.apache.spark.sql.functions.col
+    def drift(ha: Seq[Long], hb: Seq[Long]): (Long, Double) = {
+      val r = Seq((ha.toArray, hb.toArray)).toDF("ha", "hb")
+        .select(Histograms.l1Drift(col("ha"), col("hb")).as("l1"),
+          Histograms.tvDistance(col("ha"), col("hb")).as("tv")).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    // same shape at different scale: cross-multiplication cancels exactly
+    assert(drift(Seq(0L, 10L, 5L), Seq(0L, 20L, 10L)) == ((0L, 0.0)))
+    // disjoint supports: all mass moved
+    assert(drift(Seq(5L, 0L), Seq(0L, 7L)) == ((70L, 1.0)))
+    // half the mass moved: |3·4−1·4| + |1·4−3·4| = 16, TV = 16/32
+    assert(drift(Seq(3L, 1L), Seq(1L, 3L)) == ((16L, 0.5)))
+  }
 }

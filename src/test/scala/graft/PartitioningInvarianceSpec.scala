@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomJoin, Constraints, FuzzyJoin, IncrementalAgg,
-  SchemaEvolution, TopK}
+  Retrieval, Sampling, SchemaEvolution, TopK}
 
 /** Partitioning-invariance properties for the round-5 operators: the
   * same input laid out as 1 partition and as 7 must produce identical
@@ -93,5 +93,23 @@ class PartitioningInvarianceSpec extends SparkSpec {
     invariant(
       d => TopK.perKey(d, Seq("k"), "score", "tie", Seq("payload"), k = 6),
       df)
+  }
+
+  test("Sampling.weightedSampleKPerStratum is partitioning-invariant") {
+    // the A-ES key is a pure function of (key, weight); the window's
+    // (key desc, id) order is total, so layout cannot show through
+    val df = (1L to 300L).map(i => (i, s"d${i % 4}", (i * 13 % 37) + 1L))
+      .toDF("id", "dom", "w")
+    invariant(
+      d => Sampling.weightedSampleKPerStratum(d, "id", "w", "dom", 6),
+      df)
+  }
+
+  test("Retrieval.rrfFuse is partitioning-invariant") {
+    val a = (1L to 30L).map(i => (i, ((i * 7) % 30 + 1).toInt)).toDF("id", "rank")
+    val b = (11L to 40L).map(i => (i, ((i * 11) % 30 + 1).toInt)).toDF("id", "rank")
+    invariant(
+      l => Retrieval.rrfFuse(Seq("a" -> l, "b" -> b.repartition(5)), "id", k = 12),
+      a)
   }
 }

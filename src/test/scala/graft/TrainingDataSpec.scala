@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, Retrieval, Sampling, SimilaritySearch, TextAnalysis}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -882,5 +882,23 @@ class VectorSpec extends SparkSpec {
     val g = Sampling.weightedSampleK(df.filter($"dom" === "a"), "id", "w", 5)
       .collect().map(_.getLong(0)).toSet
     assert(g == out.filter(_._1 == "a").map(_._2).toSet)
+  }
+
+  test("rrf fusion: exact reciprocal-rank scores, absent lists contribute zero, k cut") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(2L) == ((2, 1, 1.0 / 62 + 1.0 / 61)))   // both systems
+    assert(out(1L) == ((1, 0, 1.0 / 61)))              // lexical only
+    assert(out(4L) == ((0, 2, 1.0 / 62)))              // dense only
+    assert(out(3L) == ((3, 0, 1.0 / 63)))
+    // fused order: consensus doc first despite never ranking #1 anywhere
+    val order = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(2L, 1L, 4L, 3L))
+    assert(Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", k = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
 }
