@@ -373,6 +373,30 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Streaming drift monitor's aggregation core: per-(hour, type)
+    // histogram SKETCH (the mergeable constant-state UDAF — 10 longs
+    // per open window-group in the state store regardless of event
+    // volume). Batch run gates the counts in DuckDB; the readStream
+    // path and the TV-distance alarm against a baseline window are
+    // StreamingSpec differentials.
+    QueryDef.sql(
+      "q_stream_histogram",
+      """WITH b AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 400.0 THEN 9
+        |         ELSE CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1 END AS slot
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT window_start, event_type, slot, COUNT(*) AS cnt
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type, slot""".stripMargin) { (s, d) =>
+      graft.streaming.EventStream.windowedHistogram(
+          Tables.events(s, d), lo = 0.0, width = 50.0, nBuckets = 8)
+        .select(col("window_start"), col("event_type"),
+          posexplode(col("h")).as(Seq("slot", "cnt")))
+        .filter(col("cnt") > 0)
+        .orderBy("window_start", "event_type", "slot")
+    },
+
     // §2.11: gap-based sessionization (session_window builtin) —
     // re-derived in DuckDB as a gaps-and-islands window chain.
     QueryDef.sql(

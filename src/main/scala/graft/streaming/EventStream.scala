@@ -36,6 +36,27 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Windowed distribution monitoring: a fixed-boundary histogram
+    * sketch ([[graft.functions.FixedHistogram]]) per (window,
+    * event_type). The streaming payoff is the sketch's mergeable
+    * constant-size state: each open window-group holds `nBuckets + 2`
+    * longs in the state store REGARDLESS of event volume — a
+    * drift monitor over a firehose costs the same state as one over a
+    * trickle (where per-value state, e.g. an exact percentile, would
+    * grow unboundedly until the watermark closes the window). Works
+    * identically on a stream or a batch frame; pair the output with
+    * [[graft.functions.Histograms.tvDistance]] against a training-
+    * snapshot baseline for the serve-time distribution-shift alarm. */
+  def windowedHistogram(events: DataFrame, lo: Double, width: Double,
+      nBuckets: Int, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(graft.functions.Histograms.histFixed(col("value"), lo, width, nBuckets)
+        .as("h"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("h"))
+
   /** The LabKey-style incremental pull (`Modified > last_sync`,
     * docs data-flow.md:496-523) as a batch filter. */
   def incrementalSince(df: DataFrame, tsCol: String, lastSync: Timestamp): DataFrame =

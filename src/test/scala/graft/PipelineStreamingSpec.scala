@@ -846,6 +846,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("file_win_out").count() == 2)
   }
 
+  test("streaming histogram sketch: readStream equals batch; TV drift composes on top") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val dir = Files.createTempDirectory("graft_stream_hist").toString
+    val data = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 5.0),
+      EventStream.Event(2, ts("2024-01-01 00:20:00"), 2, "click", 15.0),
+      EventStream.Event(3, ts("2024-01-01 00:40:00"), 1, "click", 15.0),
+      EventStream.Event(4, ts("2024-01-01 01:10:00"), 2, "view", 25.0))
+    data.toDF().write.parquet(s"$dir/events")
+    val stream = spark.readStream.schema(data.toDF().schema).parquet(s"$dir/events")
+    // the TypedImperativeAggregate's serialize/merge must round-trip
+    // through the streaming state store, not just the batch shuffle
+    val q = EventStream.windowedHistogram(stream, 0.0, 10.0, 4).writeStream
+      .format("memory").queryName("hist_win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("window_start"), col("event_type"),
+          posexplode(col("h")).as(Seq("slot", "cnt")))
+        .filter(col("cnt") > 0).collect().map(_.toString).toSet
+    val streamed = rows(spark.table("hist_win_out"))
+    val batch = rows(EventStream.windowedHistogram(data.toDF(), 0.0, 10.0, 4))
+    assert(streamed == batch && streamed.nonEmpty)
+    // drift alarm composition: hour-0 clicks (1×[0,10) + 2×[10,20))
+    // vs a uniform baseline — TV = |1·2−1·3| + |2·2−1·3| = 1+1 ⇒ 2/(2·3·2)
+    val base = Seq(Tuple1(Array(0L, 1L, 1L, 0L, 0L, 0L))).toDF("hb")
+    val drift = spark.table("hist_win_out")
+      .filter(col("event_type") === "click")
+      .crossJoin(base)
+      .select(graft.functions.Histograms.tvDistance(col("h"), col("hb")).as("tv"))
+      .collect()(0).getDouble(0)
+    assert(drift == 2.0 / 12.0)
+  }
+
   test("incremental filter (Modified > last_sync)") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-02-01 00:00:00")))

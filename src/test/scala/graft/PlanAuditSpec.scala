@@ -266,4 +266,28 @@ class PlanAuditSpec extends SparkSpec {
       p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("histogram sketch: ObjectHashAggregate pair with map-side partials") {
+    val p = planOf("q_agg_hist_sketch")
+    assert(p.contains("partial_hist_fixed"), p.take(1500))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
+  test("weighted sample: one per-stratum window shuffle, nothing else") {
+    val p = planOf("q_sample_weighted")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("matryoshka funnel: queries broadcast in both stages, corpus never fans out") {
+    val p = planOf("q_vec_matryoshka")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("rrf fusion: shortlist-level join, global order as TakeOrdered") {
+    val p = planOf("q_retrieval_hybrid")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
