@@ -830,6 +830,57 @@ object ReportingQueries {
         .orderBy("l_returnflag")
     },
 
+    // Winsorization (percentile clipping): per-group exact p05/p95
+    // bounds, tail clip counts, and the clipped sum (DECIMAL-routed).
+    // Two passes, zero data shuffles — the bounds broadcast back onto
+    // a scan. Spark percentile ≡ DuckDB quantile_cont bit-exactly.
+    QueryDef.sql(
+      "q_rep_winsorize",
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS q_lo,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS q_hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, max(b.q_lo) AS q_lo, max(b.q_hi) AS q_hi,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN CAST(l_quantity AS DOUBLE) < b.q_lo THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN CAST(l_quantity AS DOUBLE) > b.q_hi THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped_hi,
+        |  CAST(SUM(CAST(least(greatest(CAST(l_quantity AS DOUBLE), b.q_lo), b.q_hi)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.operators.Robust.winsorizeStats(
+          Tables.lineitem(s, d), "l_quantity", Seq("l_returnflag"), 0.05, 0.95)
+        .orderBy("l_returnflag")
+    },
+
+    // Median/MAD robust outlier profile per event type: the
+    // heavy-tail-safe outlier rule (|x − med| > 3·1.4826·MAD). Three
+    // broadcast-back passes, zero data shuffles, every comparison
+    // over exact interpolated percentiles.
+    QueryDef.sql(
+      "q_rep_mad_outliers",
+      """WITH m AS (SELECT event_type,
+        |    quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, m.med
+        |       FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, max(med) AS med,
+        |         quantile_cont(abs(v - med), 0.5) AS mad
+        |       FROM d2 GROUP BY 1)
+        |SELECT e.event_type, max(md.med) AS med, max(md.mad) AS mad,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN md.mad > 0 AND
+        |                     abs(CAST(e.value AS DOUBLE) - md.med) > (3.0 * 1.4826) * md.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.operators.Robust.madOutlierStats(
+          Tables.events(s, d), "value", Seq("event_type"), 3.0)
+        .orderBy("event_type")
+    },
+
     // Fixed-width histogram (distribution reporting without a sort):
     // bucket = floor(x / width), top bucket clamped — one map-side-
     // combined aggregate, deterministic (IEEE divide + floor are

@@ -575,3 +575,36 @@ class ApproxPercentileSpec extends SparkSpec {
     }
   }
 }
+
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorize clips to exact interpolated bounds; stats count each tail") {
+    // 0..10 in one group: p10 = 1.0, p90 = 9.0 (exact grid points)
+    val df = (0 to 10).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val w = Robust.winsorize(df, "v", Seq("k"), 0.10, 0.90)
+      .select("v", "v_w").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(w(0.0) == 1.0 && w(10.0) == 9.0)      // tails clipped to the bounds
+    assert(w(1.0) == 1.0 && w(5.0) == 5.0 && w(9.0) == 9.0) // interior untouched
+    val s = Robust.winsorizeStats(df, "v", Seq("k"), 0.10, 0.90).collect()(0)
+    assert(s.getAs[Double]("q_lo") == 1.0 && s.getAs[Double]("q_hi") == 9.0)
+    assert(s.getAs[Long]("n_clipped_lo") == 1 && s.getAs[Long]("n_clipped_hi") == 1)
+    // clipped sum: 1 + 1..9 + 9 = 55 − 0 − 10 + 1 + 9 = 55
+    assert(s.getAs[Double]("sum_clipped") == 55.0)
+  }
+
+  test("mad outliers: flags the far point, mad=0 group flags nothing") {
+    // group a (7 values, median = 4th smallest = 6): 100 is out, 9 is not
+    val a = Seq(3.0, 4.0, 5.0, 6.0, 7.0, 9.0, 100.0).map(("a", _))
+    // group b: all equal → MAD 0 → rule disabled even for the same spread
+    val b = Seq(2.0, 2.0, 2.0, 2.0).map(("b", _))
+    val out = Robust.madOutlierStats((a ++ b).toDF("k", "v"), "v", Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers")))).toMap
+    assert(out("a")._1 == 6.0)
+    assert(out("a")._2 == 2.0)                   // |x−6| = (3,2,1,0,1,3,94) → median 2
+    assert(out("a")._3 == 1L)                    // only 100 exceeds 3·1.4826·2 = 8.8956
+    assert(out("b") == ((2.0, 0.0, 0L)))
+  }
+}
