@@ -122,6 +122,87 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): identical
+    * output to [[jaccardPairs]], candidates generated from a fraction
+    * of each document's shingles instead of all of them.
+    *
+    * The filter: order all shingles by (document frequency asc,
+    * shingle) — a total order with the rarest first — and sort each
+    * document's shingle set by it. Any pair with Jaccard ≥ t must
+    * share a shingle within each side's first `|A| − ⌈t·|A|⌉ + 1`
+    * shingles under ANY common total order, so the posting-list
+    * self-join runs only over those prefixes; survivors are verified
+    * with an exact intersection count over the FULL sets, restricted
+    * to the candidates. At t = 0.5 the prefix is ~half of each set,
+    * and because prefixes hold the RAREST shingles their posting
+    * lists are the short ones — the join's candidate volume drops
+    * superlinearly, which is the difference between feasible and not
+    * at corpus scale (the hot-stopword shingles that explode
+    * [[jaccardPairs]]'s join never enter the candidate stage here,
+    * with no `maxPostingList` approximation).
+    *
+    * The ⌈t·n⌉ is computed with a 1e-6 downward slack so a floating
+    * boundary can only LENGTHEN a prefix (more candidates), never
+    * shorten one (missed pairs) — exactness is never at risk.
+    *
+    * Cost shape vs [[jaccardPairs]]: three extra bounded passes (df
+    * counts, a per-doc prefix sort, candidate distinct) buy a
+    * candidate join over prefix posting lists only. On a FLAT shingle
+    * distribution (the synthetic sf0.1 corpus) that overhead loses
+    * ~1.5× wall clock; on a ZIPFIAN corpus — every real one — the
+    * plain join's candidate volume is dominated by Σ df² of the hot
+    * shingles and the prefix plan's isn't (DedupSpec pins a 10×+
+    * candidate reduction on a skewed fixture), which is the regime
+    * the operator exists for. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val allSh = shingles(df, idCol, textCol, n).localCheckpoint(false)
+    val sizes = allSh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val prefix = prefixShingles(allSh, sizes, threshold)
+    val cand = prefix.select(col("_id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val common = allSh.select(col("_id").as("id_a"), col("shingle"))
+      .join(cand, Seq("id_a"))
+      .join(allSh.select(col("_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** The prefix stage of [[jaccardPairsPrefix]], exposed so its
+    * candidate-volume guarantee is testable: each document keeps its
+    * `|A| − ⌈t·|A|⌉ + 1` rarest shingles under the global
+    * (df asc, shingle) order. Input: the full (_id, shingle) table
+    * and the per-doc sizes. */
+  private[graft] def prefixShingles(allSh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val dfreq = allSh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy("_id").orderBy(col("_df").asc, col("shingle").asc)
+    allSh.join(dfreq, "shingle").join(sizes, "_id")
+      .withColumn("_rn", row_number().over(wDoc))
+      .filter(col("_rn") <=
+        col("_n") - ceil(lit(threshold) * col("_n").cast("double") - lit(1e-6)) + 1)
+      .select(col("_id"), col("shingle"))
+  }
+
+  /** Candidate-pair volume of a posting-list self-join over the given
+    * (_id, shingle) table: `Σ_shingle C(df, 2)` — the number of rows
+    * the equi-join would materialize before any grouping. The metric
+    * that decides feasibility at corpus scale. */
+  private[graft] def candidateVolume(sh: DataFrame): Long =
+    sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .select(sum(expr("_df * (_df - 1) div 2")).as("v"))
+      .collect()(0).getLong(0)
+
   /** Collapse near-duplicate PAIRS into clusters and elect one survivor
     * per cluster — the step a real dedup pipeline runs after
     * pair-finding (Jaccard/MinHash/SimHash all emit pairs; training

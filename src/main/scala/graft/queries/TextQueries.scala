@@ -225,6 +225,33 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The SAME exact Jaccard pairs through the prefix-filtered
+    // (AllPairs/PPJoin) plan: candidates only from each doc's rarest
+    // (df-ordered) prefix shingles, exact verify on the full sets.
+    // Identical oracle as q_dedup_ngram_jaccard — the point IS that a
+    // differently-shaped plan reproduces the exact answer while
+    // excluding hot shingles from the candidate join entirely.
+    QueryDef.sql(
+      "q_dedup_jaccard_prefix",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Near-dup cluster collapse: pairs → connected components →
     // survivor election (min id). The oracle recomputes the same
     // Jaccard pairs, then runs min-label CC as a recursive CTE — the

@@ -253,6 +253,59 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("prefix-filtered jaccard join reproduces the plain join exactly") {
+    // randomized corpus with heavy shingle overlap so prefixes matter:
+    // docs share a rotating pool of phrases plus per-doc unique tails
+    val rnd = new scala.util.Random(17L)
+    val pool = Vector("the quick brown fox", "jumps over the lazy dog",
+      "spark query engines", "columnar formats matter", "near the river bank")
+    val base = (1L to 60L).map { i =>
+      val parts = Seq.fill(3)(pool(rnd.nextInt(pool.size))) :+ s"tail$i word${i % 7}"
+      (i, parts.mkString(" "))
+    }
+    // exact + near copies so the t=0.8 band is non-degenerate
+    val corpus = (base ++ Seq(
+      (101L, base(0)._2), (102L, base(1)._2 + " extra"), (103L, base(2)._2)))
+      .toDF("doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = canon(Dedup.jaccardPairs(corpus, "doc_id", "text", 3, t))
+      val pref = canon(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, t))
+      assert(pref == plain, s"threshold $t: prefix-filtered result diverged " +
+        s"(missing=${(plain -- pref).take(3)} extra=${(pref -- plain).take(3)})")
+      assert(plain.nonEmpty, s"degenerate fixture at t=$t")
+    }
+  }
+
+  test("prefix filter slashes candidate volume on a zipfian corpus, answer unchanged") {
+    // every doc shares a hot stopword run (df = N shingles) plus a
+    // rare per-doc tail — the regime where the plain posting-list
+    // self-join materializes Σ C(df,2) ≈ N²/2 rows per hot shingle
+    val hot = "to be or not to be that is the question of the day again"
+    val base = (1L to 80L).map { i =>
+      // the rare tail must span ≥ half the doc so the t=0.5 prefix is
+      // all-rare — that's the PPJoin regime (hot shingles carry no
+      // discriminating signal and never enter the candidate join)
+      val tail = (0 until 16).map(j => s"u${i}x$j").mkString(" ")
+      (i, s"$hot $tail")
+    }
+    val corpus = (base ++ Seq((201L, base(0)._2), (202L, base(1)._2)))
+      .toDF("doc_id", "text")
+    val allSh = Dedup.shingles(corpus, "doc_id", "text", 3).localCheckpoint(false)
+    val sizes = allSh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val full = Dedup.candidateVolume(allSh)
+    val pref = Dedup.candidateVolume(Dedup.prefixShingles(allSh, sizes, 0.5))
+    assert(pref * 10 <= full,
+      s"prefix filter should cut candidates 10x+ here: full=$full prefix=$pref")
+    // and the filtered plan still returns the exact answer
+    val plain = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toString).toSet
+    val fast = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toString).toSet
+    assert(fast == plain && plain.nonEmpty)
+  }
+
   test("ngram jaccard scores exact dup 1.0 and near dup high") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
