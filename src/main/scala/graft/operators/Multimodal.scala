@@ -182,6 +182,94 @@ object Multimodal {
     b.array()
   }
 
+  /** Deterministic 24-bit BMP fixture from an arbitrary grayscale
+    * pixel function (`px(x, y)` in [0, 255]; r = g = b). BMP because
+    * it is lossless, byte-precisely synthesizable, and decodable by
+    * every JRE's ImageIO — the image analogue of [[synthWavPcm16]].
+    * Rows are stored bottom-up per the format, so a y-flip slip in
+    * either the writer or a reader breaks any pixel-derived gate. */
+  def synthBmp24(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataLen = (rowBytes + pad) * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h)                 // positive h = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    var stored = 0
+    while (stored < h) {
+      val y = h - 1 - stored                         // bottom row first
+      var x = 0
+      while (x < w) {
+        val v = (px(x, y) & 0xFF).toByte
+        b.put(v).put(v).put(v)                       // B, G, R
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { b.put(0.toByte); p += 1 }
+      stored += 1
+    }
+    b.array()
+  }
+
+  /** The seeded grayscale used by the dHash gate: pixel (x, y) of
+    * image `seed` is `(seed·31 + x·7 + y·131) mod 256` — replayable
+    * from arithmetic alone in any SQL engine. */
+  def synthBmpSeeded(seed: Long, w: Int, h: Int): Array[Byte] =
+    synthBmp24(w, h)((x, y) => ((seed * 31 + x * 7L + y * 131L) % 256L).toInt)
+
+  /** Difference hash (dHash — the standard perceptual near-dup
+    * fingerprint for images) over a REAL ImageIO decode: grayscale
+    * the pixels (integer luma), box-sample onto a (gw+1)×gh grid of
+    * equal integer-sized cells (exact integer block SUMS — comparing
+    * sums needs no division), and emit one bit per horizontally
+    * adjacent cell pair (left < right). Identical content at a
+    * uniform brightness shift hashes identically — which is the
+    * point of a perceptual hash — while any structural change flips
+    * bits. Returned as (lo, hi) 32-bit halves so the 64 bits never
+    * touch a sign bit in any engine. None when the bytes don't
+    * decode or the dimensions don't tile the grid exactly (the
+    * fixture path always does; arbitrary inputs would interpolate —
+    * out of scope for the exact gate).
+    *
+    * Scale: pure per-row kernel (decode + O(pixels) integer work),
+    * embarrassingly parallel, only (id, 2 longs) ever shuffle. */
+  def dHash(bytes: Array[Byte], gw: Int = 8, gh: Int = 8): Option[(Long, Long)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .filter(img => img.getWidth % (gw + 1) == 0 && img.getHeight % gh == 0)
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (cw, ch) = (w / (gw + 1), h / gh)
+          val sums = Array.ofDim[Long](gh, gw + 1)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val gray = (((p >>> 16) & 0xFF) * 299 + ((p >>> 8) & 0xFF) * 587 +
+                (p & 0xFF) * 114) / 1000
+              sums(y / ch)(x / cw) += gray
+              x += 1
+            }
+            y += 1
+          }
+          var (lo, hi) = (0L, 0L)
+          var b = 0
+          while (b < gw * gh) {
+            val (cy, cx) = (b / gw, b % gw)
+            if (sums(cy)(cx) < sums(cy)(cx + 1)) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          (lo, hi)
+        }
+    } catch { case _: Throwable => None }
+
   /** The batched decode shape: partition-local iteration, one output
     * row per media row. Image rows go through the REAL [[decodeImage]]
     * kernel, audio rows through the REAL [[decodeAudio] kernel

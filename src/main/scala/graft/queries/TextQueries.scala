@@ -1371,6 +1371,45 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // REAL image decode under the hash gate: each document mints a
+    // deterministic 18×16 grayscale BMP (pixel (x,y) of image d is
+    // (d·31 + x·7 + y·131) mod 256, written bottom-up per the
+    // format), the engine round-trips it through javax.imageio, and
+    // the perceptual dHash — 2×2 integer block sums on a 9×8 grid,
+    // one bit per adjacent-cell compare — is recomputed by the
+    // oracle from (doc_id, x, y) arithmetic alone. A wrong BMP
+    // header, a y-flip in the bottom-up row order, a luma slip or a
+    // block-sum bug each break the hash. Emitted as two 32-bit
+    // halves so no engine touches a 64-bit sign bit.
+    QueryDef.sql(
+      "q_multimodal_dhash", {
+        def cs(cx: String, cy: String) =
+          s"(((doc_id*31 + (2*($cx))*7 + (2*($cy))*131) % 256) + " +
+            s"((doc_id*31 + (2*($cx)+1)*7 + (2*($cy))*131) % 256) + " +
+            s"((doc_id*31 + (2*($cx))*7 + (2*($cy)+1)*131) % 256) + " +
+            s"((doc_id*31 + (2*($cx)+1)*7 + (2*($cy)+1)*131) % 256))"
+        s"""SELECT doc_id AS media_id,
+           |  CAST(list_sum(list_transform(range(0, 32),
+           |    b -> CASE WHEN ${cs("b % 8", "b // 8")} < ${cs("b % 8 + 1", "b // 8")}
+           |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS dhash_lo,
+           |  CAST(list_sum(list_transform(range(32, 64),
+           |    b -> CASE WHEN ${cs("b % 8", "b // 8")} < ${cs("b % 8 + 1", "b // 8")}
+           |              THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS dhash_hi
+           |FROM documents
+           |ORDER BY media_id""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = graft.operators.Multimodal.synthBmpSeeded(id, 18, 16)
+          val (lo, hi) = graft.operators.Multimodal.dHash(bytes)
+            .getOrElse(sys.error(s"BMP $id failed to decode"))
+          (id, lo, hi)
+        })
+        .toDF("media_id", "dhash_lo", "dhash_hi")
+        .orderBy("media_id")
+    },
+
     // Exact media dedup by content hash, exercised on a simulated
     // re-ingest (every payload arrives twice under different ids):
     // byte-identical media collapse to the lowest id; only the

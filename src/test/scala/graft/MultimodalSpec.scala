@@ -106,4 +106,32 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_ms").collect().map(_.getLong(0)).toSeq ==
       Seq(0L, 250L, 500L, 750L))
   }
+
+  test("dHash: brightness-invariant, structure-sensitive, exact on the seeded fixture") {
+    def hashOf(px: (Int, Int) => Int) =
+      Multimodal.dHash(Multimodal.synthBmp24(18, 16)(px))
+    val base = (x: Int, y: Int) => (x * 3 + y * 5) % 100
+    val brighter = (x: Int, y: Int) => base(x, y) + 100   // +100, no wrap
+    val flipped = (x: Int, y: Int) => base(17 - x, y)
+    assert(hashOf(base).isDefined)
+    // a uniform brightness shift preserves every adjacent-cell compare
+    assert(hashOf(base) == hashOf(brighter))
+    // mirroring reverses the gradients — bits must change
+    assert(hashOf(base) != hashOf(flipped))
+    // the real decode reproduces the gate's pure-arithmetic oracle
+    val id = 7L
+    def cell(cx: Int, cy: Int): Long =
+      (for (dx <- 0 to 1; dy <- 0 to 1)
+        yield (id * 31 + (2 * cx + dx) * 7L + (2 * cy + dy) * 131L) % 256L).sum
+    var (lo, hi) = (0L, 0L)
+    for (b <- 0 until 64) {
+      if (cell(b % 8, b / 8) < cell(b % 8 + 1, b / 8)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+    }
+    assert(Multimodal.dHash(Multimodal.synthBmpSeeded(id, 18, 16)).contains((lo, hi)))
+    // non-tiling dimensions and corrupt bytes refuse rather than interpolate
+    assert(Multimodal.dHash(Multimodal.synthBmp24(17, 16)(base)).isEmpty)
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
