@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed statistics: Pearson correlation and OLS
+  * regression whose results are BIT-REPRODUCIBLE across engines and
+  * partitionings — which the built-in `corr`/aggregate-over-double
+  * formulations are not (their running sums round in shuffle order).
+  *
+  * The trick: fixed-point inputs. Each column is scaled by 10^d (d =
+  * its decimal digits) and rounded to an exact integer, so every
+  * moment — Σx, Σx², Σxy — is an INTEGER sum: exact, associative,
+  * order-free, map-side combinable. Pearson correlation is invariant
+  * under the linear scaling, and the OLS slope/intercept un-scale
+  * with two exact constants. The cross terms `n·Σxy − Σx·Σy` are
+  * formed in DECIMAL(38,0) (still exact integers), and floating
+  * point appears exactly once per output: a single cast of each
+  * exact integer to DOUBLE, then sqrt/divide — the same three
+  * correctly-rounded IEEE ops in any engine.
+  *
+  * Scale: ONE aggregation pass over the data computes every moment
+  * (k + k·(k+1)/2 sums for k columns — map-side combined, one row
+  * total on the wire); the pair matrix is then derived from that one
+  * row. Magnitude budget: scaled values up to ~1e9 with ~1e12 rows
+  * keep `n·Σxy` under DECIMAL(38,0)'s 1e38 ceiling.
+  */
+object Stats {
+
+  private def scaled(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    round(c.cast("double") * lit(f)).cast("long").cast("decimal(19,0)")
+  }
+
+  /** One-pass moment row for `cols` = (name, decimalDigits): columns
+    * `n`, `s_i` (Σxᵢ), `p_i_j` (Σxᵢxⱼ for i ≤ j), all exact. */
+  private def moments(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val sc = cols.map { case (c, d) => scaled(col(c), d) }
+    val aggs =
+      sc.zipWithIndex.map { case (x, i) => sum(x).as(s"s_$i") } ++
+        (for (i <- cols.indices; j <- cols.indices if i <= j)
+          yield sum(sc(i) * sc(j)).as(s"p_${i}_$j")) :+
+        count(lit(1)).as("n")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pairwise Pearson correlation of the given fixed-point columns:
+    * one row per unordered pair (x_col, y_col, n, corr). */
+  def pearsonMatrix(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val one = moments(df, cols)
+    val nD = col("n").cast("decimal(20,0)")
+    def cross(i: Int, j: Int): Column = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      (nD * col(s"p_${a}_$b") - col(s"s_$i") * col(s"s_$j")).cast("double")
+    }
+    val rows = for (i <- cols.indices; j <- cols.indices if i < j) yield
+      one.select(
+        lit(cols(i)._1).as("x_col"), lit(cols(j)._1).as("y_col"), col("n"),
+        (cross(i, j) / (sqrt(cross(i, i)) * sqrt(cross(j, j)))).as("corr"))
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** Simple OLS fit y = slope·x + intercept over fixed-point columns,
+    * plus r² (= Pearson²). Slope is scale-corrected by 10^(xDec−yDec)
+    * and the intercept by 10^yDec — both exact power-of-ten
+    * constants. One row: (n, slope, intercept, r2). */
+  def olsFit(df: DataFrame, xCol: String, xDec: Int,
+      yCol: String, yDec: Int): DataFrame = {
+    val one = moments(df, Seq(xCol -> xDec, yCol -> yDec))
+    val nD = col("n").cast("decimal(20,0)")
+    val num = (nD * col("p_0_1") - col("s_0") * col("s_1")).cast("double")
+    val vx = (nD * col("p_0_0") - col("s_0") * col("s_0")).cast("double")
+    val vy = (nD * col("p_1_1") - col("s_1") * col("s_1")).cast("double")
+    // slope in scaled space is Δy'/Δx' = 10^(yDec−xDec) · Δy/Δx
+    val slopeScaled = num / vx
+    val slope = slopeScaled * lit(math.pow(10, xDec - yDec))
+    val interceptScaled =
+      (col("s_1").cast("double") - slopeScaled * col("s_0").cast("double")) /
+        col("n").cast("double")
+    one.select(col("n"), slope.as("slope"),
+      (interceptScaled / lit(math.pow(10, yDec))).as("intercept"),
+      ((num / (sqrt(vx) * sqrt(vy))) * (num / (sqrt(vx) * sqrt(vy)))).as("r2"))
+  }
+}

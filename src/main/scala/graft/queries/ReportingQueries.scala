@@ -830,6 +830,71 @@ object ReportingQueries {
         .orderBy("l_returnflag")
     },
 
+    // Exact-arithmetic Pearson correlation matrix: fixed-point (×100)
+    // integer moments — order-free exact sums, one aggregation pass
+    // for all 4+10 moments — then one DOUBLE cast + sqrt/divide per
+    // cell. The built-in corr() could never hash-gate (its running
+    // double sums round in shuffle order); this one does.
+    QueryDef.sql(
+      "q_rep_corr_matrix", {
+        val c = Seq("l_quantity" -> 0, "l_extendedprice" -> 1,
+          "l_discount" -> 2, "l_tax" -> 3)
+        def cell(i: Int, j: Int): String = {
+          val (a, b) = (math.min(i, j), math.max(i, j))
+          s"CAST(n*p$a$b - s$i*s$j AS DOUBLE)"
+        }
+        def corr(i: Int, j: Int): String =
+          s"${cell(i, j)} / (sqrt(${cell(i, i)}) * sqrt(${cell(j, j)}))"
+        val rows = (for (i <- c.indices; j <- c.indices if i < j) yield
+          s"""SELECT '${c(i)._1}' AS x_col, '${c(j)._1}' AS y_col,
+             |    CAST(n AS BIGINT) AS n, ${corr(i, j)} AS corr FROM s""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT ${c.map { case (nm, i) =>
+              s"CAST(round($nm*100.0) AS HUGEINT) AS x$i" }.mkString(", ")}
+           |           FROM lineitem),
+           |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           |        ${c.map { case (_, i) => s"SUM(x$i) AS s$i" }.mkString(", ")},
+           |        ${(for (i <- c.indices; j <- c.indices if i <= j)
+                      yield s"SUM(x$i*x$j) AS p$i$j").mkString(", ")}
+           |      FROM t)
+           |SELECT * FROM (
+           |  $rows
+           |) ORDER BY x_col, y_col""".stripMargin
+      }) { (s, d) =>
+      graft.operators.Stats.pearsonMatrix(Tables.lineitem(s, d),
+          Seq("l_quantity" -> 2, "l_extendedprice" -> 2,
+            "l_discount" -> 2, "l_tax" -> 2))
+        .orderBy("x_col", "y_col")
+    },
+
+    // OLS fit (extendedprice ~ quantity) from the same exact integer
+    // moments: slope/intercept/r² with floating point appearing only
+    // in the final mirrored op sequence. Distributed exact linear
+    // regression — the 1-feature normal equation, no iteration.
+    QueryDef.sql(
+      "q_rep_ols",
+      """WITH t AS (SELECT CAST(round(l_quantity*100.0) AS HUGEINT) AS x0,
+        |                  CAST(round(l_extendedprice*100.0) AS HUGEINT) AS x1
+        |           FROM lineitem),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x0) AS s0, SUM(x1) AS s1,
+        |        SUM(x0*x0) AS p00, SUM(x0*x1) AS p01, SUM(x1*x1) AS p11
+        |      FROM t)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (CAST(n*p01 - s0*s1 AS DOUBLE) / CAST(n*p00 - s0*s0 AS DOUBLE)) * 1.0
+        |    AS slope,
+        |  ((CAST(s1 AS DOUBLE)
+        |      - (CAST(n*p01 - s0*s1 AS DOUBLE) / CAST(n*p00 - s0*s0 AS DOUBLE))
+        |        * CAST(s0 AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+        |  (CAST(n*p01 - s0*s1 AS DOUBLE)
+        |     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p11 - s1*s1 AS DOUBLE))))
+        |  * (CAST(n*p01 - s0*s1 AS DOUBLE)
+        |     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p11 - s1*s1 AS DOUBLE))))
+        |    AS r2
+        |FROM s""".stripMargin) { (s, d) =>
+      graft.operators.Stats.olsFit(Tables.lineitem(s, d),
+        "l_quantity", 2, "l_extendedprice", 2)
+    },
+
     // Winsorization (percentile clipping): per-group exact p05/p95
     // bounds, tail clip counts, and the clipped sum (DECIMAL-routed).
     // Two passes, zero data shuffles — the bounds broadcast back onto

@@ -608,3 +608,32 @@ class RobustSpec extends SparkSpec {
     assert(out("b") == ((2.0, 0.0, 0L)))
   }
 }
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact OLS recovers a perfect linear relation; corr hits the poles") {
+    // y = 2x + 3 exactly, 2-decimal fixed point
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3.0, -i.toDouble))
+      .toDF("x", "y", "z")
+    val fit = Stats.olsFit(df, "x", 2, "y", 2).collect()(0)
+    assert(fit.getAs[Long]("n") == 50L)
+    assert(fit.getAs[Double]("slope") == 2.0)
+    assert(fit.getAs[Double]("intercept") == 3.0)
+    assert(fit.getAs[Double]("r2") == 1.0)
+    val m = Stats.pearsonMatrix(df, Seq("x" -> 2, "y" -> 2, "z" -> 2))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(m(("x", "y")) == 1.0)   // perfectly correlated
+    assert(m(("x", "z")) == -1.0)  // perfectly anti-correlated
+    assert(m(("y", "z")) == -1.0)
+  }
+
+  test("moments are exact integer sums: results partitioning-invariant bit-for-bit") {
+    val df = (1L to 500L).map(i => ((i * 37 % 101).toDouble / 4, (i * 53 % 97).toDouble / 8))
+      .toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.olsFit(d, "a", 3, "b", 3).collect()(0).toString
+    assert(run(df.repartition(1)) == run(df.repartition(13)))
+  }
+}
