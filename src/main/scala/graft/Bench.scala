@@ -27,7 +27,8 @@ object Bench {
     "q_stream_windowed", "q_asof_purchase", "q_range_join",
     "q_text_pii_redact", "q_sample_split", "q_dedup_collapse", "q_text_tfidf",
     "q_curation_pipeline", "q_dedup_incremental", "q_dedup_semantic",
-    "q_vec_pq_search", "q_text_bpe_learn", "q_graph_centrality")
+    "q_vec_pq_search", "q_text_bpe_learn", "q_graph_centrality",
+    "q_retrieval_hybrid", "q_agg_hist_sketch", "q_rep_corr_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

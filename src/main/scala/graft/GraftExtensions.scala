@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName, "kmv_distinct"),
       graft.functions.SqlBuilders.kmvDistinct))
+    e.injectFunction((
+      FunctionIdentifier("hist_fixed"),
+      new ExpressionInfo(classOf[graft.functions.FixedHistogram].getName, "hist_fixed"),
+      graft.functions.SqlBuilders.histFixed))
   }
 }

@@ -37,6 +37,8 @@ object GraftSql {
       graft.functions.SqlBuilders.misraGries, "built-in")
     reg.createOrReplaceTempFunction("kmv_distinct",
       graft.functions.SqlBuilders.kmvDistinct, "built-in")
+    reg.createOrReplaceTempFunction("hist_fixed",
+      graft.functions.SqlBuilders.histFixed, "built-in")
     graft.functions.Similarity.register(spark)
   }
 }

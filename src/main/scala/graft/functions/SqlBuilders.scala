@@ -46,4 +46,22 @@ object SqlBuilders {
     KmvDistinct(args.head, literalInt(args(1), "kmv_distinct", "k"))
       .toAggregateExpression()
   }
+
+  // SQL `0.0` parses as a DECIMAL literal (spark Decimal, not
+  // java.lang.Number), so both representations must be accepted
+  private def literalDouble(e: Expression, fn: String, arg: String): Double = e match {
+    case Literal(v: Number, _) if v != null => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) if v != null => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal number, got ${other.sql}")
+  }
+
+  val histFixed: Seq[Expression] => Expression = args0 => {
+    val args = arity("hist_fixed", "(value, lo, width, nBuckets)", 4)(args0)
+    FixedHistogram(args.head,
+      literalDouble(args(1), "hist_fixed", "lo"),
+      literalDouble(args(2), "hist_fixed", "width"),
+      literalInt(args(3), "hist_fixed", "nBuckets"))
+      .toAggregateExpression()
+  }
 }

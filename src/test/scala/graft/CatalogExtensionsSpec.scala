@@ -71,6 +71,19 @@ class ExtensionsSpec extends SparkSpec {
         |  AS BIGINT), 64) AS e FROM kmv_in""".stripMargin).collect()(0).getLong(0)
     assert(viaSql == est)
   }
+
+  test("hist_fixed: SQL-callable, arity/literal errors readable") {
+    import spark.implicits._
+    graft.GraftSql.registerFunctions(spark)
+    Seq(1.0, 5.0, 15.0, 95.0).toDF("v").createOrReplaceTempView("hist_in")
+    val arr = spark.sql("SELECT hist_fixed(v, 0.0, 10.0, 4) AS h FROM hist_in")
+      .collect()(0).getSeq[Long](0)
+    assert(arr == Seq(0L, 2L, 1L, 0L, 0L, 1L))   // under|4 buckets|over
+    val err = intercept[Exception] {
+      spark.sql("SELECT hist_fixed(v, 0.0, 10.0, v) FROM hist_in").collect()
+    }
+    assert(err.getMessage.contains("nBuckets"))
+  }
 }
 
 class CatalogSpec extends SparkSpec {
