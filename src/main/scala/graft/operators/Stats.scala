@@ -61,6 +61,37 @@ object Stats {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Two-feature OLS fit `y = β₁·u + β₂·v + intercept` by the
+    * closed-form 2×2 normal equation over the same exact integer
+    * moments (centered cross-moments `C_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` are
+    * exact DECIMAL integers; they cast to DOUBLE once and combine in
+    * a fixed, oracle-mirrored op sequence — determinant, Cramer
+    * solves, intercept, R² = (β₁C_uy + β₂C_vy)/C_yy). Collinear
+    * features collapse the determinant to zero up to double rounding:
+    * the fit completes (no throw) but its slopes are NaN or
+    * meaningless — the caller chose the features. One aggregation pass,
+    * one row: (n, slope_1, slope_2, intercept, r2). */
+  def olsFit2(df: DataFrame, uCol: String, uDec: Int, vCol: String, vDec: Int,
+      yCol: String, yDec: Int): DataFrame = {
+    val one = moments(df, Seq(uCol -> uDec, vCol -> vDec, yCol -> yDec))
+    val nD = col("n").cast("decimal(20,0)")
+    def c(i: Int, j: Int): Column = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      (nD * col(s"p_${a}_$b") - col(s"s_$i") * col(s"s_$j")).cast("double")
+    }
+    val det = c(0, 0) * c(1, 1) - c(0, 1) * c(0, 1)
+    val bu = (c(1, 1) * c(0, 2) - c(0, 1) * c(1, 2)) / det
+    val bv = (c(0, 0) * c(1, 2) - c(0, 1) * c(0, 2)) / det
+    val icptScaled =
+      (col("s_2").cast("double") - bu * col("s_0").cast("double") -
+        bv * col("s_1").cast("double")) / col("n").cast("double")
+    one.select(col("n"),
+      (bu * lit(math.pow(10, uDec - yDec))).as("slope_1"),
+      (bv * lit(math.pow(10, vDec - yDec))).as("slope_2"),
+      (icptScaled / lit(math.pow(10, yDec))).as("intercept"),
+      ((bu * c(0, 2) + bv * c(1, 2)) / c(2, 2)).as("r2"))
+  }
+
   /** Simple OLS fit y = slope·x + intercept over fixed-point columns,
     * plus r² (= Pearson²). Slope is scale-corrected by 10^(xDec−yDec)
     * and the intercept by 10^yDec — both exact power-of-ten

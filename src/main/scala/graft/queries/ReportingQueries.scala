@@ -895,6 +895,45 @@ object ReportingQueries {
         "l_quantity", 2, "l_extendedprice", 2)
     },
 
+    // Two-feature OLS (extendedprice ~ quantity + discount) by the
+    // closed-form normal equation over exact integer moments: the
+    // centered cross-moments are HUGEINT/DECIMAL-exact, cast to
+    // DOUBLE once, and combined in the identical mirrored sequence
+    // (determinant, Cramer solves, intercept, R²).
+    QueryDef.sql(
+      "q_rep_ols2",
+      """WITH t AS (SELECT CAST(round(l_quantity*100.0) AS HUGEINT) AS x0,
+        |                  CAST(round(l_discount*100.0) AS HUGEINT) AS x1,
+        |                  CAST(round(l_extendedprice*100.0) AS HUGEINT) AS x2
+        |           FROM lineitem),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(x0) AS s0, SUM(x1) AS s1, SUM(x2) AS s2,
+        |        SUM(x0*x0) AS p00, SUM(x0*x1) AS p01, SUM(x0*x2) AS p02,
+        |        SUM(x1*x1) AS p11, SUM(x1*x2) AS p12, SUM(x2*x2) AS p22
+        |      FROM t),
+        |m AS (SELECT CAST(n AS BIGINT) AS nb,
+        |        CAST(n*p00 - s0*s0 AS DOUBLE) AS c00,
+        |        CAST(n*p01 - s0*s1 AS DOUBLE) AS c01,
+        |        CAST(n*p02 - s0*s2 AS DOUBLE) AS c02,
+        |        CAST(n*p11 - s1*s1 AS DOUBLE) AS c11,
+        |        CAST(n*p12 - s1*s2 AS DOUBLE) AS c12,
+        |        CAST(n*p22 - s2*s2 AS DOUBLE) AS c22,
+        |        CAST(s0 AS DOUBLE) AS d0, CAST(s1 AS DOUBLE) AS d1,
+        |        CAST(s2 AS DOUBLE) AS d2, CAST(n AS DOUBLE) AS dn
+        |      FROM s)
+        |SELECT nb AS n,
+        |  ((c11*c02 - c01*c12) / (c00*c11 - c01*c01)) * 1.0 AS slope_1,
+        |  ((c00*c12 - c01*c02) / (c00*c11 - c01*c01)) * 1.0 AS slope_2,
+        |  ((d2 - ((c11*c02 - c01*c12) / (c00*c11 - c01*c01)) * d0
+        |       - ((c00*c12 - c01*c02) / (c00*c11 - c01*c01)) * d1) / dn) / 100.0
+        |    AS intercept,
+        |  (((c11*c02 - c01*c12) / (c00*c11 - c01*c01)) * c02
+        |     + ((c00*c12 - c01*c02) / (c00*c11 - c01*c01)) * c12) / c22 AS r2
+        |FROM m""".stripMargin) { (s, d) =>
+      graft.operators.Stats.olsFit2(Tables.lineitem(s, d),
+        "l_quantity", 2, "l_discount", 2, "l_extendedprice", 2)
+    },
+
     // Winsorization (percentile clipping): per-group exact p05/p95
     // bounds, tail clip counts, and the clipped sum (DECIMAL-routed).
     // Two passes, zero data shuffles — the bounds broadcast back onto

@@ -629,6 +629,29 @@ class StatsSpec extends SparkSpec {
     assert(m(("y", "z")) == -1.0)
   }
 
+  test("two-feature OLS recovers an exact plane; collinear features never throw") {
+    // y = 2u − 3v + 5 exactly, u and v not collinear
+    val df = (1 to 60).map { i =>
+      val (u, v) = (i.toDouble, ((i * 7) % 11).toDouble)
+      (u, v, 2.0 * u - 3.0 * v + 5.0)
+    }.toDF("u", "v", "y")
+    val fit = Stats.olsFit2(df, "u", 2, "v", 2, "y", 2).collect()(0)
+    // ulp-tight, not bit-exact: the fixed double op sequence of the
+    // Cramer solve rounds (cross-ENGINE bit-identity is the oracle's
+    // claim; algebraic exactness is not)
+    def near(a: Double, b: Double) = math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+    assert(near(fit.getAs[Double]("slope_1"), 2.0))
+    assert(near(fit.getAs[Double]("slope_2"), -3.0))
+    assert(near(fit.getAs[Double]("intercept"), 5.0))
+    assert(near(fit.getAs[Double]("r2"), 1.0))
+    // collinear features: the determinant collapses to zero up to
+    // double rounding — the fit must not throw, and its answer is
+    // meaningless by contract (NaN or rounding noise)
+    val col2 = df.withColumn("v", col("u") * 2)
+    val bad = Stats.olsFit2(col2, "u", 2, "v", 2, "y", 2).collect()(0)
+    assert(bad.getAs[Long]("n") == 60L) // ran to completion
+  }
+
   test("moments are exact integer sums: results partitioning-invariant bit-for-bit") {
     val df = (1L to 500L).map(i => ((i * 37 % 101).toDouble / 4, (i * 53 % 97).toDouble / 8))
       .toDF("a", "b")
