@@ -397,6 +397,58 @@ object PipelineQueries {
         .orderBy("window_start", "event_type", "slot")
     },
 
+    // The drift ALARM end to end: hourly windowed histograms joined
+    // against the per-type full-table baseline (the "training
+    // snapshot"), ranked by total-variation distance — the top-20
+    // most-drifted (window, type) cells. A fixed alarm threshold
+    // would be scale-degenerate (0 rows once windows are dense
+    // enough to match the baseline); the ranking stays non-empty at
+    // every SF while exercising the same integer-exact L1 + divide.
+    QueryDef.sql(
+      "q_stream_drift_alarm",
+      """WITH b AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 400.0 THEN 9
+        |         ELSE CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1 END AS slot
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT window_start, event_type, slot, COUNT(*) AS cnt
+        |      FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, slot, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |wn AS (SELECT window_start, event_type, CAST(SUM(cnt) AS BIGINT) AS wn
+        |       FROM w GROUP BY 1, 2),
+        |gn AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS gn FROM g GROUP BY 1),
+        |spine AS (SELECT k.window_start, k.event_type, CAST(r.range AS INT) AS slot
+        |          FROM (SELECT DISTINCT window_start, event_type FROM w) k
+        |          CROSS JOIN range(0, 10) r),
+        |j AS (SELECT s.window_start, s.event_type,
+        |        coalesce(w.cnt, 0) AS cw, coalesce(g.cnt, 0) AS cg
+        |      FROM spine s
+        |      LEFT JOIN w ON w.window_start = s.window_start
+        |        AND w.event_type = s.event_type AND w.slot = s.slot
+        |      LEFT JOIN g ON g.event_type = s.event_type AND g.slot = s.slot),
+        |l AS (SELECT j.window_start, j.event_type,
+        |        CAST(SUM(abs(j.cw * gn.gn - j.cg * wn.wn)) AS BIGINT) AS l1,
+        |        max(wn.wn) AS wn, max(gn.gn) AS gn
+        |      FROM j
+        |      JOIN wn ON wn.window_start = j.window_start
+        |        AND wn.event_type = j.event_type
+        |      JOIN gn ON gn.event_type = j.event_type
+        |      GROUP BY 1, 2)
+        |SELECT window_start, event_type, l1,
+        |  CAST(l1 AS DOUBLE) / (2.0 * (CAST(wn AS DOUBLE) * CAST(gn AS DOUBLE))) AS tvd
+        |FROM l
+        |WHERE CAST(l1 AS DOUBLE) / (2.0 * (CAST(wn AS DOUBLE) * CAST(gn AS DOUBLE))) > 0.0
+        |ORDER BY tvd DESC, window_start, event_type
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val baseline = events.groupBy("event_type")
+        .agg(graft.functions.Histograms.histFixed(col("value"), 0.0, 50.0, 8).as("hb"))
+      graft.streaming.EventStream.driftAlarm(events, baseline,
+          lo = 0.0, width = 50.0, nBuckets = 8, threshold = 0.0)
+        .orderBy(col("tvd").desc, col("window_start"), col("event_type"))
+        .limit(20)
+    },
+
     // §2.11: gap-based sessionization (session_window builtin) —
     // re-derived in DuckDB as a gaps-and-islands window chain.
     QueryDef.sql(

@@ -57,6 +57,25 @@ object EventStream {
         .as("h"))
       .select(col("window.start").as("window_start"), col("event_type"), col("h"))
 
+  /** The distribution-shift alarm end to end: per-(window, type)
+    * histogram sketch joined against a broadcast per-type BASELINE
+    * histogram (the training snapshot), emitting only windows whose
+    * total-variation distance exceeds `threshold`. `baseline` is
+    * (event_type, hb: ARRAY<BIGINT>) — same bucket layout. The drift
+    * math is [[graft.functions.Histograms]]' integer-exact L1 + one
+    * divide, so the alarm is deterministic enough to oracle-check;
+    * works identically on a stream (stream-static broadcast join
+    * above the windowed aggregation) or a batch frame. */
+  def driftAlarm(events: DataFrame, baseline: DataFrame, lo: Double,
+      width: Double, nBuckets: Int, threshold: Double,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    windowedHistogram(events, lo, width, nBuckets, windowLen, watermark)
+      .join(broadcast(baseline), "event_type")
+      .select(col("window_start"), col("event_type"),
+        graft.functions.Histograms.l1Drift(col("h"), col("hb")).as("l1"),
+        graft.functions.Histograms.tvDistance(col("h"), col("hb")).as("tvd"))
+      .filter(col("tvd") > threshold)
+
   /** The LabKey-style incremental pull (`Modified > last_sync`,
     * docs data-flow.md:496-523) as a batch filter. */
   def incrementalSince(df: DataFrame, tsCol: String, lastSync: Timestamp): DataFrame =

@@ -238,6 +238,24 @@ class HistogramSpec extends SparkSpec {
     assert(q.getAs[Double]("p90") == 90.0)
   }
 
+  test("incremental maintenance: stored + delta − retracted == full recompute") {
+    import org.apache.spark.sql.functions.col
+    def hist(d: org.apache.spark.sql.DataFrame) =
+      d.agg(Histograms.histFixed(col("v"), 0.0, 10.0, 4).as("h"))
+    val stored = (1 to 300).map(i => (i % 45).toDouble)
+    val delta = (1 to 80).map(i => (i % 37).toDouble + 0.5)
+    val retract = stored.take(60)                  // a compacted-away batch
+    val incremental = hist(stored.toDF("v")).select(col("h").as("ha"))
+      .crossJoin(hist(delta.toDF("v")).select(col("h").as("hd")))
+      .crossJoin(hist(retract.toDF("v")).select(col("h").as("hr")))
+      .select(Histograms.histSubtract(
+        Histograms.histMerge(col("ha"), col("hd")), col("hr")).as("h"))
+      .collect()(0).getSeq[Long](0)
+    val full = hist((stored.drop(60) ++ delta).toDF("v"))
+      .collect()(0).getSeq[Long](0)
+    assert(incremental == full)
+  }
+
   test("drift: scale-free zero for same shape, TV=1 on disjoint support, exact midpoint") {
     import org.apache.spark.sql.functions.col
     def drift(ha: Seq[Long], hb: Seq[Long]): (Long, Double) = {

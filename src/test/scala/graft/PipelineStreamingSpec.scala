@@ -879,6 +879,29 @@ class StreamingSpec extends SparkSpec {
     assert(drift == 2.0 / 12.0)
   }
 
+  test("drift alarm runs on a readStream with a broadcast baseline, equals batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_stream_alarm").toString
+    val data = Seq(
+      EventStream.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 5.0),
+      EventStream.Event(2, ts("2024-01-01 00:20:00"), 2, "click", 15.0),
+      EventStream.Event(3, ts("2024-01-01 01:40:00"), 1, "click", 95.0), // hour-1 drifts
+      EventStream.Event(4, ts("2024-01-01 01:50:00"), 2, "click", 95.0))
+    data.toDF().write.parquet(s"$dir/events")
+    val baseline = data.toDF().groupBy("event_type")
+      .agg(graft.functions.Histograms.histFixed(col("value"), 0.0, 10.0, 10).as("hb"))
+    val stream = spark.readStream.schema(data.toDF().schema).parquet(s"$dir/events")
+    val q = EventStream.driftAlarm(stream, baseline, 0.0, 10.0, 10, threshold = 0.4)
+      .writeStream.format("memory").queryName("alarm_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val streamed = rows(spark.table("alarm_out"))
+    val batch = rows(EventStream.driftAlarm(data.toDF(), baseline, 0.0, 10.0, 10, 0.4))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("incremental filter (Modified > last_sync)") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-02-01 00:00:00")))
