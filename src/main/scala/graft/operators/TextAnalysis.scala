@@ -18,6 +18,29 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** The "dataset card" summary a training-corpus release ships with:
+    * one row per (lang, source) cell with document and token counts,
+    * exact median length, and each cell's share of the corpus — the
+    * mix table that decides sampling weights and flags imbalance
+    * before training, produced in two aggregation passes (the corpus
+    * total broadcasts as one row; shares are a single IEEE division
+    * over exact BIGINTs). At 100 TB this is one scan + one
+    * (lang, source)-keyed shuffle of counted rows. */
+  def datasetCard(docs: org.apache.spark.sql.DataFrame,
+      langCol: String = "lang", sourceCol: String = "source",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val cells = docs.groupBy(langCol, sourceCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      expr(s"percentile(CAST(length($textCol) AS DOUBLE), 0.5)").as("p50_chars"))
+    val total = docs.agg(count(lit(1)).as("_total"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / col("_total").cast("double"))
+      .drop("_total")
+  }
+
   /** BPE-ish subword count approximation: word-piece boundaries at
     * case/digit transitions plus punctuation — a cheap deterministic
     * stand-in for a tokenizer vocab (≈ tokens for prose). */

@@ -397,6 +397,45 @@ object PipelineQueries {
         .orderBy("window_start", "event_type", "slot")
     },
 
+    // Per-window approximate distinct users: the KMV sketch inside
+    // the windowed aggregation (bounded state where a streaming
+    // countDistinct is not even allowed), vs the exact count from a
+    // batch aggregate — the oracle replays the k-minimum-values
+    // estimate per (hour, type) bit-exactly.
+    QueryDef.sql(
+      "q_stream_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS window_start, event_type,
+        |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |           FROM events),
+        |rk AS (SELECT window_start, event_type, h,
+        |         row_number() OVER (PARTITION BY window_start, event_type ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY window_start, event_type) AS nd
+        |       FROM h),
+        |est AS (SELECT window_start, event_type,
+        |          CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT)
+        |               ELSE CAST(floor((CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                    / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT)
+        |          END AS kmv_users
+        |        FROM rk GROUP BY 1, 2),
+        |ex AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         COUNT(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY 1, 2)
+        |SELECT est.window_start AS window_start, est.event_type AS event_type,
+        |  est.kmv_users, ex.n_exact
+        |FROM est JOIN ex ON est.window_start = ex.window_start
+        |  AND est.event_type = ex.event_type
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val approx = graft.streaming.EventStream.windowedDistinct(events, k = 64)
+      val exact = events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_exact"))
+      approx.join(exact, Seq("window_start", "event_type"))
+        .orderBy("window_start", "event_type")
+    },
+
     // The drift ALARM end to end: hourly windowed histograms joined
     // against the per-type full-table baseline (the "training
     // snapshot"), ranked by total-variation distance — the top-20

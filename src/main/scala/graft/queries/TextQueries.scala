@@ -225,6 +225,25 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The dataset card: the per-(lang, source) mix table a corpus
+    // release ships with — doc/token/char counts, exact median
+    // length, corpus share. Two aggregation passes; the share is one
+    // IEEE division over exact BIGINTs.
+    QueryDef.sql(
+      "q_text_dataset_card",
+      s"""WITH cells AS (SELECT lang, source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len($toksDuck)) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |    quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50_chars
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT COUNT(*) AS total FROM documents)
+         |SELECT lang, source, n_docs, n_tokens, n_chars, p50_chars,
+         |  CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS doc_share
+         |FROM cells CROSS JOIN t
+         |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      TextAnalysis.datasetCard(Tables.documents(s, d)).orderBy("lang", "source")
+    },
+
     // The SAME exact Jaccard pairs through the prefix-filtered
     // (AllPairs/PPJoin) plan: candidates only from each doc's rarest
     // (df-ordered) prefix shingles, exact verify on the full sets.

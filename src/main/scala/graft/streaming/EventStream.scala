@@ -57,6 +57,24 @@ object EventStream {
         .as("h"))
       .select(col("window.start").as("window_start"), col("event_type"), col("h"))
 
+  /** Per-(window, type) approximate distinct users: the KMV sketch
+    * ([[graft.functions.KmvDistinct]]) inside the windowed
+    * aggregation. Streaming-safe where `countDistinct` is not even
+    * ALLOWED in a streaming aggregation: the sketch's state is k
+    * longs per open window-group (exact below k distinct values), so
+    * per-window uniques over a firehose cost bounded state — and the
+    * Portable md5 hash keeps the estimate bit-reproducible for the
+    * oracle. */
+  def windowedDistinct(events: DataFrame, k: Int = 64,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(graft.functions.KmvDistinct.kmvDistinct(col("user_id"), k)
+        .as("kmv_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("kmv_users"))
+
   /** The distribution-shift alarm end to end: per-(window, type)
     * histogram sketch joined against a broadcast per-type BASELINE
     * histogram (the training snapshot), emitting only windows whose

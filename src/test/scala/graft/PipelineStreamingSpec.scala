@@ -902,6 +902,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("windowed kmv distinct streams: sketch state round-trips, equals batch") {
+    val dir = Files.createTempDirectory("graft_stream_kmv").toString
+    // hour 0: 6 distinct users (above k=4 → estimate path);
+    // hour 1: 2 distinct users (below k → exact path)
+    val data = (1 to 8).map(i => EventStream.Event(i.toLong,
+      ts(f"2024-01-01 00:0$i%01d:00"), (i % 6).toLong + 1, "click", 1.0)) ++
+      Seq(EventStream.Event(9, ts("2024-01-01 01:05:00"), 50, "click", 1.0),
+        EventStream.Event(10, ts("2024-01-01 01:06:00"), 51, "click", 1.0))
+    data.toDF().write.parquet(s"$dir/events")
+    val stream = spark.readStream.schema(data.toDF().schema).parquet(s"$dir/events")
+    val q = EventStream.windowedDistinct(stream, k = 4).writeStream
+      .format("memory").queryName("kmv_win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSet
+    val streamed = rows(spark.table("kmv_win_out"))
+    assert(streamed == rows(EventStream.windowedDistinct(data.toDF(), k = 4)))
+    // the below-k window is EXACT by construction
+    val hour1 = spark.table("kmv_win_out")
+      .filter(org.apache.spark.sql.functions.col("window_start") === ts("2024-01-01 01:00:00"))
+      .collect()(0).getAs[Long]("kmv_users")
+    assert(hour1 == 2L)
+  }
+
   test("incremental filter (Modified > last_sync)") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-02-01 00:00:00")))
