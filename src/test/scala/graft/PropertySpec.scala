@@ -194,4 +194,33 @@ class PortableHashSpec extends SparkSpec {
       assert(gotDist == expect)
     }
   }
+
+  test("property: weighted sampling is monotone in weight and fate-isolated") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(91L)
+    for (_ <- 1 to 3) {
+      val rows = (1L to 120L).map(i => (i, (rnd.nextInt(50) + 1).toLong))
+      val df = rows.toDF("id", "w").withColumn("dom", lit("x"))
+      val picked = Sampling.weightedSampleKPerStratum(df, "id", "w", "dom", 15)
+        .collect().map(_.getLong(0)).toSet
+      // raise one selected row's weight: with u fixed, its A-ES key only
+      // grows, so it MUST stay selected (everyone else is unchanged)
+      val chosen = picked.head
+      val boosted = rows.map { case (i, w) => (i, if (i == chosen) w * 10 else w) }
+        .toDF("id", "w").withColumn("dom", lit("x"))
+      val picked2 = Sampling.weightedSampleKPerStratum(boosted, "id", "w", "dom", 15)
+        .collect().map(_.getLong(0)).toSet
+      assert(picked2.contains(chosen), s"boosting weight evicted row $chosen")
+    }
+  }
+
+  test("property: histogram counts always total to the non-null row count") {
+    val vals = Iterator.continually(Gen.chooseNum(-500.0, 500.0).sample)
+      .flatten.take(400).toSeq
+    val c = vals.toDF("v")
+      .agg(graft.functions.Histograms.histFixed(col("v"), -100.0, 25.0, 8).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(c.sum == vals.size)       // under/overflow slots catch every value
+    assert(c.length == 10)
+  }
 }
