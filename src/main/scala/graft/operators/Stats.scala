@@ -32,16 +32,18 @@ object Stats {
     round(c.cast("double") * lit(f)).cast("long").cast("decimal(19,0)")
   }
 
-  /** One-pass moment row for `cols` = (name, decimalDigits): columns
-    * `n`, `s_i` (Σxᵢ), `p_i_j` (Σxᵢxⱼ for i ≤ j), all exact. */
-  private def moments(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+  /** One-pass moment row(s) for `cols` = (name, decimalDigits):
+    * columns `n`, `s_i` (Σxᵢ), `p_i_j` (Σxᵢxⱼ for i ≤ j), all exact —
+    * one row per group (global when `groupCols` is empty). */
+  private def moments(df: DataFrame, cols: Seq[(String, Int)],
+      groupCols: Seq[String] = Nil): DataFrame = {
     val sc = cols.map { case (c, d) => scaled(col(c), d) }
     val aggs =
       sc.zipWithIndex.map { case (x, i) => sum(x).as(s"s_$i") } ++
         (for (i <- cols.indices; j <- cols.indices if i <= j)
           yield sum(sc(i) * sc(j)).as(s"p_${i}_$j")) :+
         count(lit(1)).as("n")
-    df.agg(aggs.head, aggs.tail: _*)
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Pairwise Pearson correlation of the given fixed-point columns:
@@ -90,6 +92,28 @@ object Stats {
       (bv * lit(math.pow(10, vDec - yDec))).as("slope_2"),
       (icptScaled / lit(math.pow(10, yDec))).as("intercept"),
       ((bu * c(0, 2) + bv * c(1, 2)) / c(2, 2)).as("r2"))
+  }
+
+  /** Per-group OLS fit — the segment-trend query (one slope per
+    * region/center/cohort): the same exact moments keyed by
+    * `groupCols`, so EVERY group's fit costs the one aggregation
+    * pass, with the identical mirrored final arithmetic per row.
+    * Output: groupCols + (n, slope, intercept, r2). */
+  def olsFitBy(df: DataFrame, groupCols: Seq[String], xCol: String, xDec: Int,
+      yCol: String, yDec: Int): DataFrame = {
+    val m = moments(df, Seq(xCol -> xDec, yCol -> yDec), groupCols)
+    val nD = col("n").cast("decimal(20,0)")
+    val num = (nD * col("p_0_1") - col("s_0") * col("s_1")).cast("double")
+    val vx = (nD * col("p_0_0") - col("s_0") * col("s_0")).cast("double")
+    val vy = (nD * col("p_1_1") - col("s_1") * col("s_1")).cast("double")
+    val slopeScaled = num / vx
+    val interceptScaled =
+      (col("s_1").cast("double") - slopeScaled * col("s_0").cast("double")) /
+        col("n").cast("double")
+    m.select(groupCols.map(col) ++ Seq(col("n"),
+      (slopeScaled * lit(math.pow(10, xDec - yDec))).as("slope"),
+      (interceptScaled / lit(math.pow(10, yDec))).as("intercept"),
+      ((num / (sqrt(vx) * sqrt(vy))) * (num / (sqrt(vx) * sqrt(vy)))).as("r2")): _*)
   }
 
   /** Simple OLS fit y = slope·x + intercept over fixed-point columns,

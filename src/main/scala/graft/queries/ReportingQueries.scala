@@ -895,6 +895,36 @@ object ReportingQueries {
         "l_quantity", 2, "l_extendedprice", 2)
     },
 
+    // Per-group OLS — one (extendedprice ~ quantity) trend per return
+    // flag, every segment's fit from the single keyed moment pass.
+    QueryDef.sql(
+      "q_rep_ols_by",
+      """WITH t AS (SELECT l_returnflag,
+        |             CAST(round(l_quantity*100.0) AS HUGEINT) AS x0,
+        |             CAST(round(l_extendedprice*100.0) AS HUGEINT) AS x1
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(x0) AS s0, SUM(x1) AS s1,
+        |        SUM(x0*x0) AS p00, SUM(x0*x1) AS p01, SUM(x1*x1) AS p11
+        |      FROM t GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n*p01 - s0*s1 AS DOUBLE) / CAST(n*p00 - s0*s0 AS DOUBLE)) * 1.0
+        |    AS slope,
+        |  ((CAST(s1 AS DOUBLE)
+        |      - (CAST(n*p01 - s0*s1 AS DOUBLE) / CAST(n*p00 - s0*s0 AS DOUBLE))
+        |        * CAST(s0 AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+        |  (CAST(n*p01 - s0*s1 AS DOUBLE)
+        |     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p11 - s1*s1 AS DOUBLE))))
+        |  * (CAST(n*p01 - s0*s1 AS DOUBLE)
+        |     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p11 - s1*s1 AS DOUBLE))))
+        |    AS r2
+        |FROM s
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.Stats.olsFitBy(Tables.lineitem(s, d), Seq("l_returnflag"),
+          "l_quantity", 2, "l_extendedprice", 2)
+        .orderBy("l_returnflag")
+    },
+
     // Two-feature OLS (extendedprice ~ quantity + discount) by the
     // closed-form normal equation over exact integer moments: the
     // centered cross-moments are HUGEINT/DECIMAL-exact, cast to

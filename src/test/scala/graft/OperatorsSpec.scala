@@ -652,6 +652,21 @@ class StatsSpec extends SparkSpec {
     assert(bad.getAs[Long]("n") == 60L) // ran to completion
   }
 
+  test("per-group OLS: each segment recovers its own exact line") {
+    // segment a: y = 2x + 1; segment b: y = -x + 10
+    val df = ((1 to 40).map(i => ("a", i.toDouble, 2.0 * i + 1.0)) ++
+      (1 to 40).map(i => ("b", i.toDouble, -i.toDouble + 10.0))).toDF("g", "x", "y")
+    val out = Stats.olsFitBy(df, Seq("g"), "x", 2, "y", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("slope"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("r2")))).toMap
+    def near(a: Double, b: Double) = math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+    for ((g, (sl, ic)) <- Seq("a" -> ((2.0, 1.0)), "b" -> ((-1.0, 10.0)))) {
+      assert(out(g)._1 == sl && out(g)._2 == ic, s"segment $g: ${out(g)}")
+      assert(near(out(g)._3, 1.0), s"segment $g r2: ${out(g)._3}")
+    }
+  }
+
   test("moments are exact integer sums: results partitioning-invariant bit-for-bit") {
     val df = (1L to 500L).map(i => ((i * 37 % 101).toDouble / 4, (i * 53 % 97).toDouble / 8))
       .toDF("a", "b")
