@@ -136,6 +136,42 @@ object IdentityQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Fellegi-Sunter probabilistic linkage over the customer table:
+    // intra-block (nation, segment) pairs scored by integer
+    // field-agreement log-odds (account-balance band +4/−2, balance
+    // sign +2/−1, name length +1/−1), kept at score ≥ 6 — the
+    // evidence-weighing upgrade to the deterministic identifier
+    // rules of q_identity_resolve. Integer sums, exact everywhere.
+    QueryDef.sql(
+      "q_identity_fs_linkage",
+      """WITH p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST((CASE WHEN floor(a.c_acctbal/1000.0) = floor(b.c_acctbal/1000.0) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN (a.c_acctbal >= 0.0) = (b.c_acctbal >= 0.0) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN length(a.c_name) = length(b.c_name) THEN 1 ELSE 0 END)
+        |      AS INT) AS n_agree,
+        |    CAST((CASE WHEN floor(a.c_acctbal/1000.0) = floor(b.c_acctbal/1000.0) THEN 4 ELSE -2 END)
+        |       + (CASE WHEN (a.c_acctbal >= 0.0) = (b.c_acctbal >= 0.0) THEN 2 ELSE -1 END)
+        |       + (CASE WHEN length(a.c_name) = length(b.c_name) THEN 1 ELSE -1 END)
+        |      AS INT) AS score
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, n_agree, score FROM p
+        |WHERE score >= 6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import graft.operators.Linkage
+      import graft.operators.Linkage.CompareField
+      Linkage.selfScore(Tables.customer(s, d), "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq(
+            CompareField(r => floor(r.getField("c_acctbal") / lit(1000.0)), 4, -2),
+            CompareField(r => r.getField("c_acctbal") >= lit(0.0), 2, -1),
+            CompareField(r => length(r.getField("c_name")), 1, -1)),
+          minScore = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     QueryDef.sql(
       "q_identity_resolve",
       s"""$oracleCtes

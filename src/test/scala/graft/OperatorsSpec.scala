@@ -675,3 +675,33 @@ class StatsSpec extends SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(13)))
   }
 }
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Linkage
+  import graft.operators.Linkage.CompareField
+
+  test("fs linkage: exact weight sums, null-safe agreement, blocking bounds pairs") {
+    val df = Seq(
+      (1L, "b1", "x", Some("p")),
+      (2L, "b1", "x", Some("p")),   // agrees with 1 on both: 3+2 = 5
+      (3L, "b1", "y", None),        // disagrees f1 with 1/2; null f2
+      (4L, "b1", "y", None),        // agrees with 3 on f1 AND null==null f2
+      (5L, "b2", "x", Some("p")))   // other block: never paired with 1
+      .toDF("id", "blk", "f1", "f2")
+    val fields = Seq(
+      CompareField(r => r.getField("f1"), 3, -3),
+      CompareField(r => r.getField("f2"), 2, -2))
+    val out = Linkage.selfScore(df, "id", Seq("blk"), fields, minScore = -99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    assert(out((1L, 2L)) == ((2, 5)))    // both agree
+    assert(out((3L, 4L)) == ((2, 5)))    // null <=> null counts as agreement
+    assert(out((1L, 3L)) == ((0, -5)))   // both disagree
+    assert(!out.contains((1L, 5L)) && !out.contains((2L, 5L))) // blocked
+    // threshold keeps only strong pairs
+    val strong = Linkage.selfScore(df, "id", Seq("blk"), fields, minScore = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong == Set((1L, 2L), (3L, 4L)))
+  }
+}
