@@ -49,6 +49,26 @@ object GraphRank {
   /** `iters` rounds of integer-arithmetic damped power iteration over
     * the similarity graph; returns (doc_id, degree, rank). Documents
     * with no edges settle at the base mass `(15·scale) div 100`. */
+  /** Triangle enumeration over an undirected edge list (`id_a < id_b`
+    * rows, as every pair-finding operator here emits): all ordered
+    * triples a < b < c with the three edges present. The standard
+    * two-equi-join formulation — candidate wedges (a−b, b−c) close
+    * against the a−c edge — whose cost is Σ deg² for the wedge join,
+    * NOT |V|³; on near-dup graphs (small, dense clusters) that is
+    * cluster-bounded. Triangles are the community signal pair counts
+    * miss: a triangle means three documents that are MUTUALLY near
+    * duplicates, the safest collapse decision there is.
+    *
+    * Exact, deterministic (set semantics over integer ids), and
+    * replayable by a 3-way self-join in any SQL engine. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e1 = pairs.select(col("id_a"), col("id_b"))
+    val e2 = pairs.select(col("id_a").as("id_b"), col("id_b").as("id_c"))
+    val e3 = pairs.select(col("id_a"), col("id_b").as("id_c"))
+    e1.join(e2, "id_b").join(e3, Seq("id_a", "id_c"))
+      .select("id_a", "id_b", "id_c")
+  }
+
   def similarityCentrality(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minShared: Long = 2L, iters: Int = 3,
       scale: Long = 1000000000L): DataFrame = {

@@ -271,6 +271,35 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Triangles over the near-dup pair graph: triples of MUTUALLY
+    // near-duplicate documents (wedge join closed against the third
+    // edge, Σdeg² cost — cluster-bounded on dedup graphs). The
+    // community evidence pair counts miss; same t=0.5 pair
+    // definition as q_dedup_ngram_jaccard.
+    QueryDef.sql(
+      "q_dedup_triangles",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes sa ON sa.doc_id = id_a
+         |          JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5)
+         |SELECT t1.id_a AS id_a, t1.id_b AS id_b, t2.id_b AS id_c
+         |FROM pairs t1
+         |JOIN pairs t2 ON t2.id_a = t1.id_b
+         |JOIN pairs t3 ON t3.id_a = t1.id_a AND t3.id_b = t2.id_b
+         |ORDER BY id_a, id_b, id_c""".stripMargin) { (s, d) =>
+      graft.operators.GraphRank.triangles(
+          Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5))
+        .orderBy("id_a", "id_b", "id_c")
+    },
+
     // Near-dup cluster collapse: pairs → connected components →
     // survivor election (min id). The oracle recomputes the same
     // Jaccard pairs, then runs min-label CC as a recursive CTE — the

@@ -306,6 +306,17 @@ class DedupSpec extends SparkSpec {
     assert(fast == plain && plain.nonEmpty)
   }
 
+  test("triangle enumeration: closed triples only, each reported once, ordered") {
+    import graft.operators.GraphRank
+    // K4 on {1,2,3,4} minus edge (3,4), plus a disconnected edge (8,9):
+    // triangles = (1,2,3), (1,2,4) — no (1,3,4)/(2,3,4), nothing from 8-9
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val tris = GraphRank.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L)))
+  }
+
   test("ngram jaccard scores exact dup 1.0 and near dup high") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
