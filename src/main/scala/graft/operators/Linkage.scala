@@ -27,6 +27,42 @@ object Linkage {
   final case class CompareField(expr: Column => Column,
       wAgree: Int, wDisagree: Int)
 
+  /** Blocking-scheme quality report — the two numbers every linkage
+    * deployment tunes first (Christen, "Data Matching", ch. 4):
+    * REDUCTION RATIO (how far below all-pairs the candidate count
+    * falls) and PAIR COMPLETENESS (what fraction of true matches the
+    * blocks still co-locate). The candidate count comes from block
+    * SIZES alone — `Σ C(n_b, 2)` over a groupBy-count, no pair is
+    * ever materialized, so evaluating a scheme on a 10⁹-row table
+    * costs one aggregation — and completeness joins the (small)
+    * truth set to the block keys twice. One output row; counts
+    * exact, the two ratios one mirrored IEEE division each. */
+  def blockingQuality(df: DataFrame, idCol: String, blockCols: Seq[String],
+      truePairs: DataFrame): DataFrame = {
+    val blocks = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("_n * (_n - 1) div 2")).as("candidate_pairs"),
+        sum(col("_n")).as("n_records"))
+    val keyed = df.select((idCol +: blockCols).map(col): _*)
+    val caught = truePairs
+      .join(keyed.toDF(("id_a" +: blockCols.map(_ + "_a")): _*), "id_a")
+      .join(keyed.toDF(("id_b" +: blockCols.map(_ + "_b")): _*), "id_b")
+      .filter(blockCols.map(c => col(c + "_a") <=> col(c + "_b")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_caught"))
+    val truthN = truePairs.agg(count(lit(1)).as("n_truth"))
+    blocks.crossJoin(broadcast(caught)).crossJoin(broadcast(truthN))
+      .select(col("n_records"), col("n_blocks"), col("candidate_pairs"),
+        expr("n_records * (n_records - 1) div 2").as("total_pairs"),
+        (lit(1.0) - col("candidate_pairs").cast("double") /
+          expr("n_records * (n_records - 1) div 2").cast("double"))
+          .as("reduction_ratio"),
+        col("n_truth"), col("n_caught"),
+        when(col("n_truth") > 0,
+          col("n_caught").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(0.0)).as("pair_completeness"))
+  }
+
   /** Score all intra-block pairs of `df` (self-linkage — duplicate
     * detection): `(id_a, id_b, n_agree, score)` for every pair with
     * `score >= minScore`, ids ordered `id_a < id_b`. The block join

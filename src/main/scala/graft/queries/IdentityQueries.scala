@@ -172,6 +172,50 @@ object IdentityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Blocking-quality report for the linkage blocking scheme: the
+    // candidate-pair count comes from block SIZES alone (Σ C(n,2)
+    // over a groupBy — no pair materialized), and pair completeness
+    // joins a ground-truth pair set (equal-balance customer pairs)
+    // against the block keys. The two ratios every linkage
+    // deployment tunes, at one-aggregation cost.
+    QueryDef.sql(
+      "q_identity_blocking_quality",
+      """WITH truth AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_acctbal = b.c_acctbal AND a.c_custkey < b.c_custkey),
+        |blocks AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |           FROM customer GROUP BY 1, 2),
+        |bstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |             CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+        |             CAST(SUM(n) AS BIGINT) AS n_records
+        |           FROM blocks),
+        |caught AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
+        |           FROM truth t
+        |           JOIN customer a ON a.c_custkey = t.id_a
+        |           JOIN customer b ON b.c_custkey = t.id_b
+        |           WHERE a.c_nationkey = b.c_nationkey
+        |             AND a.c_mktsegment = b.c_mktsegment),
+        |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT n_records, n_blocks, candidate_pairs,
+        |  n_records * (n_records - 1) // 2 AS total_pairs,
+        |  1.0 - CAST(candidate_pairs AS DOUBLE)
+        |        / CAST(n_records * (n_records - 1) // 2 AS DOUBLE) AS reduction_ratio,
+        |  n_truth, n_caught,
+        |  CASE WHEN n_truth > 0
+        |       THEN CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |       ELSE 0.0 END AS pair_completeness
+        |FROM bstats CROSS JOIN caught CROSS JOIN tn""".stripMargin) { (s, d) =>
+      import graft.operators.Linkage
+      val cust = Tables.customer(s, d)
+      val truth = cust.select(col("c_custkey").as("id_a"), col("c_acctbal").as("_ba"))
+        .join(cust.select(col("c_custkey").as("id_b"), col("c_acctbal").as("_bb")),
+          col("_ba") === col("_bb") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Linkage.blockingQuality(cust, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"), truth)
+    },
+
     QueryDef.sql(
       "q_identity_resolve",
       s"""$oracleCtes

@@ -681,6 +681,23 @@ class LinkageSpec extends SparkSpec {
   import graft.operators.Linkage
   import graft.operators.Linkage.CompareField
 
+  test("blocking quality: candidate count from sizes, completeness vs truth") {
+    import graft.operators.Linkage
+    // blocks: b1 has 3 records, b2 has 2 → candidates C(3,2)+C(2,2)=4;
+    // total C(5,2)=10 → reduction 0.6. Truth: (1,2) same block (caught),
+    // (1,4) cross block (missed) → completeness 0.5
+    val df = Seq((1L, "b1"), (2L, "b1"), (3L, "b1"), (4L, "b2"), (5L, "b2"))
+      .toDF("id", "blk")
+    val truth = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = Linkage.blockingQuality(df, "id", Seq("blk"), truth).collect()(0)
+    assert(r.getAs[Long]("n_records") == 5L && r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Long]("candidate_pairs") == 4L)
+    assert(r.getAs[Long]("total_pairs") == 10L)
+    assert(r.getAs[Double]("reduction_ratio") == 0.6)
+    assert(r.getAs[Long]("n_truth") == 2L && r.getAs[Long]("n_caught") == 1L)
+    assert(r.getAs[Double]("pair_completeness") == 0.5)
+  }
+
   test("fs linkage: exact weight sums, null-safe agreement, blocking bounds pairs") {
     val df = Seq(
       (1L, "b1", "x", Some("p")),
