@@ -122,6 +122,41 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Collapse SAFETY report: a near-dup cluster built by connected
+    * components can be a CLIQUE (every member similar to every other
+    * — collapse with confidence) or a CHAIN (A~B~C where A and C
+    * share nothing — the classic transitive false-collapse). Per
+    * multi-member cluster: member/edge/triangle counts, edge density
+    * `E / C(n,2)`, and a `safe` verdict at `minDensity` — the
+    * pre-collapse audit a production dedup pipeline runs before
+    * deleting documents. Costs the CC labeling plus two joins of the
+    * (small) pair/triangle sets against the label table; the corpus
+    * itself is never touched. */
+  def collapseSafety(docs: DataFrame, pairs: DataFrame, idCol: String,
+      minDensity: Double = 0.6): DataFrame = {
+    val collapsed = collapseNearDuplicates(docs, pairs, idCol)
+      .select(col(idCol), col("cluster_id"))
+    val members = collapsed.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val edgeC = pairs.select(col("id_a"))
+      .join(collapsed.withColumnRenamed(idCol, "id_a"), "id_a")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    val triC = GraphRank.triangles(pairs).select(col("id_a"))
+      .join(collapsed.withColumnRenamed(idCol, "id_a"), "id_a")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_triangles"))
+    members
+      .join(edgeC, Seq("cluster_id"), "left")
+      .join(triC, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("density",
+        col("n_edges").cast("double") /
+          expr("n_members * (n_members - 1) div 2").cast("double"))
+      .withColumn("safe", col("density") >= lit(minDensity))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
     * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): identical
     * output to [[jaccardPairs]], candidates generated from a fraction

@@ -337,6 +337,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Collapse SAFETY audit: per near-dup cluster, member/edge/
+    // triangle counts, edge density E/C(n,2), and a clique-vs-chain
+    // verdict at density ≥ 0.6 — the check that stops a transitive
+    // chain (A~B~C with A,C unrelated) from being deleted as if it
+    // were a clique. The oracle replays CC + edge/triangle joins.
+    QueryDef.sql(
+      "q_dedup_collapse_safety",
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes sa ON sa.doc_id = id_a
+         |          JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, cc.l FROM edges e JOIN cc ON cc.id = e.b),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM cc GROUP BY id),
+         |mem AS (SELECT cluster_id, COUNT(*) AS n_members
+         |        FROM comp GROUP BY 1 HAVING COUNT(*) >= 2),
+         |ec AS (SELECT c.cluster_id, COUNT(*) AS n_edges
+         |       FROM pairs p JOIN comp c ON c.id = p.id_a GROUP BY 1),
+         |tc AS (SELECT c.cluster_id, COUNT(*) AS n_triangles
+         |       FROM (SELECT t1.id_a FROM pairs t1
+         |             JOIN pairs t2 ON t2.id_a = t1.id_b
+         |             JOIN pairs t3 ON t3.id_a = t1.id_a AND t3.id_b = t2.id_b) tri
+         |       JOIN comp c ON c.id = tri.id_a GROUP BY 1)
+         |SELECT m.cluster_id, m.n_members,
+         |  COALESCE(ec.n_edges, 0) AS n_edges,
+         |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+         |  CAST(COALESCE(ec.n_edges, 0) AS DOUBLE)
+         |    / CAST(m.n_members * (m.n_members - 1) // 2 AS DOUBLE) AS density,
+         |  CAST(COALESCE(ec.n_edges, 0) AS DOUBLE)
+         |    / CAST(m.n_members * (m.n_members - 1) // 2 AS DOUBLE) >= 0.6 AS safe
+         |FROM mem m LEFT JOIN ec USING (cluster_id) LEFT JOIN tc USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Dedup.collapseSafety(docs.select("doc_id"), pairs, "doc_id", 0.6)
+        .orderBy("cluster_id")
+    },
+
     // MinHash+LSH near-dup detection under the FULL hash gate: the
     // Portable hash family (md5-derived 56/53-bit words, Kirsch-
     // Mitzenmacher g_i = h1 + i*h2m) lets DuckDB recompute signatures,

@@ -317,6 +317,21 @@ class DedupSpec extends SparkSpec {
     assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L)))
   }
 
+  test("collapse safety: cliques safe, chains flagged, counts exact") {
+    // clique {1,2,3}: 3 edges, 1 triangle, density 1.0 → safe
+    // chain 10-11-12-13: 3 edges of C(4,2)=6, 0 triangles, 0.5 → unsafe
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val out = Dedup.collapseSafety(docs, pairs, "doc_id", 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("density"), r.getAs[Boolean]("safe")))).toMap
+    assert(out(1L) == ((3L, 3L, 1L, 1.0, true)))
+    assert(out(10L) == ((4L, 3L, 0L, 0.5, false)))
+    assert(!out.contains(99L))                    // singletons not reported
+  }
+
   test("ngram jaccard scores exact dup 1.0 and near dup high") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
