@@ -132,15 +132,27 @@ object Histograms {
     * BIGINT arithmetic — exact, associative, order-free — so the
     * drift statistic is deterministic under any partitioning and
     * bit-reproducible in any engine, with no floating-point reduction
-    * anywhere. Safe while each count and total stays under ~2³¹
-    * (their product must fit int64); at larger scale feed it
-    * per-partition histograms, not the global one. */
+    * anywhere. Every product `c_i·N` is bounded by `N_A·N_B` and the
+    * whole sum by `2·N_A·N_B`, so the arithmetic is overflow-free
+    * whenever both totals stay ≤ 2³¹−1 (then 2·N_A·N_B < 2⁶³) — and
+    * that bound is ENFORCED with a loud `raise_error` (silent int64
+    * wrap would make the drift statistic quietly wrong at extreme
+    * scale); past it, feed per-partition histograms, not the global
+    * one. */
   def l1Drift(ha: Column, hb: Column): Column = {
     val na = aggregate(ha, lit(0L), (acc, x) => acc + x)
     val nb = aggregate(hb, lit(0L), (acc, x) => acc + x)
-    aggregate(
-      zip_with(ha, hb, (a, b) => abs(a * nb - b * na)),
-      lit(0L), (acc, x) => acc + x)
+    // 2³¹−1: both totals ≤ this ⇒ every |c_i·N_B − c'_i·N_A| ≤
+    // N_A·N_B and Σ ≤ 2·N_A·N_B ≤ 2·(2³¹−1)² < 2⁶³−1 — exact long
+    // math on the fast path, no decimal promotion
+    val safe = lit(2147483647L)
+    when(na <= safe && nb <= safe,
+      aggregate(
+        zip_with(ha, hb, (a, b) => abs(a * nb - b * na)),
+        lit(0L), (acc, x) => acc + x))
+      .otherwise(raise_error(format_string(
+        "l1Drift totals %s/%s exceed the int64-exact bound 2147483647; " +
+          "drift per-partition histograms instead", na, nb)))
   }
 
   /** Total-variation distance read off the same pair:

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinus}
 
 /** The ONE place the engine's SQL-function builders live — used by
   * both the temp-function registry (`GraftSql.registerFunctions`) and
@@ -10,9 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 object SqlBuilders {
 
   /** A literal non-null integer argument, or a readable error — never
-    * an NPE (NULL k) or ClassCastException (string k). */
+    * an NPE (NULL k) or ClassCastException (string k). A negative SQL
+    * literal (`-5`) reaches the builder as `UnaryMinus(Literal)` —
+    * function resolution runs BEFORE constant folding — so that shape
+    * is folded here. */
   private def literalInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Number, _) if v != null => v.intValue()
+    case UnaryMinus(inner, _) => -literalInt(inner, fn, arg)
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a literal integer, got ${other.sql}")
   }
@@ -48,10 +52,14 @@ object SqlBuilders {
   }
 
   // SQL `0.0` parses as a DECIMAL literal (spark Decimal, not
-  // java.lang.Number), so both representations must be accepted
+  // java.lang.Number), and a negative literal like `-100.0` parses as
+  // UnaryMinus(Literal) at function-resolution time (before constant
+  // folding) — all three shapes must be accepted or SQL-surface
+  // hist_fixed cannot express a negative lo
   private def literalDouble(e: Expression, fn: String, arg: String): Double = e match {
     case Literal(v: Number, _) if v != null => v.doubleValue()
     case Literal(v: org.apache.spark.sql.types.Decimal, _) if v != null => v.toDouble
+    case UnaryMinus(inner, _) => -literalDouble(inner, fn, arg)
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a literal number, got ${other.sql}")
   }

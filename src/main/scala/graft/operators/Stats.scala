@@ -56,11 +56,19 @@ object Stats {
       val (a, b) = (math.min(i, j), math.max(i, j))
       (nD * col(s"p_${a}_$b") - col(s"s_$i") * col(s"s_$j")).cast("double")
     }
-    val rows = for (i <- cols.indices; j <- cols.indices if i < j) yield
-      one.select(
-        lit(cols(i)._1).as("x_col"), lit(cols(j)._1).as("y_col"), col("n"),
+    // all pairs derived from the ONE moments row in a single select —
+    // an array-of-structs explode, not a union of per-pair selects, so
+    // the single-scan guarantee is structural (a union of k(k−1)/2
+    // selects over the same aggregate only collapses to one scan if
+    // ReuseExchange happens to fire)
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield
+      struct(
+        lit(cols(i)._1).as("x_col"), lit(cols(j)._1).as("y_col"),
+        col("n").as("n"),
         (cross(i, j) / (sqrt(cross(i, i)) * sqrt(cross(j, j)))).as("corr"))
-    rows.reduce(_.unionByName(_))
+    one.select(explode(array(pairs: _*)).as("_p"))
+      .select(col("_p.x_col").as("x_col"), col("_p.y_col").as("y_col"),
+        col("_p.n").as("n"), col("_p.corr").as("corr"))
   }
 
   /** Two-feature OLS fit `y = β₁·u + β₂·v + intercept` by the

@@ -384,7 +384,7 @@ object PipelineQueries {
       """WITH b AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
         |    CASE WHEN value < 0.0 THEN 0
         |         WHEN value >= 400.0 THEN 9
-        |         ELSE CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1 END AS slot
+        |         ELSE LEAST(CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1, 8) END AS slot
         |  FROM events WHERE value IS NOT NULL)
         |SELECT window_start, event_type, slot, COUNT(*) AS cnt
         |FROM b GROUP BY 1, 2, 3
@@ -448,7 +448,7 @@ object PipelineQueries {
       """WITH b AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
         |    CASE WHEN value < 0.0 THEN 0
         |         WHEN value >= 400.0 THEN 9
-        |         ELSE CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1 END AS slot
+        |         ELSE LEAST(CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1, 8) END AS slot
         |  FROM events WHERE value IS NOT NULL),
         |w AS (SELECT window_start, event_type, slot, COUNT(*) AS cnt
         |      FROM b GROUP BY 1, 2, 3),

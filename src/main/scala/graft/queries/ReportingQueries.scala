@@ -1063,7 +1063,7 @@ object ReportingQueries {
       """WITH b AS (SELECT event_type,
         |    CASE WHEN value < 0.0 THEN 0
         |         WHEN value >= 400.0 THEN 41
-        |         ELSE CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1 END AS slot
+        |         ELSE LEAST(CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1, 40) END AS slot
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type, slot, COUNT(*) AS cnt
         |FROM b GROUP BY event_type, slot
@@ -1086,7 +1086,7 @@ object ReportingQueries {
       """WITH b AS (SELECT event_type,
         |    CASE WHEN value < 0.0 THEN 0
         |         WHEN value >= 400.0 THEN 41
-        |         ELSE CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1 END AS slot
+        |         ELSE LEAST(CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1, 40) END AS slot
         |  FROM events WHERE value IS NOT NULL),
         |c AS (SELECT event_type, slot, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
         |w AS (SELECT event_type, slot, cnt,
@@ -1130,7 +1130,7 @@ object ReportingQueries {
       """WITH b AS (SELECT event_type,
         |    CASE WHEN value < 0.0 THEN 0
         |         WHEN value >= 400.0 THEN 41
-        |         ELSE CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1 END AS slot
+        |         ELSE LEAST(CAST(FLOOR((value - 0.0) / 10.0) AS INT) + 1, 40) END AS slot
         |  FROM events WHERE value IS NOT NULL),
         |c AS (SELECT event_type, slot, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
         |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
