@@ -881,5 +881,89 @@ object PipelineQueries {
         groupingIterations = 1).localCheckpoint(false) // chainless batch
       IdentityResolver.resolutionLog(res, cands) // JSONB payloads already strings
         .orderBy("local_subject_id", "identifier_type", "gsid")
+    },
+
+    // Continuous MDM: the two-batch evolution scenario delivered
+    // through the merge-table CHANGE FEED instead of handed to the
+    // resolver directly — batch 1 published to a fragments merge
+    // table and consumed by a checkpointed IncrementalIdentity cycle
+    // (full table, no checkpoint yet), batch 2 published INTO THE
+    // SAME PARTITIONS (p = request DIV 2 % 4 co-locates each EV-k
+    // claim with its original fragment) and consumed by a second
+    // cycle whose row-level diff must hand the resolver EXACTLY the
+    // new rows — a partition-level feed would re-deliver batch 1
+    // beside batch 2 and change the link statement. The gated output
+    // is the final PUBLISHED registry delta, against the IDENTICAL
+    // oracle the direct two-batch evolution gate satisfies: the
+    // equivalence incremental ≡ sequential is checked bit-for-bit.
+    QueryDef.sql(
+      "q_identity_incremental",
+      """WITH b1 AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS ctr
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |sub1 AS (
+        |  SELECT k, ctr,
+        |    'GSID-' || upper(substr(md5('NEW:ev-' || CAST(k AS VARCHAR)), 1, 16)) AS gsid
+        |  FROM b1),
+        |b2 AS (
+        |  SELECT c_custkey AS request_id, CAST(c_nationkey AS INT) AS center_id,
+        |         c_custkey - 1 AS prev
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |linked AS (
+        |  SELECT s.gsid, s.ctr AS sub_ctr, r.center_id AS req_ctr
+        |  FROM b2 r JOIN sub1 s ON s.k = r.prev)
+        |SELECT s.gsid AS global_subject_id,
+        |  CAST(CASE WHEN s.ctr = 0 AND l.req_ctr IS NOT NULL AND l.req_ctr <> 0
+        |            THEN l.req_ctr ELSE s.ctr END AS INT) AS center_id,
+        |  '2024-06-01' AS created_at,
+        |  coalesce(l.req_ctr <> l.sub_ctr AND l.req_ctr <> 0 AND l.sub_ctr <> 0, FALSE)
+        |    AS flagged_for_review,
+        |  CASE WHEN l.req_ctr <> l.sub_ctr AND l.req_ctr <> 0 AND l.sub_ctr <> 0
+        |       THEN 'CENTER CONFLICT detected on 2024-07-01' END AS review_notes
+        |FROM sub1 s LEFT JOIN linked l USING (gsid)
+        |UNION ALL
+        |SELECT 'GSID-' || upper(substr(md5('NEW:ev-' || CAST(prev AS VARCHAR)), 1, 16)),
+        |  center_id, '2024-07-01', FALSE, NULL
+        |FROM b2 WHERE prev NOT IN (SELECT k FROM sub1)
+        |ORDER BY global_subject_id""".stripMargin) { (s, d) =>
+      import graft.operators.IncrementalIdentity
+      import graft.sources.Sources
+      val root = s"/root/repo/target/roundtrip/${new java.io.File(d).getName}_incrid"
+      val (fragDir, ckDir, regRoot) = (s"$root/frags", s"$root/ck", s"$root/registry")
+      // fresh scenario per run (Verify re-runs at multiple SFs)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      IncrementalIdentity.publishRegistry(IdentityQueries.registry(s, d), regRoot)
+      val cfg = graft.types.TableConfig("fragments", Seq("request_id"), Seq.empty)
+      val frag1 = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("request_id"),
+        col("c_nationkey").cast("int").as("center_id"),
+        concat(lit("EV-"), col("c_custkey").cast("string")).as("local_subject_id"),
+        lit("primary").as("identifier_type"),
+        expr("(c_custkey DIV 2) % 4").cast("int").as("p"))
+      Sources.publishMergePartitioned(s, fragDir, frag1, cfg, "p")
+      IncrementalIdentity.resolveCycle(s, fragDir, ckDir, regRoot, Seq("request_id"),
+        java.sql.Date.valueOf("2024-06-01"), "p",
+        groupingIterations = 1)(identity) // single-id batch: chainless
+      val frag2 = Tables.customer(s, d).filter(col("c_custkey") % 2 === 1).select(
+        col("c_custkey").as("request_id"),
+        col("c_nationkey").cast("int").as("center_id"),
+        concat(lit("EV-"), (col("c_custkey") - 1).cast("string")).as("local_subject_id"),
+        lit("primary").as("identifier_type"),
+        expr("(c_custkey DIV 2) % 4").cast("int").as("p"))
+      Sources.publishMergePartitioned(s, fragDir, frag2, cfg, "p")
+      IncrementalIdentity.resolveCycle(s, fragDir, ckDir, regRoot, Seq("request_id"),
+        java.sql.Date.valueOf("2024-07-01"), "p",
+        groupingIterations = 1)(identity)
+      val baseGsids = IdentityQueries.registry(s, d).subjects
+        .select("global_subject_id")
+      IncrementalIdentity.readRegistry(s, regRoot).subjects
+        .join(baseGsids, Seq("global_subject_id"), "left_anti")
+        .select(col("global_subject_id"),
+          col("center_id").cast("int").as("center_id"),
+          date_format(col("created_at"), "yyyy-MM-dd").as("created_at"),
+          col("flagged_for_review"), col("review_notes"))
+        .orderBy("global_subject_id")
     })
 }

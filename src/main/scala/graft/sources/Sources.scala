@@ -420,7 +420,62 @@ object Sources {
     * must be manifest-published; `live` is its pointer version. */
   def processMergeChanges[T](spark: SparkSession, tableDir: String,
       checkpointDir: String, partitionCol: String = "")
-      (f: (DataFrame, Long) => T): Option[T] = {
+      (f: (DataFrame, Long) => T): Option[T] =
+    processCheckpointed(spark, tableDir, checkpointDir, f) {
+      case Some(v) =>
+        try readMergePartitionedChanges(spark, tableDir, v, partitionCol)
+        catch { case _: IllegalArgumentException => // lagged past retention
+          readMergePartitioned(spark, tableDir, partitionCol)
+        }
+      case None => readMergePartitioned(spark, tableDir, partitionCol)
+    }
+
+  /** Row-level at-least-once incremental consumer: as
+    * [[processMergeChanges]], but `f` receives ONLY the rows whose
+    * state actually changed since the checkpoint — the current state
+    * of every key the row diff ([[mergeRowChangesSince]]) classifies
+    * `new` or `updated`. Partition-level delivery hands the consumer
+    * whole rewritten partitions, so already-processed rows ride along
+    * beside the new ones; that is fine for a MERGE-shaped sink, but a
+    * consumer whose batch semantics are ORDER-SENSITIVE across rows
+    * sharing a key (identity resolution: two centers presenting one
+    * identifier in one batch is a different statement than one center
+    * re-presenting it) needs the row-level feed to make incremental ≡
+    * sequential exact. Deleted keys are NOT delivered (no retraction
+    * downstream); first run and lagged-past-retention degrade to the
+    * full table, every row as-new — the same documented fallbacks.
+    *
+    * Scale shape: the row diff prunes both sides BY DIR NAME to the
+    * touched partitions, and the delta is a key-semi-join of the
+    * changed partitions' current state — cost bounded by changed
+    * data, never table size. */
+  def processMergeRowChanges[T](spark: SparkSession, tableDir: String,
+      checkpointDir: String, naturalKey: Seq[String], partitionCol: String = "")
+      (f: (DataFrame, Long) => T): Option[T] =
+    processCheckpointed(spark, tableDir, checkpointDir, f) {
+      case Some(v) =>
+        try {
+          val changedKeys = mergeRowChangesSince(spark, tableDir, v, naturalKey,
+              partitionCol)
+            .filter(org.apache.spark.sql.functions.col("change_status")
+              .isin("new", "updated"))
+            .select(naturalKey.map(org.apache.spark.sql.functions.col): _*)
+          readMergePartitionedChanges(spark, tableDir, v, partitionCol)
+            .join(changedKeys, naturalKey, "left_semi")
+        } catch { case _: IllegalArgumentException => // lagged past retention
+          readMergePartitioned(spark, tableDir, partitionCol)
+        }
+      case None => readMergePartitioned(spark, tableDir, partitionCol)
+    }
+
+  /** The shared checkpoint loop under both incremental consumers:
+    * resolve the live pointer, read the durable checkpoint, build the
+    * delta for the gap, run `f`, then advance the checkpoint with the
+    * same atomic rename-over as the table pointer (crash inside `f`
+    * ⇒ redelivery next run; `f` must be idempotent). */
+  private def processCheckpointed[T](spark: SparkSession, tableDir: String,
+      checkpointDir: String, f: (DataFrame, Long) => T)
+      (deltaOf: Option[Long] => DataFrame): Option[T] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir), conf)
     val live = currentPointer(tFs, new org.apache.hadoop.fs.Path(tableDir))
@@ -439,15 +494,7 @@ object Sources {
         s.toLongOption // unreadable checkpoint → full re-read
       }
     if (last.contains(live)) return None
-    val delta = last match {
-      case Some(v) =>
-        try readMergePartitionedChanges(spark, tableDir, v, partitionCol)
-        catch { case _: IllegalArgumentException => // lagged past retention
-          readMergePartitioned(spark, tableDir, partitionCol)
-        }
-      case None => readMergePartitioned(spark, tableDir, partitionCol)
-    }
-    val out = f(delta, live)
+    val out = f(deltaOf(last), live)
     atomicReplace(ckFs, ckUri, conf, ckRoot, "_version", live.toString,
       java.util.UUID.randomUUID().toString.take(8))
     Some(out)
@@ -1053,6 +1100,63 @@ object Sources {
       val root = new org.apache.hadoop.fs.Path(tableRoot)
       fs.exists(new org.apache.hadoop.fs.Path(root, "_current")) || fs.exists(root)
     } catch { case _: Throwable => false }
+  }
+
+  /** Multi-frame snapshot publish, ATOMIC across ALL members: the
+    * [[publishSnapshot]] mechanics generalized to a GROUP of frames
+    * that must evolve together — an identity registry's subjects +
+    * local_ids, a model's weights + vocab. Every member is written
+    * under ONE new version dir
+    * (`tableRoot/v-<n>-<uid>/<member>/…parquet`) and the single
+    * `_current` pointer swaps only after the LAST member is fully
+    * written, so a reader can never observe member states from
+    * different versions — the torn window a per-member snapshot pair
+    * leaves open (crash between the two swaps ⇒ subjects from version
+    * N beside local_ids from N−1, which re-mints duplicate subject
+    * rows on the next incremental identity cycle). A crash mid-publish
+    * strands an unswapped version dir that the normal pointer-anchored
+    * prune collects later; the live version is untouched. Retention,
+    * rival resolution and prune rules are [[publishSnapshot]]'s
+    * verbatim. */
+  def publishSnapshotGroup(frames: Seq[(String, DataFrame)], tableRoot: String): Unit = {
+    require(frames.nonEmpty, "publishSnapshotGroup needs at least one member frame")
+    val conf = frames.head._2.sparkSession.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableRoot)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val versions = listVersions(fs, root)
+    val next = (versions.map(_._1) :+ 0L).max + 1
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val vdir = f"v-$next%012d-$uid"
+    frames.foreach { case (member, df) =>
+      require(member.nonEmpty && !member.contains("/"),
+        s"member name must be a plain dir name, got '$member'")
+      df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir/$member")
+    }
+    swapPointerForward(fs, uri, conf, root, vdir, s"$next-$uid", prefix = "v-")
+    val liveNum = currentPointer(fs, root)
+      .filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(next)
+    versions.collect { case (v, p) if v < liveNum - 2 => p }
+      .foreach(p => deleteQuiet(fs, p, recursive = true))
+  }
+
+  /** Read one member frame of the live [[publishSnapshotGroup]]
+    * version. All members read against the same resolved pointer are
+    * mutually consistent only if resolved ONCE — use
+    * [[readSnapshotGroupAll]] when more than one member feeds the same
+    * computation. */
+  def readSnapshotGroup(spark: SparkSession, tableRoot: String,
+      member: String): DataFrame =
+    spark.read.parquet(s"${resolveSnapshot(spark, tableRoot)}/$member")
+
+  /** Every member of the live group version, resolved from ONE pointer
+    * read — the consistent-view read for multi-member consumers (a
+    * publish landing between two separate [[readSnapshotGroup]] calls
+    * would hand the caller members from different versions). */
+  def readSnapshotGroupAll(spark: SparkSession, tableRoot: String,
+      members: Seq[String]): Map[String, DataFrame] = {
+    val live = resolveSnapshot(spark, tableRoot)
+    members.map(m => m -> spark.read.parquet(s"$live/$m")).toMap
   }
 
   // accepts both the uid-suffixed layout (`v-<n>-<uid>`) and the
