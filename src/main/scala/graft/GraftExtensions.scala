@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hist_fixed"),
       new ExpressionInfo(classOf[graft.functions.FixedHistogram].getName, "hist_fixed"),
       graft.functions.SqlBuilders.histFixed))
+    e.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantiles].getName, "kll_quantiles"),
+      graft.functions.SqlBuilders.kllQuantiles))
   }
 }

@@ -39,6 +39,8 @@ object GraftSql {
       graft.functions.SqlBuilders.kmvDistinct, "built-in")
     reg.createOrReplaceTempFunction("hist_fixed",
       graft.functions.SqlBuilders.histFixed, "built-in")
+    reg.createOrReplaceTempFunction("kll_quantiles",
+      graft.functions.SqlBuilders.kllQuantiles, "built-in")
     graft.functions.Similarity.register(spark)
   }
 }

@@ -72,4 +72,14 @@ object SqlBuilders {
       literalInt(args(3), "hist_fixed", "nBuckets"))
       .toAggregateExpression()
   }
+
+  /** Variadic: `kll_quantiles(value, k, p1 [, p2 ...])`. */
+  val kllQuantiles: Seq[Expression] => Expression = args => {
+    if (args.size < 3) throw new IllegalArgumentException(
+      s"kll_quantiles(value, k, p1 [, p2 ...]) takes at least 3 arguments, got ${args.size}")
+    KllQuantiles(args.head,
+      literalInt(args(1), "kll_quantiles", "k"),
+      args.drop(2).map(literalDouble(_, "kll_quantiles", "p")))
+      .toAggregateExpression()
+  }
 }

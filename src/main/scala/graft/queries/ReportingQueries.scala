@@ -1118,6 +1118,40 @@ object ReportingQueries {
         .orderBy("event_type")
     },
 
+    // UNKNOWN-RANGE quantile sketch (KLL/MRL TypedImperativeAggregate,
+    // graft.functions.KllQuantiles): the distribution profile
+    // hist_fixed cannot give without a priori [lo, width] and exact
+    // percentile cannot give without shuffling every value. The gate
+    // pins the sketch's EXACT regime (groups below the k capacity —
+    // no compaction, any partitioning/merge order): read-off is
+    // selection at rank ceil(p·n) over the value multiset, which the
+    // oracle replays verbatim with a row_number pick. Probabilities
+    // are DYADIC (exact doubles) so ceil(p·n) can never straddle an
+    // ulp between engines. The compacted regime's H·n/k rank-error
+    // bound and weight conservation are KllSpec's.
+    QueryDef.sql(
+      "q_agg_kll_quantile",
+      """WITH f AS (SELECT o_orderpriority, o_totalprice
+        |           FROM orders WHERE o_orderkey % 7 = 0),
+        |n AS (SELECT o_orderpriority, COUNT(*) AS n FROM f GROUP BY 1),
+        |r AS (SELECT o_orderpriority, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice) AS rn
+        |      FROM f),
+        |p AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(qi, p))
+        |SELECT n.o_orderpriority AS o_orderpriority, p.qi, r.o_totalprice AS qv
+        |FROM n CROSS JOIN p
+        |JOIN r ON r.o_orderpriority = n.o_orderpriority
+        |  AND r.rn = GREATEST(1, CAST(CEIL(CAST(p.p AS DOUBLE) * n.n) AS BIGINT))
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.Kll.kllQuantiles(
+          col("o_totalprice"), 65536, Seq(0.25, 0.5, 0.75)).as("q"))
+        .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("qi", "qv")))
+        .orderBy("o_orderpriority", "qi")
+    },
+
     // Distribution drift off the histogram sketches: each event
     // type's value distribution vs the 'view' baseline, as exact
     // integer L1 (Σ|cA·N_B − cB·N_A| — cross-multiplied counts, no
