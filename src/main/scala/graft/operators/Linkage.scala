@@ -90,4 +90,129 @@ object Linkage {
       .filter(col("score") >= minScore)
       .select("id_a", "id_b", "n_agree", "score")
   }
+
+  /** Learned F-S parameters: match proportion λ, per-field
+    * P(agree|match) m and P(agree|non-match) u, the blocked candidate
+    * count, and the agreement-pattern histogram the estimate was fit
+    * on (key = Σ γ_f·2^f). */
+  final case class EmParams(lambda: Double, m: Array[Double], u: Array[Double],
+      nPairs: Long, patternCounts: Map[Int, Long])
+
+  /** Fixed-iteration EM estimation of the F-S m/u parameters from the
+    * blocked candidate pairs themselves — closing the loop
+    * [[selfScore]] leaves open (it takes caller-supplied pre-scaled
+    * log-odds, as production linkers ship; a real deployment LEARNS
+    * m/u from the data first).
+    *
+    * The classic EM (Winkler 1988) over the independent-agreement
+    * model, restructured for the engine's determinism discipline:
+    *
+    *  - the data-sized work is ONE distributed aggregation: candidate
+    *    pairs collapse to their binary agreement PATTERNS (≤ 2^F rows
+    *    for F fields) with exact integer counts — the pairs are never
+    *    materialized driver-side and never rescanned across
+    *    iterations (at 100 TB the E/M loop costs zero additional
+    *    passes over data);
+    *  - each E-step weight `w = P(match | γ)` is QUANTIZED to an
+    *    integer `wq = ⌊w·10⁹ + 0.5⌋`, so every M-step sum is an exact
+    *    integer sum over ≤ 2^F patterns — order-free, engine-free —
+    *    and each new parameter is ONE IEEE division of exact
+    *    integers. The whole N-iteration trajectory is therefore
+    *    bit-reproducible in any engine (the `q_identity_fs_em` oracle
+    *    replays all iterations in SQL), at a 1e-9 perturbation per
+    *    iteration that is orders below EM's own statistical error;
+    *  - parameters are clamped to [1e-6, 1−1e-6] after every M-step
+    *    (mirrored LEAST/GREATEST in the oracle), so no product can
+    *    collapse to an exact 0/0 posterior.
+    *
+    * `fields` are agreement expressions over the row struct (the
+    * [[CompareField]] convention); `F ≤ 16` keeps the pattern table
+    * bounded (collect is ≤ 65536 rows of two longs — centroid-sized).
+    */
+  def estimateParamsEM(df: DataFrame, idCol: String, blockCols: Seq[String],
+      fields: Seq[Column => Column], iters: Int = 5,
+      lambda0: Double = 0.5, m0: Double = 0.9, u0: Double = 0.1): EmParams = {
+    require(fields.nonEmpty && fields.size <= 16,
+      s"EM needs 1..16 compare fields, got ${fields.size}")
+    require(iters >= 1, s"need at least one EM iteration, got $iters")
+    val keep = (c: String) => col(c)
+    val a = df.select((idCol +: blockCols).map(keep) :+
+      struct(df.columns.map(col): _*).as("_ra"): _*)
+      .withColumnRenamed(idCol, "id_a")
+    val b = df.select((idCol +: blockCols).map(keep) :+
+      struct(df.columns.map(col): _*).as("_rb"): _*)
+      .withColumnRenamed(idCol, "id_b")
+    val pattern = fields.zipWithIndex.map { case (f, i) =>
+      when(f(col("_ra")) <=> f(col("_rb")), lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // the one data-sized job: pattern histogram (≤ 2^F rows)
+    val counts = a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+      .select(pattern.as("_pat"))
+      .groupBy("_pat").agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPairs = counts.values.sum
+    require(nPairs > 0, "no blocked candidate pairs — nothing to estimate from")
+
+    val nF = fields.size
+    val pats = counts.keys.toArray.sorted
+    var lambda = lambda0
+    val m = Array.fill(nF)(m0)
+    val u = Array.fill(nF)(u0)
+    val Q = 1000000000L
+    for (_ <- 1 to iters) {
+      var sumW = 0L
+      var sumNW = 0L
+      val sumWf = new Array[Long](nF)
+      val sumNWf = new Array[Long](nF)
+      pats.foreach { p =>
+        val cnt = counts(p)
+        // left-associated products, mirrored textually in the oracle
+        var pm = lambda
+        var pu = 1.0 - lambda
+        var f = 0
+        while (f < nF) {
+          val g = (p >> f) & 1
+          pm = pm * (if (g == 1) m(f) else 1.0 - m(f))
+          pu = pu * (if (g == 1) u(f) else 1.0 - u(f))
+          f += 1
+        }
+        val wq = math.floor(pm / (pm + pu) * 1.0e9 + 0.5).toLong
+        // overflow headroom: cnt·10⁹ must fit int64 (≈ 9.2e9 pairs
+        // per pattern) — far above any blocked candidate set that
+        // should be EM-fit in one shot
+        require(cnt <= Long.MaxValue / Q, s"pattern count $cnt overflows the Q-sum")
+        sumW += cnt * wq
+        sumNW += cnt * (Q - wq)
+        f = 0
+        while (f < nF) {
+          if (((p >> f) & 1) == 1) {
+            sumWf(f) += cnt * wq
+            sumNWf(f) += cnt * (Q - wq)
+          }
+          f += 1
+        }
+      }
+      def clamp(x: Double): Double = math.min(math.max(x, 0.000001), 0.999999)
+      var f = 0
+      while (f < nF) {
+        m(f) = clamp(sumWf(f).toDouble / sumW.toDouble)
+        u(f) = clamp(sumNWf(f).toDouble / sumNW.toDouble)
+        f += 1
+      }
+      lambda = clamp(sumW.toDouble / (1.0e9 * nPairs.toDouble))
+    }
+    EmParams(lambda, m, u, nPairs, counts)
+  }
+
+  /** Integer log-odds for [[selfScore]] from learned [[EmParams]]:
+    * `wAgree = round(scale·ln(m/u))`, `wDisagree =
+    * round(scale·ln((1−m)/(1−u)))` — the pre-scaled-integer contract
+    * selfScore ships with, now self-contained. ln lives HERE (driver
+    * side, feeding integer weights into the plan), never in a
+    * hash-gated output. */
+  def scaledWeights(params: EmParams, scale: Double = 4.0): Seq[(Int, Int)] =
+    params.m.zip(params.u).map { case (mf, uf) =>
+      (math.round(scale * math.log(mf / uf)).toInt,
+        math.round(scale * math.log((1.0 - mf) / (1.0 - uf))).toInt)
+    }.toSeq
 }

@@ -216,6 +216,84 @@ object IdentityQueries {
         Seq("c_nationkey", "c_mktsegment"), truth)
     },
 
+    // Fellegi-Sunter EM parameter estimation (Winkler 1988) over the
+    // same blocked pairs as q_identity_fs_linkage: 5 E/M iterations
+    // learning λ and per-field m/u FROM the data. Bit-exactness
+    // across engines comes from the quantized-weight discipline: the
+    // pairs collapse to ≤2^3 agreement-pattern counts (one
+    // distributed aggregation, pairs never rescanned), each E-step
+    // posterior quantizes to wq = floor(w·1e9 + 0.5), every M-step
+    // sum is an exact integer sum, and each new parameter is one
+    // mirrored IEEE division — the oracle replays the ENTIRE
+    // 5-iteration trajectory as unrolled CTEs and must land on
+    // identical doubles.
+    QueryDef.sql(
+      "q_identity_fs_em", {
+        val fieldsSql = Seq(
+          "floor(a.c_acctbal/1000.0) = floor(b.c_acctbal/1000.0)",
+          "(a.c_acctbal >= 0.0) = (b.c_acctbal >= 0.0)",
+          "length(a.c_name) = length(b.c_name)")
+        val nF = fieldsSql.size
+        val iters = 5
+        val gCols = (0 until nF).map(f => s"g$f")
+        def pm(i: String) = (0 until nF).map(f =>
+          s"(CASE WHEN c.g$f = 1 THEN $i.m$f ELSE 1.0 - $i.m$f END)")
+          .foldLeft(s"$i.lambda")((acc, t) => s"$acc * $t")
+        def pu(i: String) = (0 until nF).map(f =>
+          s"(CASE WHEN c.g$f = 1 THEN $i.u$f ELSE 1.0 - $i.u$f END)")
+          .foldLeft(s"(1.0 - $i.lambda)")((acc, t) => s"$acc * $t")
+        val iterCtes = (1 to iters).map { k =>
+          val p = pm("i"); val q = pu("i")
+          s"""e$k AS (SELECT ${gCols.map("c." + _).mkString(", ")}, c.cnt,
+             |  CAST(FLOOR(($p) / (($p) + ($q)) * 1000000000.0 + 0.5) AS BIGINT) AS wq
+             |  FROM cnts c CROSS JOIN it${k - 1} i),
+             |it$k AS (SELECT
+             |  LEAST(GREATEST(CAST(SUM(cnt * wq) AS DOUBLE)
+             |    / (1000000000.0 * CAST(t.n AS DOUBLE)), 0.000001), 0.999999) AS lambda,
+             |${(0 until nF).map(f =>
+                s"""  LEAST(GREATEST(CAST(SUM(cnt * wq * g$f) AS DOUBLE)
+                   |    / CAST(SUM(cnt * wq) AS DOUBLE), 0.000001), 0.999999) AS m$f,
+                   |  LEAST(GREATEST(CAST(SUM(cnt * (1000000000 - wq) * g$f) AS DOUBLE)
+                   |    / CAST(SUM(cnt * (1000000000 - wq)) AS DOUBLE), 0.000001), 0.999999) AS u$f""".stripMargin)
+                .mkString(",\n")}
+             |  FROM e$k CROSS JOIN tot t GROUP BY t.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT ${fieldsSql.zipWithIndex.map { case (fx, f) =>
+                s"(CASE WHEN $fx THEN 1 ELSE 0 END) AS g$f" }.mkString(",\n         ")}
+           |  FROM customer a JOIN customer b
+           |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           |    AND a.c_custkey < b.c_custkey),
+           |cnts AS (SELECT ${gCols.mkString(", ")}, CAST(COUNT(*) AS BIGINT) AS cnt
+           |         FROM pairs GROUP BY ${gCols.mkString(", ")}),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnts),
+           |it0 AS (SELECT CAST(0.5 AS DOUBLE) AS lambda,
+           |${(0 until nF).map(f =>
+              s"  CAST(0.9 AS DOUBLE) AS m$f, CAST(0.1 AS DOUBLE) AS u$f").mkString(",\n")}),
+           |$iterCtes
+           |SELECT f.field_idx,
+           |  CASE f.field_idx ${(0 until nF).map(f => s"WHEN $f THEN i.m$f").mkString(" ")} END AS m,
+           |  CASE f.field_idx ${(0 until nF).map(f => s"WHEN $f THEN i.u$f").mkString(" ")} END AS u,
+           |  i.lambda, t.n AS n_pairs
+           |FROM it$iters i CROSS JOIN tot t
+           |CROSS JOIN (VALUES ${(0 until nF).map(f => s"($f)").mkString(", ")}) f(field_idx)
+           |ORDER BY field_idx""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Linkage
+      val params = Linkage.estimateParamsEM(Tables.customer(s, d), "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq(
+          r => floor(r.getField("c_acctbal") / lit(1000.0)),
+          r => r.getField("c_acctbal") >= lit(0.0),
+          r => length(r.getField("c_name"))),
+        iters = 5)
+      import s.implicits._
+      params.m.indices.map(f =>
+          (f, params.m(f), params.u(f), params.lambda, params.nPairs))
+        .toDF("field_idx", "m", "u", "lambda", "n_pairs")
+        .orderBy("field_idx")
+    },
+
     QueryDef.sql(
       "q_identity_resolve",
       s"""$oracleCtes

@@ -721,4 +721,50 @@ class LinkageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strong == Set((1L, 2L), (3L, 4L)))
   }
+
+  test("fs EM: one iteration matches the hand-computed fixture") {
+    // one block, ids 1..4 with field f: values (x, x, x, y) →
+    // pairs (1,2)(1,3)(2,3) agree [3 pairs], (1,4)(2,4)(3,4) disagree
+    // [3]... use values (x,x,x,y) → agree C(3,2)=3, disagree 3·1=3.
+    // Want agree=3, disagree=1 → ids 1,2,3 share x; block pairs with
+    // a lone y would add 3 disagrees. Use TWO fixture rows per
+    // pattern instead: block b1 = (x,x,x) → 3 agreeing pairs; block
+    // b2 = (p,q) → 1 disagreeing pair.
+    //
+    // Hand EM (λ=0.5, m=0.9, u=0.1, Q=1e9):
+    //  γ=1 (cnt 3): pm=0.45 pu=0.05 w=0.9  → wq=900000000
+    //  γ=0 (cnt 1): pm=0.05 pu=0.45 w=0.1  → wq=100000000
+    //  sumW=2.8e9 sumWg=2.7e9 → m₁=27/28=0.9642857142857143
+    //  sumNW=1.2e9 sumNWg=3e8 → u₁=0.25
+    //  λ₁ = 2.8e9 / (1e9·4) = 0.7
+    val df = Seq((1L, "b1", "x"), (2L, "b1", "x"), (3L, "b1", "x"),
+      (4L, "b2", "p"), (5L, "b2", "q")).toDF("id", "blk", "f")
+    val p = Linkage.estimateParamsEM(df, "id", Seq("blk"),
+      Seq(r => r.getField("f")), iters = 1)
+    assert(p.nPairs == 4L)
+    assert(p.patternCounts == Map(1 -> 3L, 0 -> 1L))
+    assert(p.m(0) == 27.0 / 28.0)
+    assert(p.u(0) == 0.25)
+    assert(p.lambda == 0.7)
+  }
+
+  test("fs EM: deterministic across runs and partitionings, clamps hold") {
+    val rows = (1L to 200L).map(i =>
+      (i, (i % 10).toString, if (i % 3 == 0) "a" else s"v$i", (i % 7).toString))
+    val fields: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(r => r.getField("f1"), r => r.getField("f2"))
+    def run(parts: Int) = {
+      val df = rows.toDF("id", "blk", "f1", "f2").repartition(parts)
+      Linkage.estimateParamsEM(df, "id", Seq("blk"), fields, iters = 5)
+    }
+    val a = run(1); val b = run(13)
+    assert(a.lambda == b.lambda)
+    assert(a.m.toSeq == b.m.toSeq && a.u.toSeq == b.u.toSeq)
+    (a.m ++ a.u :+ a.lambda).foreach(x =>
+      assert(x >= 0.000001 && x <= 0.999999, s"clamp violated: $x"))
+    // learned weights feed selfScore: agree weight must exceed
+    // disagree for a field where agreement is match-evidence
+    val w = Linkage.scaledWeights(a)
+    assert(w.forall { case (wa, wd) => wa > wd })
+  }
 }
