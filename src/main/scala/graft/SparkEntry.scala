@@ -18,7 +18,7 @@ object SparkEntry {
       IdentityQueries.defs ++ UpsertQueries.defs ++ ReportingQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
       ExtraQueries.defs ++ SourceQueries.defs ++ TemporalQueries.defs ++
-      HeadlineQueries.defs
+      SqlSurfaceQueries.defs ++ HeadlineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
