@@ -350,4 +350,61 @@ object Multimodal {
       // surface as two rows with an identical-looking content_hash —
       // downstream joins must key on (content_hash, n_bytes)
       .select("content_hash", "n_bytes", "keep_id", "dup_count")
+
+  /** Video near-dup from per-frame perceptual signatures: each frame
+    * payload decodes through the REAL [[dHash]] kernel, and two
+    * videos are near-duplicates when at least `minMatchFrac` of the
+    * LONGER video's frames agree bit-exactly (same frame index, same
+    * 64-bit dHash) — re-encodes and uniform brightness shifts match
+    * (dHash invariance), edits/insertions drop aligned agreement.
+    *
+    * Output: one row per near-dup pair `(id_a < id_b, n_match,
+    * n_frames_a, n_frames_b)`; compose with
+    * [[graft.operators.Dedup.collapseNearDuplicates]] for the
+    * cluster collapse (CC min-label), exactly like the text dedups.
+    *
+    * Scale shape: the payload never survives the decode — only
+    * `(video, frame, 2 longs)` shuffle. Candidates come from an
+    * equi-join on `(frame_idx, dhash)`, so cost is bounded by videos
+    * that actually SHARE identical frame content, never all-pairs.
+    * `maxFrameFreq > 0` drops frame signatures shared by more videos
+    * than the cap before pairing — the hot-shingle discipline for
+    * degenerate common frames (black frames, title cards) whose
+    * candidate fan-out is quadratic and whose evidence value is nil. */
+  def videoNearDup(frames: DataFrame, minMatchFrac: Double,
+      idCol: String = "video_id", frameCol: String = "frame_idx",
+      payloadCol: String = "payload", maxFrameFreq: Long = 0L): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val sig = frames
+      .select(col(idCol).cast("long"), col(frameCol).cast("int"), col(payloadCol))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (v, k, bytes) =>
+        val (lo, hi) = dHash(bytes)
+          .getOrElse(sys.error(s"video $v frame $k failed to decode"))
+        (v, k, lo, hi)
+      })
+      .toDF("_vid", "_frame", "_lo", "_hi")
+      .localCheckpoint(false) // decode once: feeds counts + both join sides
+    val nFrames = sig.groupBy("_vid").agg(count(lit(1)).as("_nf"))
+    val pairable =
+      if (maxFrameFreq <= 0L) sig
+      else {
+        val hot = sig.groupBy("_frame", "_lo", "_hi")
+          .agg(count(lit(1)).as("_freq"))
+          .filter(col("_freq") > maxFrameFreq)
+          .select("_frame", "_lo", "_hi")
+        sig.join(hot, Seq("_frame", "_lo", "_hi"), "left_anti")
+      }
+    val a = pairable.select(col("_vid").as("id_a"), col("_frame"), col("_lo"), col("_hi"))
+    val b = pairable.select(col("_vid").as("id_b"), col("_frame"), col("_lo"), col("_hi"))
+    a.join(b, Seq("_frame", "_lo", "_hi"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
+      .join(nFrames.select(col("_vid").as("id_a"), col("_nf").as("n_frames_a")), "id_a")
+      .join(nFrames.select(col("_vid").as("id_b"), col("_nf").as("n_frames_b")), "id_b")
+      .filter(col("n_match").cast("double") >=
+        lit(minMatchFrac) * greatest(col("n_frames_a"), col("n_frames_b")).cast("double"))
+      .select("id_a", "id_b", "n_match", "n_frames_a", "n_frames_b")
+  }
 }

@@ -1532,5 +1532,96 @@ object TextQueries {
         docs.select((col("media_id") + 1000000L).as("media_id"), col("payload")))
       graft.operators.Multimodal.dedupExact(reingested)
         .orderBy("content_hash")
+    },
+
+    // Video near-dup via per-frame dHash sequences, REAL decode under
+    // the hash gate: every 5th document mints a 4-frame synthetic
+    // "video" (18×16 BMPs, pixel = ((seed%9973)(x+3) + (seed%9949)(y+7)
+    // + 31xy) mod 199, seed = v·7919 + k·104729 — two residues plus an
+    // x·y cross term, so the frame pattern is NOT affine in (x,y) and
+    // distinct seeds virtually never collide on the 64-bit dHash);
+    // every 3rd such video gets a TWIN
+    // whose first 3 frames are the SAME content at +20 brightness
+    // (dHash is shift-invariant — the oracle derives their hashes
+    // from the UNSHIFTED formula, so a broken invariance breaks the
+    // gate) and whose 4th frame is its own content. Frame-aligned
+    // signature matching at ≥ 60% of the longer video pairs each
+    // twin with its source (3/4 frames), then the CC collapse labels
+    // clusters — replayed in the oracle with the recursive min-label
+    // CTE (the q_dedup_collapse pattern).
+    QueryDef.sql(
+      "q_multimodal_video_neardup", {
+        def px(x: String, y: String) =
+          s"(((seed % 9973)*(($x) + 3) + (seed % 9949)*(($y) + 7) + ($x)*($y)*31) % 199)"
+        def cs(cx: String, cy: String) =
+          s"(${px(s"2*($cx)", s"2*($cy)")} + ${px(s"2*($cx)+1", s"2*($cy)")} + " +
+            s"${px(s"2*($cx)", s"2*($cy)+1")} + ${px(s"2*($cx)+1", s"2*($cy)+1")})"
+        s"""WITH RECURSIVE vids AS (
+           |  SELECT doc_id AS v FROM documents WHERE doc_id % 5 = 0),
+           |sigsrc AS (
+           |  SELECT v AS video_id, CAST(g.k AS INT) AS k, v*7919 + g.k*104729 AS seed
+           |  FROM vids, UNNEST(range(0, 4)) AS g(k)
+           |  UNION ALL
+           |  SELECT v + 10000000, CAST(g.k AS INT), v*7919 + g.k*104729
+           |  FROM vids, UNNEST(range(0, 3)) AS g(k) WHERE v % 3 = 0
+           |  UNION ALL
+           |  SELECT v + 10000000, 3, (v + 10000000)*7919 + 3*104729
+           |  FROM vids WHERE v % 3 = 0),
+           |sig AS (
+           |  SELECT video_id, k,
+           |    CAST(list_sum(list_transform(range(0, 32),
+           |      b -> CASE WHEN ${cs("b % 8", "b // 8")} < ${cs("b % 8 + 1", "b // 8")}
+           |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS lo,
+           |    CAST(list_sum(list_transform(range(32, 64),
+           |      b -> CASE WHEN ${cs("b % 8", "b // 8")} < ${cs("b % 8 + 1", "b // 8")}
+           |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS hi
+           |  FROM sigsrc),
+           |nf AS (SELECT video_id, COUNT(*) AS nf FROM sig GROUP BY 1),
+           |cand AS (
+           |  SELECT a.video_id AS id_a, b.video_id AS id_b, COUNT(*) AS n_match
+           |  FROM sig a JOIN sig b
+           |    ON a.k = b.k AND a.lo = b.lo AND a.hi = b.hi AND a.video_id < b.video_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM cand
+           |  JOIN nf na ON na.video_id = id_a
+           |  JOIN nf nb ON nb.video_id = id_b
+           |  WHERE CAST(n_match AS DOUBLE) >= 0.6 * CAST(GREATEST(na.nf, nb.nf) AS DOUBLE)),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |cc(id, l) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, cc.l FROM edges e JOIN cc ON cc.id = e.b),
+           |comp AS (SELECT id, min(l) AS cluster_id FROM cc GROUP BY id)
+           |SELECT s.video_id, COALESCE(c.cluster_id, s.video_id) AS cluster_id,
+           |  s.video_id = COALESCE(c.cluster_id, s.video_id) AS kept
+           |FROM (SELECT DISTINCT video_id FROM sig) s
+           |LEFT JOIN comp c ON c.id = s.video_id
+           |ORDER BY video_id""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val vids = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val frames = vids.flatMap { v =>
+        def bmp(seed: Long, shift: Int): Array[Byte] =
+          graft.operators.Multimodal.synthBmp24(18, 16)((x, y) =>
+            ((((seed % 9973L) * (x + 3) + (seed % 9949L) * (y + 7) +
+              x * y * 31L) % 199L) + shift).toInt)
+        val origs = (0 until 4).map(k => (v, k, bmp(v * 7919L + k * 104729L, 0)))
+        val twins =
+          if (v % 3 == 0) {
+            val t = v + 10000000L
+            (0 until 3).map(k => (t, k, bmp(v * 7919L + k * 104729L, 20))) :+
+              ((t, 3, bmp(t * 7919L + 3 * 104729L, 0)))
+          } else Nil
+        origs ++ twins
+      }.toDF("video_id", "frame_idx", "payload")
+      val pairs = graft.operators.Multimodal.videoNearDup(frames, 0.6)
+        .select("id_a", "id_b")
+      val videos = frames.select(col("video_id")).distinct()
+      graft.operators.Dedup.collapseNearDuplicates(videos, pairs, "video_id")
+        .select("video_id", "cluster_id", "kept")
+        .orderBy("video_id")
     })
 }

@@ -134,4 +134,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Multimodal.synthBmp24(17, 16)(base)).isEmpty)
     assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("videoNearDup: aligned-frame matching, threshold, and the hot-frame cap") {
+    import spark.implicits._
+    def bmp(seed: Long, shift: Int): Array[Byte] =
+      Multimodal.synthBmp24(18, 16)((x, y) =>
+        ((((seed % 9973L) * (x + 3) + (seed % 9949L) * (y + 7) + x * y * 31L) % 199L)
+          + shift).toInt)
+    // video 1: frames s1..s4; video 2: 3 of 4 frames = video 1's at
+    // +20 brightness (match, 0.75 >= 0.6); video 3: 1 of 4 shared
+    // (0.25 < 0.6 -> no pair); videos 4-7: all frames one CONSTANT
+    // image (the degenerate common frame — title card / black frame)
+    val flat = (0 until 4).map(k => (k, bmp(0L, 0)))
+    val frames = (
+      (0 until 4).map(k => (1L, k, bmp(100 + k, 0))) ++
+      ((0 until 3).map(k => (2L, k, bmp(100 + k, 20))) :+ ((2L, 3, bmp(999L, 0)))) ++
+      ((3L, 0, bmp(100, 0)) +: (1 until 4).map(k => (3L, k, bmp(500 + k, 0)))) ++
+      (4L to 7L).flatMap(v => flat.map { case (k, b) => (v, k, b) })
+    ).toDF("video_id", "frame_idx", "payload")
+    val pairs = Multimodal.videoNearDup(frames, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 3L) // brightness-shifted twin
+    assert(!pairs.contains((1L, 3L)))                         // below threshold
+    assert(pairs.contains((4L, 5L)) && pairs((4L, 5L)) == 4L) // identical videos
+    assert(pairs.contains((6L, 7L)))                          // the full flat clique
+    // hot-frame cap: the constant frame is held by 4 videos (> cap 3),
+    // so it is dropped from pairing — the flat clique vanishes while
+    // the content-distinct pair (1,2) (frame freq 2) survives
+    val capped = Multimodal.videoNearDup(frames, 0.6, maxFrameFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
 }
