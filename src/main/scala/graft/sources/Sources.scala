@@ -516,6 +516,65 @@ object Sources {
     * batch dirs' key columns. Returns the number of filters built. */
   def indexBatchKeys(spark: SparkSession, tableDir: String, keyCol: String,
       fpp: Double = 0.01): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract, when, lit}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) return 0
+    val todo = unindexedBatchDirs(fs, root, s"_keybloom-$keyCol")
+    if (todo.isEmpty) return 0
+    // sizing WITHOUT a count job: parquet footer row counts, read
+    // driver-side from metadata only — the old shape scanned each
+    // dir's key column once to COUNT and once more to build, plus one
+    // driver-serialized Spark job pair per dir
+    val conf = spark.sparkContext.hadoopConfiguration
+    val counted = todo.map { dir =>
+      footerStats(fs, conf, new org.apache.hadoop.fs.Path(root, dir))
+    }
+    val sized = todo.zip(counted.map(_._1))
+    // ONE Spark job builds every filter: a single scan of the
+    // un-indexed dirs with one bloom_filter_agg PER DIR (each sized
+    // exactly as the per-dir build would be, each fed only its dir's
+    // rows via a null-gated child — aggregate updates skip nulls).
+    // Insertion is commutative, so the bits are byte-identical to the
+    // serial per-dir stat.bloomFilter build, which rides the SAME
+    // BloomFilterAggregate expression underneath. The scan carries
+    // the footer-derived schema (no inference job) and a recursive
+    // file lookup (no partition discovery — the partition column is
+    // not needed, underscore sidecars are filtered by Spark's listing
+    // rules), so the WHOLE build is one non-adaptive aggregation job.
+    val scan = bulkScan(spark, tableDir, todo,
+      counted.collectFirst { case (_, Some(m)) => m }, keyCol)
+    val aggs: Seq[org.apache.spark.sql.Column] = sized.map { case (dir, n) =>
+      val items = math.max(n, 1L)
+      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            when(col("_bdir") === lit(dir), col(keyCol))),
+          org.apache.spark.sql.catalyst.expressions.Literal(items),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits), 0, 0)
+          .toAggregateExpression()).as(dir)
+    }
+    val row = withoutAqe(spark) { scan.agg(aggs.head, aggs.tail: _*).head() }
+    sized.zipWithIndex.foreach { case ((dir, n), i) =>
+      val bloom =
+        if (row.isNullAt(i)) // zero-row dir: aggregate saw no input
+          org.apache.spark.util.sketch.BloomFilter.create(math.max(n, 1L), fpp)
+        else
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](i)))
+      writeSidecar(fs, new org.apache.hadoop.fs.Path(root, dir),
+        s"_keybloom-$keyCol")(out => bloom.writeTo(out))
+    }
+    sized.size
+  }
+
+  /** Round-9 shape of [[indexBatchKeys]] (serial driver loop, one
+    * count + one build job per dir) — kept for the differential spec
+    * that pins the bulk build byte-identical. */
+  private[sources] def indexBatchKeysSerial(spark: SparkSession, tableDir: String,
+      keyCol: String, fpp: Double = 0.01): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(tableDir)
@@ -528,16 +587,89 @@ object Sources {
           val keyed = spark.read.parquet(st.getPath.toString).select(keyCol)
           val bloom = keyed.stat.bloomFilter(keyCol,
             math.max(keyed.count(), 1L), fpp)
-          val tmp = new org.apache.hadoop.fs.Path(st.getPath,
-            s"._keybloom-$keyCol.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          val out = fs.create(tmp, true)
-          try bloom.writeTo(out) finally out.close()
-          if (!fs.rename(tmp, sidecar)) deleteQuiet(fs, tmp, false)
+          writeSidecar(fs, st.getPath, s"_keybloom-$keyCol")(out => bloom.writeTo(out))
           built += 1
         }
       }
     }
     built
+  }
+
+  /** Un-indexed `b-*` batch dirs under `root` (no `sidecarName`). */
+  private def unindexedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, sidecarName: String): Seq[String] =
+    fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("b-") &&
+        !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, sidecarName)) =>
+        st.getPath.getName
+    }.sorted
+
+  /** Exact row count (and the first file's parquet schema) of every
+    * parquet file under `dir` (recursive, hidden/sidecar files
+    * skipped) from FOOTER METADATA only — no Spark job, no data read.
+    * The count equals the count() the serial builder paid a scan for. */
+  private def footerStats(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path): (Long, Option[org.apache.parquet.schema.MessageType]) = {
+    var total = 0L
+    var schema: Option[org.apache.parquet.schema.MessageType] = None
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try {
+          total += reader.getRecordCount
+          if (schema.isEmpty)
+            schema = Some(reader.getFileMetaData.getSchema)
+        } finally reader.close()
+      }
+    }
+    (total, schema)
+  }
+
+  /** One tagged scan over all `dirs`: footer-derived schema (no
+    * inference job), recursive file lookup (no partition discovery —
+    * dirs with k=v subdirs read fine because only `wantedCol` is
+    * selected), dir tag parsed from the file path. */
+  private def bulkScan(spark: SparkSession, tableDir: String, dirs: Seq[String],
+      firstSchema: Option[org.apache.parquet.schema.MessageType],
+      wantedCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val reader = spark.read.option("recursiveFileLookup", "true")
+    val withSchema = firstSchema.map { m =>
+      reader.schema(
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+          .convert(m))
+    }.getOrElse(reader)
+    withSchema.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+      .select(regexp_extract(input_file_name(), "/(b-[^/]+)/", 1).as("_bdir"),
+        col(wantedCol))
+  }
+
+  /** Run `action` with adaptive execution OFF (restored after): AQE
+    * splits a single aggregation into per-stage jobs; the bulk index
+    * builders promise ONE job regardless of dir count. */
+  private def withoutAqe[T](spark: SparkSession)(action: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try action finally spark.conf.set(key, prev)
+  }
+
+  /** tmp-write + rename of a batch-dir sidecar (concurrent indexers
+    * write identical bits, so the rename race is benign). */
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String)(
+      write: java.io.OutputStream => Unit): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try write(out) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)))
+      deleteQuiet(fs, tmp, false)
   }
 
   /** Compaction for [[publishMergePartitioned]] tables: rewrite the
@@ -639,6 +771,44 @@ object Sources {
     * watermark without opening a single parquet footer. Zone maps
     * have no false positives, so skipping is deterministic. */
   def indexBatchStats(spark: SparkSession, tableDir: String, statCol: String): Int = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col, input_file_name, regexp_extract}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) return 0
+    val todo = unindexedBatchDirs(fs, root, s"_zonemap-$statCol")
+    if (todo.isEmpty) return 0
+    // ONE map-side-combined job over all un-indexed dirs (vs the old
+    // one-aggregation-job-per-dir driver loop): (dir, min, max) rows,
+    // one per dir, collected driver-side — dir count, never data
+    val conf = spark.sparkContext.hadoopConfiguration
+    val firstSchema = todo.iterator
+      .map(d => footerStats(fs, conf, new org.apache.hadoop.fs.Path(root, d))._2)
+      .collectFirst { case Some(m) => m }
+    val grouped = bulkScan(spark, tableDir, todo, firstSchema, statCol)
+      .groupBy("_bdir")
+      .agg(fmin(col(statCol)).as("_lo"), fmax(col(statCol)).as("_hi"))
+    val stats = withoutAqe(spark) { grouped.collect() }
+      .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+    todo.foreach { dir =>
+      val body = stats.get(dir) match {
+        case Some((lo, _)) if lo == null => "empty"
+        case None => "empty" // zero-row dir contributes no group
+        case Some((lo, hi)) =>
+          val (tag, l) = zoneKey(lo)
+          val (_, h) = zoneKey(hi)
+          s"$tag\n${zoneRepr(tag, l)}\n${zoneRepr(tag, h)}"
+      }
+      writeSidecar(fs, new org.apache.hadoop.fs.Path(root, dir),
+        s"_zonemap-$statCol")(out => out.write(body.getBytes("UTF-8")))
+    }
+    todo.size
+  }
+
+  /** Round-9 shape of [[indexBatchStats]] (serial per-dir jobs) —
+    * kept for the byte-identity differential spec. */
+  private[sources] def indexBatchStatsSerial(spark: SparkSession, tableDir: String,
+      statCol: String): Int = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
@@ -658,11 +828,8 @@ object Sources {
               val (_, hi) = zoneKey(row.get(1))
               s"$tag\n${zoneRepr(tag, lo)}\n${zoneRepr(tag, hi)}"
             }
-          val tmp = new org.apache.hadoop.fs.Path(st.getPath,
-            s"._zonemap-$statCol.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          val out = fs.create(tmp, true)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-          if (!fs.rename(tmp, sidecar)) deleteQuiet(fs, tmp, false)
+          writeSidecar(fs, st.getPath, s"_zonemap-$statCol")(
+            out => out.write(body.getBytes("UTF-8")))
           built += 1
         }
       }
