@@ -397,6 +397,37 @@ object PipelineQueries {
         .orderBy("window_start", "event_type", "slot")
     },
 
+    // Per-(hour, type) quantiles of an UNKNOWN-RANGE value stream:
+    // the KLL sketch inside the windowed aggregation — bounded state
+    // where an exact streaming percentile would hold every value
+    // until the watermark. Window populations sit far below the k
+    // capacity at every SF, so the sketch is in its exact regime and
+    // the oracle replays the rank-pick verbatim (dyadic probs). The
+    // readStream path is the PipelineStreamingSpec differential.
+    QueryDef.sql(
+      "q_stream_kll",
+      """WITH f AS (SELECT date_trunc('hour', ts) AS window_start, event_type, value
+        |           FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT window_start, event_type, COUNT(*) AS n FROM f GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, value,
+        |        row_number() OVER (PARTITION BY window_start, event_type
+        |                           ORDER BY value) AS rn
+        |      FROM f),
+        |p AS (SELECT * FROM (VALUES (0, 0.5), (1, 0.75)) AS t(qi, p))
+        |SELECT n.window_start AS window_start, n.event_type AS event_type,
+        |  p.qi, r.value AS qv
+        |FROM n CROSS JOIN p
+        |JOIN r ON r.window_start = n.window_start AND r.event_type = n.event_type
+        |  AND r.rn = GREATEST(1, CAST(CEIL(CAST(p.p AS DOUBLE) * n.n) AS BIGINT))
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      graft.streaming.EventStream.windowedQuantiles(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          k = 16384, probs = Seq(0.5, 0.75))
+        .select(col("window_start"), col("event_type"),
+          posexplode(col("q")).as(Seq("qi", "qv")))
+        .orderBy("window_start", "event_type", "qi")
+    },
+
     // Per-window approximate distinct users: the KMV sketch inside
     // the windowed aggregation (bounded state where a streaming
     // countDistinct is not even allowed), vs the exact count from a

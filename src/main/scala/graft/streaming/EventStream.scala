@@ -75,6 +75,26 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("kmv_users"))
 
+  /** Windowed quantile profile over values with UNKNOWN range: the
+    * KLL/MRL sketch ([[graft.functions.KllQuantiles]]) inside the
+    * windowed aggregation — the missing third leg of the streaming
+    * distribution family (histogram needs `[lo, width]` a priori,
+    * KMV counts distincts; this reads off p50/p90/… of an unbounded
+    * value stream). State per open window-group is
+    * `O(k·log(n/k))` doubles regardless of event volume — an exact
+    * streaming percentile would hold every value until the watermark
+    * closes the window. Exact (and oracle-replayable) while a
+    * window's values stay ≤ k; `H·n/k` rank-bounded beyond. Works
+    * identically on a stream or a batch frame (the spec pins the
+    * differential). */
+  def windowedQuantiles(events: DataFrame, k: Int, probs: Seq[Double],
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(graft.functions.Kll.kllQuantiles(col("value"), k, probs).as("q"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("q"))
+
   /** The distribution-shift alarm end to end: per-(window, type)
     * histogram sketch joined against a broadcast per-type BASELINE
     * histogram (the training snapshot), emitting only windows whose

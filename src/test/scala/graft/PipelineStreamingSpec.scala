@@ -925,6 +925,37 @@ class StreamingSpec extends SparkSpec {
     assert(hour1 == 2L)
   }
 
+  test("windowed KLL quantiles stream: ladder state round-trips, equals batch, exact below k") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_stream_kll").toString
+    // hour 0: values 1..8 BELOW the k=16 capacity (exact regime —
+    // stream state serialize/merge must reproduce the multiset);
+    // hour 1: 40 values through compaction (k=16) — streamed must
+    // still equal the batch run bit-for-bit (same merge tree per the
+    // single memory-sink pass)
+    val data =
+      (1 to 8).map(i => EventStream.Event(i.toLong,
+        ts(f"2024-01-01 00:0$i%01d:00"), 1, "click", i.toDouble)) ++
+      (1 to 40).map(i => EventStream.Event(100L + i,
+        ts(f"2024-01-01 01:${i % 60}%02d:00"), 1, "view",
+        ((i * 37) % 100).toDouble))
+    data.toDF().write.parquet(s"$dir/events")
+    val stream = spark.readStream.schema(data.toDF().schema).parquet(s"$dir/events")
+    val q = EventStream.windowedQuantiles(stream, k = 16, probs = Seq(0.5, 0.75))
+      .writeStream.format("memory").queryName("kll_win_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSet
+    val streamed = rows(spark.table("kll_win_out"))
+    assert(streamed.nonEmpty)
+    // exact regime: hour-0 p50 of 1..8 = value at rank ceil(.5*8)=4,
+    // p75 at rank 6
+    val h0 = spark.table("kll_win_out")
+      .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+      .collect()(0).getSeq[Double](2)
+    assert(h0 == Seq(4.0, 6.0))
+  }
+
   test("incremental filter (Modified > last_sync)") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-02-01 00:00:00")))
