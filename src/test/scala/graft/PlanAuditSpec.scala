@@ -290,4 +290,59 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_retrieval_hybrid")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("kll sketch: ObjectHashAggregate pair with map-side partials, one shuffle") {
+    val p = planOf("q_agg_kll_quantile")
+    assert(p.contains("partial_kll_quantiles"), p.take(1500))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
+  test("video near-dup: candidates from an equi-join on frame signatures, never a cartesian; payload never joins") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def bmp(seed: Long): Array[Byte] =
+      graft.operators.Multimodal.synthBmp24(18, 16)((x, y) =>
+        ((((seed % 9973L) * (x + 3) + (seed % 9949L) * (y + 7) + x * y * 31L) % 199L)).toInt)
+    val frames = (1L to 4L).flatMap(v => (0 until 3).map(k => (v, k, bmp(v * 10 + k))))
+      .toDF("video_id", "frame_idx", "payload")
+    val p = graft.operators.Multimodal.videoNearDup(frames, 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the decoded signature frame is what joins — the binary payload
+    // column must not appear above the decode
+    assert(!p.contains("payload"), p.take(2000))
+  }
+
+  test("row-level change feed: delta scan lists only the changed dirs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_cdc").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
+    def b(lo: Long, hi: Long, pmod: Int) = (lo to hi).map(i => (i, s"v$i"))
+      .toDF("k", "v").withColumn("p", (col("k") % pmod).cast("int"))
+    graft.sources.Sources.publishMergePartitioned(spark, dir, b(1, 40, 4), cfg, "p")
+    val since = graft.sources.Sources.mergeVersions(spark, dir).max
+    // second publish touches ONLY partitions 1 and 3 (odd keys)
+    graft.sources.Sources.publishMergePartitioned(spark, dir,
+      b(41, 60, 4).filter(col("p").isin(1, 3)), cfg, "p")
+    val delta = graft.sources.Sources.readMergePartitionedChanges(spark, dir, since, "p")
+    val scanned = delta.queryExecution.executedPlan.toString
+    // the changed-partition read must reference only the second
+    // publish's batch dir — the first batch's untouched p=0/p=2 dirs
+    // contribute zero I/O
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("b-")).sorted
+    assert(batchDirs.length == 2)
+    val (first, second) = (batchDirs(0), batchDirs(1))
+    assert(scanned.contains(second), scanned.take(1500))
+    assert(!scanned.contains(first), scanned.take(1500))
+  }
+
+  test("streaming kll: partial/merge aggregate pair under the window grouping") {
+    val p = planOf("q_stream_kll")
+    assert(p.contains("partial_kll_quantiles"), p.take(2000))
+  }
 }
