@@ -244,6 +244,108 @@ object KllQuantiles {
   }
 }
 
+/** The sketch STATE as a value: aggregates values into a KLL ladder
+  * and emits the serialized bytes instead of reading quantiles off —
+  * the incremental-maintenance half of the family. A nightly job
+  * stores one sketch row per (batch, group); refreshing the corpus
+  * profile then aggregates the tiny sketch rows with
+  * [[KllMergeQuantiles]] and never rescans data — the same
+  * histogram-merge play ([[Histograms.histMerge]]) for unknown-range
+  * quantiles (mergeable-summaries property: merged ladder ≡ ladder
+  * of the union, exactly so below capacity). */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllQuantiles.Buf]
+  with UnaryLike[Expression] {
+
+  require(k >= 8, s"kll capacity must be >= 8, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_sketch takes a DOUBLE value, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): KllQuantiles.Buf = new KllQuantiles.Buf(k)
+  override def update(buf: KllQuantiles.Buf, input: InternalRow): KllQuantiles.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(buf: KllQuantiles.Buf, other: KllQuantiles.Buf): KllQuantiles.Buf = {
+    buf.mergeIn(other); buf
+  }
+  override def eval(buf: KllQuantiles.Buf): Any = buf.serialize()
+  override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllQuantiles.Buf =
+    KllQuantiles.Buf.deserialize(k, bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "kll_sketch"
+}
+
+/** Merge STORED sketch states (binary rows from [[KllSketchAgg]])
+  * and read quantiles off the merged ladder — the refresh side of
+  * incremental maintenance: input rows are sketches, never data, so
+  * updating a 100 TB table's quantile profile after a new batch costs
+  * one pass over per-batch sketch rows. */
+case class KllMergeQuantiles(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllQuantiles.Buf]
+  with UnaryLike[Expression] {
+
+  require(k >= 8, s"kll capacity must be >= 8, got $k")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"quantile probabilities must be in [0,1], got ${probs.mkString(",")}")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_merge takes BINARY sketch states, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): KllQuantiles.Buf = new KllQuantiles.Buf(k)
+  override def update(buf: KllQuantiles.Buf, input: InternalRow): KllQuantiles.Buf = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeIn(KllQuantiles.Buf.deserialize(k, v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(buf: KllQuantiles.Buf, other: KllQuantiles.Buf): KllQuantiles.Buf = {
+    buf.mergeIn(other); buf
+  }
+  override def eval(buf: KllQuantiles.Buf): Any =
+    new GenericArrayData(buf.quantiles(probs))
+  override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllQuantiles.Buf =
+    KllQuantiles.Buf.deserialize(k, bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeQuantiles =
+    copy(child = newChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "kll_merge"
+}
+
 object Kll {
 
   /** Quantile estimates of `c` at the given probabilities from one
@@ -253,5 +355,19 @@ object Kll {
   def kllQuantiles(c: Column, k: Int, probs: Seq[Double]): Column =
     Bridge.column(
       KllQuantiles(Bridge.expression(c.cast("double")), k, probs)
+        .toAggregateExpression())
+
+  /** Serialized sketch state per group (`BINARY`) — store it with
+    * the batch; see [[KllSketchAgg]]. */
+  def kllSketch(c: Column, k: Int): Column =
+    Bridge.column(
+      KllSketchAgg(Bridge.expression(c.cast("double")), k)
+        .toAggregateExpression())
+
+  /** Merge stored sketch states and read quantiles — see
+    * [[KllMergeQuantiles]]. */
+  def kllMerge(state: Column, k: Int, probs: Seq[Double]): Column =
+    Bridge.column(
+      KllMergeQuantiles(Bridge.expression(state), k, probs)
         .toAggregateExpression())
 }

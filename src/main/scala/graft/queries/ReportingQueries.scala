@@ -1152,6 +1152,43 @@ object ReportingQueries {
         .orderBy("o_orderpriority", "qi")
     },
 
+    // KLL incremental maintenance: per-(priority, batch-half) sketch
+    // STATES are built and stored as binary rows (KllSketchAgg), then
+    // the profile refresh aggregates ONLY those sketch rows
+    // (KllMergeQuantiles) — data is never rescanned. In the exact
+    // regime the merged ladder is the union multiset, so the merged
+    // read-off must equal the full-data rank pick the SAME oracle as
+    // q_agg_kll_quantile performs — which is exactly what's gated:
+    // build-store-merge-refresh ≡ direct single-pass.
+    QueryDef.sql(
+      "q_agg_kll_incremental",
+      """WITH f AS (SELECT o_orderpriority, o_totalprice
+        |           FROM orders WHERE o_orderkey % 7 = 0),
+        |n AS (SELECT o_orderpriority, COUNT(*) AS n FROM f GROUP BY 1),
+        |r AS (SELECT o_orderpriority, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice) AS rn
+        |      FROM f),
+        |p AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(qi, p))
+        |SELECT n.o_orderpriority AS o_orderpriority, p.qi, r.o_totalprice AS qv
+        |FROM n CROSS JOIN p
+        |JOIN r ON r.o_orderpriority = n.o_orderpriority
+        |  AND r.rn = GREATEST(1, CAST(CEIL(CAST(p.p AS DOUBLE) * n.n) AS BIGINT))
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val perBatch = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .withColumn("half", (col("o_orderkey") % 2).cast("int"))
+        .groupBy("o_orderpriority", "half")
+        .agg(graft.functions.Kll.kllSketch(col("o_totalprice"), 65536).as("state"))
+        // the stored-sketch table a nightly job would persist
+        .localCheckpoint(false)
+      perBatch
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.Kll.kllMerge(
+          col("state"), 65536, Seq(0.25, 0.5, 0.75)).as("q"))
+        .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("qi", "qv")))
+        .orderBy("o_orderpriority", "qi")
+    },
+
     // Distribution drift off the histogram sketches: each event
     // type's value distribution vs the 'view' baseline, as exact
     // integer L1 (Σ|cA·N_B − cB·N_A| — cross-multiplied counts, no

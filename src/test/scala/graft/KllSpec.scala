@@ -115,6 +115,29 @@ class KllSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sketch-state store + merge equals direct aggregation (incremental maintenance)") {
+    val data = stream(3000)
+    val (a, b) = data.splitAt(1700)
+    // exact regime: merged ladder == union multiset == direct build
+    val direct = data.toDF("v")
+      .agg(Kll.kllQuantiles(col("v"), 4096, Seq(0.25, 0.5, 0.9)).as("q"))
+      .collect()(0).getSeq[Double](0)
+    val states = Seq(a, b).map(part => part.toDF("v")
+      .agg(Kll.kllSketch(col("v"), 4096).as("s")).collect()(0).getAs[Array[Byte]](0))
+    val merged = states.map(Tuple1(_)).toDF("s")
+      .agg(Kll.kllMerge(col("s"), 4096, Seq(0.25, 0.5, 0.9)).as("q"))
+      .collect()(0).getSeq[Double](0)
+    assert(merged == direct)
+    // compacted regime: weight is still conserved through store+merge
+    val big = stream(30000)
+    val (c, e) = big.splitAt(11000)
+    val sC = Seq(c, e).map(part => part.toDF("v")
+      .agg(Kll.kllSketch(col("v"), 64).as("s")).collect()(0).getAs[Array[Byte]](0))
+    val buf = new KllQuantiles.Buf(64)
+    sC.foreach(bytes => buf.mergeIn(KllQuantiles.Buf.deserialize(64, bytes)))
+    assert(buf.totalWeight == 30000L)
+  }
+
   test("empty and all-null input yields NaN placeholders, not a crash") {
     val got = Seq.empty[Double].toDF("v")
       .agg(Kll.kllQuantiles(col("v"), 64, Seq(0.5)).as("q"))
