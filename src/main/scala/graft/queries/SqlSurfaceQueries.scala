@@ -470,6 +470,69 @@ object SqlSurfaceQueries {
           |ORDER BY o_orderpriority, qi""".stripMargin)
     },
 
+    // As-of join in SQL text: latest purchase at-or-before each click
+    // per user — the row_number re-derivation IS how a SQL-first user
+    // expresses as-of on Spark (no native ASOF keyword); the oracle
+    // runs the IDENTICAL text, so the formulation itself is what's
+    // pinned. Same scenario as the operator gate q_asof_purchase.
+    QueryDef.sql(
+      "q_sql_asof",
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    p.purchase_id, p.ts AS purchase_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |                       ORDER BY p.ts DESC) AS rn
+        |  FROM clicks c LEFT JOIN p
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT event_id, user_id, ts, purchase_id, purchase_ts
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      sqlQuery(s, d,
+        """WITH clicks AS (
+          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase'
+          |  GROUP BY user_id, ts),
+          |j AS (
+          |  SELECT c.event_id, c.user_id, c.ts,
+          |    p.purchase_id, p.ts AS purchase_ts,
+          |    row_number() OVER (PARTITION BY c.event_id
+          |                       ORDER BY p.ts DESC) AS rn
+          |  FROM clicks c LEFT JOIN p
+          |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+          |SELECT event_id, user_id, ts, purchase_id, purchase_ts
+          |FROM j WHERE rn = 1
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // A10-family rollup in SQL text: subtotal lattice over
+    // (priority, status) with exact DECIMAL-routed sums.
+    QueryDef.sql(
+      "q_sql_rollup",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin) { (s, d) =>
+      sqlQuery(s, d,
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          |  coalesce(o_orderstatus, 'ALL') AS status,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+          |ORDER BY priority, status""".stripMargin)
+    },
+
     // S8/J6 semi + anti in one SQL statement: per-segment counts of
     // customers with and without orders.
     QueryDef.sql(
