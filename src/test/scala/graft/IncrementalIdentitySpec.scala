@@ -198,6 +198,44 @@ class IncrementalIdentitySpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_current")))
   }
 
+  test("snapshot-group stress: concurrent publishers never yield a mixed-version read") {
+    val root = tmp("race")
+    // seed so readers always have something to resolve
+    Sources.publishSnapshotGroup(
+      Seq("a" -> Seq((0, "seed")).toDF("k", "tag"), "b" -> Seq((0, "seed")).toDF("k", "tag")),
+      root)
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val m = Sources.readSnapshotGroupAll(spark, root, Seq("a", "b"))
+        val ta = m("a").collect()(0).getAs[String]("tag")
+        val tb = m("b").collect()(0).getAs[String]("tag")
+        // both members must come from ONE version — a mismatch means a
+        // reader observed a half-published group
+        if (ta != tb) bad.incrementAndGet()
+      }
+    })
+    reader.start()
+    // two publisher threads, interleaved tagged versions
+    val pubs = (1 to 2).map(p => new Thread(() => {
+      (1 to 6).foreach { i =>
+        val tag = s"p$p-v$i"
+        Sources.publishSnapshotGroup(
+          Seq("a" -> Seq((i, tag)).toDF("k", "tag"),
+            "b" -> Seq((i, tag)).toDF("k", "tag")), root)
+      }
+    }))
+    pubs.foreach(_.start()); pubs.foreach(_.join())
+    Thread.sleep(300)
+    stop.set(true); reader.join()
+    assert(bad.get() == 0, s"${bad.get()} mixed-version reads observed")
+    // the surviving pointer names a complete version (both members)
+    val m = Sources.readSnapshotGroupAll(spark, root, Seq("a", "b"))
+    assert(m("a").collect()(0).getAs[String]("tag")
+      == m("b").collect()(0).getAs[String]("tag"))
+  }
+
   private def readCk(ckDir: String): String = {
     val src = scala.io.Source.fromFile(s"$ckDir/_version", "UTF-8")
     try src.mkString finally src.close()
