@@ -532,6 +532,11 @@ object Sources {
       footerStats(fs, conf, new org.apache.hadoop.fs.Path(root, dir))
     }
     val sized = todo.zip(counted.map(_._1))
+    // schema-evolution guard: a dir whose files LACK the key column
+    // must fail LOUDLY like the per-dir build would (the bulk scan's
+    // union schema would otherwise read it as null and write an empty
+    // bloom — keyed lookups would then silently SKIP that dir's rows)
+    requireColumnEverywhere(todo, counted, keyCol, "indexBatchKeys")
     // ONE Spark job builds every filter: a single scan of the
     // un-indexed dirs with one bloom_filter_agg PER DIR (each sized
     // exactly as the per-dir build would be, each fed only its dir's
@@ -659,6 +664,24 @@ object Sources {
     try action finally spark.conf.set(key, prev)
   }
 
+  /** Loud schema-evolution check for the bulk index builders: every
+    * dir that HAS data must carry `colName` in its parquet schema —
+    * otherwise the union scan would read nulls where the serial
+    * per-dir build fails, and the resulting empty sidecar would make
+    * pruned reads silently skip real rows. */
+  private def requireColumnEverywhere(dirs: Seq[String],
+      stats: Seq[(Long, Option[org.apache.parquet.schema.MessageType])],
+      colName: String, caller: String): Unit =
+    dirs.zip(stats).foreach { case (dir, (rows, schema)) =>
+      if (rows > 0) {
+        val has = schema.exists(m =>
+          (0 until m.getFieldCount).exists(i => m.getType(i).getName == colName))
+        require(has, s"$caller: batch dir '$dir' has no column '$colName' " +
+          "(schema evolution?) — refusing to write a sidecar that would " +
+          "make pruned reads skip its rows")
+      }
+    }
+
   /** tmp-write + rename of a batch-dir sidecar (concurrent indexers
     * write identical bits, so the rename race is benign). */
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
@@ -782,10 +805,15 @@ object Sources {
     // one-aggregation-job-per-dir driver loop): (dir, min, max) rows,
     // one per dir, collected driver-side — dir count, never data
     val conf = spark.sparkContext.hadoopConfiguration
-    val firstSchema = todo.iterator
-      .map(d => footerStats(fs, conf, new org.apache.hadoop.fs.Path(root, d))._2)
-      .collectFirst { case Some(m) => m }
-    val grouped = bulkScan(spark, tableDir, todo, firstSchema, statCol)
+    val counted = todo.map { d =>
+      footerStats(fs, conf, new org.apache.hadoop.fs.Path(root, d))
+    }
+    // same loud schema-evolution guard as the bloom builder: an
+    // all-null zonemap from a missing column would mark the dir
+    // 'empty' and range scans would silently skip its rows
+    requireColumnEverywhere(todo, counted, statCol, "indexBatchStats")
+    val grouped = bulkScan(spark, tableDir, todo,
+      counted.collectFirst { case (_, Some(m)) => m }, statCol)
       .groupBy("_bdir")
       .agg(fmin(col(statCol)).as("_lo"), fmax(col(statCol)).as("_hi"))
     val stats = withoutAqe(spark) { grouped.collect() }

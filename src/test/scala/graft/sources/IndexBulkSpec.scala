@@ -102,6 +102,40 @@ class IndexBulkSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("schema-evolution guard: a dir lacking the column fails loudly, never an empty sidecar") {
+    val dir = Files.createTempDirectory("graft_idx_evo").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
+    import org.apache.spark.sql.functions.col
+    // first batch has no 'extra' column; second does
+    Sources.publishMergePartitioned(spark, dir,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+        .withColumn("p", (col("k") % 2).cast("int")), cfg, "p")
+    Sources.publishMergePartitioned(spark, dir,
+      (11L to 20L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "extra")
+        .withColumn("p", (col("k") % 2).cast("int")), cfg, "p")
+    val e1 = intercept[IllegalArgumentException] {
+      Sources.indexBatchKeys(spark, dir, "extra")
+    }
+    assert(e1.getMessage.contains("no column 'extra'"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.indexBatchStats(spark, dir, "extra")
+    }
+    assert(e2.getMessage.contains("no column 'extra'"))
+    // no half-written sidecars left behind
+    assert(sidecars0(dir, "_keybloom-extra").isEmpty)
+    assert(sidecars0(dir, "_zonemap-extra").isEmpty)
+  }
+
+  private def sidecars0(dir: String, name: String): Map[String, Array[Byte]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("b-") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, name)) =>
+        st.getPath.getName -> Array.empty[Byte]
+    }.toMap
+  }
+
   test("keyed lookup and range scan behave identically over bulk-built sidecars") {
     val dir = mkTable("use")
     Sources.indexBatchKeys(spark, dir, "k")
