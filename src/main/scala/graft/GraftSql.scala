@@ -23,6 +23,24 @@ object GraftSql {
       }
     }
 
+  /** Register the LIVE state of a [[graft.sources.Sources.publishMergePartitioned]]
+    * table as a SQL view: the manifest pointer is resolved at
+    * registration (snapshot-isolation semantics — re-register to pick
+    * up later publishes). Partition pruning and column pruning flow
+    * through exactly as for the DataFrame read; SQL users query
+    * published tables like any other view. */
+  def registerMergeTable(spark: SparkSession, name: String, tableDir: String,
+      partitionCol: String = ""): Unit =
+    graft.sources.Sources.readMergePartitioned(spark, tableDir, partitionCol)
+      .createOrReplaceTempView(name)
+
+  /** Register the live version of a [[graft.sources.Sources.publishSnapshot]]
+    * table as a SQL view (same pointer-resolution semantics). */
+  def registerSnapshotTable(spark: SparkSession, name: String,
+      tableRoot: String): Unit =
+    graft.sources.Sources.readSnapshot(spark, tableRoot)
+      .createOrReplaceTempView(name)
+
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("gen_gsid",
