@@ -103,6 +103,75 @@ case class KmvDistinct(
   override def prettyName: String = "kmv_distinct"
 }
 
+/** The KMV sketch STATE as a value: the sorted k-minima array
+  * (`ARRAY<BIGINT>`) instead of the collapsed estimate — what makes
+  * the sketch an ALGEBRA: stored minima arrays union (k smallest of
+  * the merged distinct hashes IS the union's sketch, exactly),
+  * intersect via the k-minima membership estimator, and re-estimate,
+  * all with builtin array functions — so cross-corpus overlap
+  * profiling (train/test contamination rate, audience overlap) runs
+  * on sketch rows without rescanning either table. */
+case class KmvMinima(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"k must be at least 2, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_minima takes a BIGINT hash (use hash48), got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] = mutable.TreeSet.empty
+
+  private def offer(buf: mutable.TreeSet[Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last && buf.add(h)) { buf.remove(buf.last); () }
+
+  override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(buf: mutable.TreeSet[Long],
+      other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    out.putInt(buf.size)
+    buf.foreach(out.putLong(_): Unit)
+    out.array()
+  }
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf += in.getLong; i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinima =
+    copy(child = newChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_minima"
+}
+
 object KmvDistinct {
   val Pow48: Double = (1L << 48).toDouble
 
@@ -114,4 +183,41 @@ object KmvDistinct {
   /** Distinct-count estimate of `c` (any type; hashed internally). */
   def kmvDistinct(c: Column, k: Int): Column =
     Bridge.column(KmvDistinct(Bridge.expression(hash48(c)), k).toAggregateExpression())
+
+  /** The sorted k-minima state of `c` (`ARRAY<BIGINT>`) — the
+    * storable/composable form; see [[KmvMinima]]. */
+  def kmvMinima(c: Column, k: Int): Column =
+    Bridge.column(KmvMinima(Bridge.expression(hash48(c)), k).toAggregateExpression())
+
+  import org.apache.spark.sql.functions._
+
+  /** The UNION's sketch from two stored minima arrays: the k smallest
+    * of the merged distinct hashes — exactly the sketch a single pass
+    * over A ∪ B would build (the KMV mergeability property). */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Distinct-count estimate read off a minima array (same formula as
+    * [[KmvDistinct]]: exact below k, `⌊(k−1)·2⁴⁸/h_k⌋` at capacity). */
+  def kmvEstimate(st: Column, k: Int): Column =
+    when(size(st) < k, size(st).cast("long"))
+      .otherwise(floor(
+        (lit((k - 1).toDouble) * lit(Pow48)) /
+          element_at(st, k).cast("double")).cast("long"))
+
+  /** Estimated Jaccard |A∩B|/|A∪B| (Beyer et al., SIGMOD'07): the
+    * fraction of the union sketch's minima present in BOTH input
+    * sketches — each minimum is a uniform sample of A ∪ B, so the
+    * membership fraction estimates the overlap. Exact when both sets
+    * fit below k. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    size(filter(u, x => array_contains(a, x) && array_contains(b, x))).cast("double") /
+      size(u).cast("double")
+  }
+
+  /** Estimated intersection cardinality: `⌊jaccard · unionEstimate⌋`. */
+  def kmvIntersect(a: Column, b: Column, k: Int): Column =
+    floor(kmvJaccard(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k).cast("double"))
+      .cast("long")
 }

@@ -1051,6 +1051,55 @@ object ReportingQueries {
         .orderBy("o_orderpriority")
     },
 
+    // KMV sketch ALGEBRA: cross-set overlap from STORED minima arrays
+    // — union sketch (k smallest of the merged distinct hashes ==
+    // exactly the union's own sketch), distinct-union estimate,
+    // k-minima Jaccard (Beyer et al. SIGMOD'07: fraction of the
+    // union sketch's minima present in both), and the intersection
+    // estimate jaccard·union. The customer sets behind each order
+    // priority genuinely overlap, so the estimates are non-trivial;
+    // every step is builtin array arithmetic over the same Portable
+    // hashes, replayed list-for-list by the oracle. At 100 TB this is
+    // the contamination-rate / audience-overlap profile computed from
+    // sketch rows with NO rescan of either table.
+    QueryDef.sql(
+      "q_agg_kmv_setops",
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS p,
+        |             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |           FROM orders),
+        |rk AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS rn FROM h),
+        |mins AS (SELECT p, list(h ORDER BY h) AS st FROM rk WHERE rn <= 256 GROUP BY p),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, a.st AS sa, b.st AS sb
+        |          FROM mins a JOIN mins b ON a.p < b.p),
+        |u AS (SELECT pa, pb, sa, sb,
+        |        list_sort(list_distinct(sa || sb))[1:256] AS un
+        |      FROM pairs),
+        |calc AS (SELECT pa, pb,
+        |    CASE WHEN len(un) < 256 THEN CAST(len(un) AS BIGINT)
+        |         ELSE CAST(floor((CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |              / CAST(un[256] AS DOUBLE)) AS BIGINT)
+        |    END AS union_est,
+        |    CAST(len(list_filter(un,
+        |           x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+        |      / CAST(len(un) AS DOUBLE) AS jaccard_est
+        |  FROM u)
+        |SELECT pa, pb, union_est, jaccard_est,
+        |  CAST(floor(jaccard_est * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est
+        |FROM calc
+        |ORDER BY pa, pb""".stripMargin) { (s, d) =>
+      import graft.functions.KmvDistinct._
+      val k = 256
+      val st = Tables.orders(s, d).groupBy(col("o_orderpriority").as("p"))
+        .agg(kmvMinima(col("o_custkey"), k).as("st"))
+      val pairs = st.select(col("p").as("pa"), col("st").as("sa"))
+        .join(st.select(col("p").as("pb"), col("st").as("sb")), col("pa") < col("pb"))
+      pairs.select(col("pa"), col("pb"),
+          kmvEstimate(kmvUnion(col("sa"), col("sb"), k), k).as("union_est"),
+          kmvJaccard(col("sa"), col("sb"), k).as("jaccard_est"),
+          kmvIntersect(col("sa"), col("sb"), k).as("inter_est"))
+        .orderBy("pa", "pb")
+    },
+
     // Fixed-boundary histogram SKETCH (TypedImperativeAggregate,
     // graft.functions.FixedHistogram): per-group state is 42 longs
     // regardless of group size — one row per group per map partition

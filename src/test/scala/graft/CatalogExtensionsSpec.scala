@@ -72,6 +72,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == est)
   }
 
+  test("kmv set algebra: exact below k, union==union-sketch, estimator accuracy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.KmvDistinct._
+    // BELOW k everything is exact: A = 1..30, B = 21..50 → |A∪B| = 50,
+    // |A∩B| = 10, J = 0.2
+    val a = (1 to 30).map(i => ("a", s"v$i")) ++ (21 to 50).map(i => ("b", s"v$i"))
+    val st = a.toDF("s", "x").groupBy("s").agg(kmvMinima(col("x"), 64).as("st"))
+    val row = st.filter(col("s") === "a").select(col("st").as("sa"))
+      .crossJoin(st.filter(col("s") === "b").select(col("st").as("sb")))
+      .select(
+        kmvEstimate(kmvUnion(col("sa"), col("sb"), 64), 64).as("u"),
+        kmvJaccard(col("sa"), col("sb"), 64).as("j"),
+        kmvIntersect(col("sa"), col("sb"), 64).as("i"))
+      .collect()(0)
+    assert(row.getAs[Long]("u") == 50L)
+    assert(row.getAs[Double]("j") == 0.2)
+    assert(row.getAs[Long]("i") == 10L)
+    // the merged minima array of a PARTITIONED build equals the
+    // single-pass build (sketch algebra rests on this)
+    val big = (1 to 5000).map(i => s"k$i").toDF("x")
+    val one = big.agg(kmvMinima(col("x"), 64)).collect()(0).getSeq[Long](0)
+    val parts = big.repartition(13).agg(kmvMinima(col("x"), 64))
+      .collect()(0).getSeq[Long](0)
+    assert(one == parts)
+    // above capacity: overlap estimate lands near truth (A = 1..4000,
+    // B = 2001..6000 → J = 1/3, |A∪B| = 6000)
+    val ab = ((1 to 4000).map(i => ("a", s"u$i")) ++
+      (2001 to 6000).map(i => ("b", s"u$i"))).toDF("s", "x")
+    val st2 = ab.groupBy("s").agg(kmvMinima(col("x"), 256).as("st"))
+    val r2 = st2.filter(col("s") === "a").select(col("st").as("sa"))
+      .crossJoin(st2.filter(col("s") === "b").select(col("st").as("sb")))
+      .select(kmvEstimate(kmvUnion(col("sa"), col("sb"), 256), 256).as("u"),
+        kmvJaccard(col("sa"), col("sb"), 256).as("j"))
+      .collect()(0)
+    assert(math.abs(r2.getAs[Long]("u") - 6000.0) / 6000.0 < 0.25,
+      s"union ${r2.getAs[Long]("u")}")
+    assert(math.abs(r2.getAs[Double]("j") - 1.0 / 3.0) < 0.15,
+      s"jaccard ${r2.getAs[Double]("j")}")
+  }
+
   test("hist_fixed: SQL-callable, arity/literal errors readable") {
     import spark.implicits._
     graft.GraftSql.registerFunctions(spark)
