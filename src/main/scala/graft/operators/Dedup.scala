@@ -122,6 +122,46 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs: `C(inner→outer) =
+    * |shingles(inner) ∩ shingles(outer)| / |shingles(inner)|` — the
+    * subset/quote detector symmetric Jaccard misses (a paragraph
+    * quoted inside a long document has tiny Jaccard but containment
+    * ≈ 1; dedup pipelines drop or link such near-subsets). Same
+    * posting-list candidate join as [[jaccardPairs]] (cost bounded by
+    * docs sharing shingles, hot-shingle cap available), n_common
+    * computed once per unordered pair, then BOTH directions tested —
+    * one output row per passing direction:
+    * `(id_inner, id_outer, n_common, n_inner, n_outer, containment)`. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxPostingList: Int = 0): DataFrame = {
+    val allSh = shingles(df, idCol, textCol, n)
+      .localCheckpoint(false)
+    val sh =
+      if (maxPostingList <= 0) allSh
+      else {
+        val posting = allSh.groupBy("shingle").agg(count(lit(1)).as("_plen"))
+          .filter(col("_plen") <= maxPostingList)
+        allSh.join(posting, Seq("shingle")).drop("_plen")
+      }
+    val sizes = allSh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val a = sh.select(col("_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("_id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")), "id_b")
+    val ab = common.select(
+      col("id_a").as("id_inner"), col("id_b").as("id_outer"),
+      col("n_common"), col("n_a").as("n_inner"), col("n_b").as("n_outer"),
+      (col("n_common").cast("double") / col("n_a").cast("double")).as("containment"))
+    val ba = common.select(
+      col("id_b").as("id_inner"), col("id_a").as("id_outer"),
+      col("n_common"), col("n_b").as("n_inner"), col("n_a").as("n_outer"),
+      (col("n_common").cast("double") / col("n_b").cast("double")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
+  }
+
   /** Collapse SAFETY report: a near-dup cluster built by connected
     * components can be a CLIQUE (every member similar to every other
     * — collapse with confidence) or a CHAIN (A~B~C where A and C

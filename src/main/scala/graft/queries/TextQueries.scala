@@ -225,6 +225,57 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Asymmetric CONTAINMENT pairs — the quote/subset detector
+    // symmetric Jaccard misses: the corpus is salted with TRUNCATED
+    // copies (first half of each ≥6-token doc, id+10⁹) whose shingles
+    // are a strict subset of their source's, so containment(inner →
+    // source) = 1.0 by construction while Jaccard is ~0.5. Both
+    // directions of every candidate pair are tested; the oracle
+    // re-derives the shingle sets of the salted corpus and replays
+    // the division per direction.
+    QueryDef.sql(
+      "q_dedup_containment",
+      s"""WITH base AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |docs AS (
+         |  SELECT doc_id, t FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, t[1:CAST((len(t) + 1) // 2 AS INT)]
+         |  FROM base WHERE len(t) >= 6 AND doc_id % 7 = 0),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM docs, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |c2 AS (SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+         |       FROM common
+         |       JOIN sizes sa ON sa.doc_id = id_a
+         |       JOIN sizes sb ON sb.doc_id = id_b),
+         |dirs AS (
+         |  SELECT id_a AS id_inner, id_b AS id_outer, n_common,
+         |    n_a AS n_inner, n_b AS n_outer,
+         |    CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+         |  FROM c2
+         |  UNION ALL
+         |  SELECT id_b, id_a, n_common, n_b, n_a,
+         |    CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |  FROM c2)
+         |SELECT id_inner, id_outer, n_common, n_inner, n_outer, containment
+         |FROM dirs WHERE containment >= 0.9
+         |ORDER BY id_inner, id_outer""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("t"))
+      val salted = base.unionByName(
+        base.filter(size(col("t")) >= 6 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            slice(col("t"), lit(1), ((size(col("t")) + 1) / 2).cast("int")).as("t")))
+        .select(col("doc_id"), array_join(col("t"), " ").as("text"))
+      Dedup.containmentPairs(salted, "doc_id", "text", 3, 0.9)
+        .orderBy("id_inner", "id_outer")
+    },
+
     // The dataset card: the per-(lang, source) mix table a corpus
     // release ships with — doc/token/char counts, exact median
     // length, corpus share. Two aggregation passes; the share is one

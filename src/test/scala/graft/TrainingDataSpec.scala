@@ -278,6 +278,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: asymmetric subset detection Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = a strict prefix of doc 1 (quote/subset): containment
+    // 2→1 is 1.0 while Jaccard is well below; doc 3 unrelated
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta"     // 6 tokens → 4 shingles
+    val corpus = Seq((1L, long), (2L, short), (3L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // inner=2 fully contained in outer=1: 4 common / 4 inner = 1.0
+    assert(rows.contains((2L, 1L)), rows.keySet.toString)
+    val (nc, ni, no, c) = rows((2L, 1L))
+    assert(nc == 4L && ni == 4L && no == 18L && c == 1.0)
+    // the reverse direction (1 ⊄ 2) and the unrelated doc never pass
+    assert(!rows.contains((1L, 2L)) && !rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // Jaccard at the same τ finds NOTHING here — the pair only exists
+    // through the asymmetric lens
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.9).count() == 0L)
+  }
+
   test("prefix filter slashes candidate volume on a zipfian corpus, answer unchanged") {
     // every doc shares a hot stopword run (df = N shingles) plus a
     // rare per-doc tail — the regime where the plain posting-list
