@@ -111,6 +111,43 @@ object Histograms {
       FixedHistogram(Bridge.expression(c.cast("double")), lo, width, nBuckets)
         .toAggregateExpression())
 
+  /** Auto-ranged per-group histogram — the `histogram(col, n)` most
+    * engines ship, in the engine's deterministic shape: pass 1 is a
+    * map-side-combined per-group min/max, pass 2 buckets each row
+    * against ITS OWN group's bounds (`width = (max−min)/n`, slot map
+    * identical to [[FixedHistogram]]'s including the top-edge cap and
+    * the under/overflow slots) and counts per (group, slot). The
+    * bounds join is broadcast (group-count-sized), the count shuffle
+    * carries one row per populated (group, slot) — never per value.
+    * A degenerate group (max == min) lands every value in slot 1.
+    * Every arithmetic step is the same IEEE op sequence in any
+    * engine, so the data-derived bounds do not cost oracle
+    * replayability. Output: groupCols + (slot, cnt, lo, width). */
+  def autoHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"need at least one bucket, got $nBuckets")
+    val grp = groupCols.map(col)
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .groupBy(grp: _*)
+      .agg(min(col(valueCol).cast("double")).as("_lo"),
+        max(col(valueCol).cast("double")).as("_hi"))
+      .withColumn("_width", (col("_hi") - col("_lo")) / lit(nBuckets.toDouble))
+    val hi = col("_lo") + lit(nBuckets.toDouble) * col("_width")
+    val v = col(valueCol).cast("double")
+    val slot =
+      when(col("_width") === 0.0, lit(1))
+        .when(v < col("_lo"), lit(0))
+        .when(v >= hi, lit(nBuckets + 1))
+        .otherwise(least(
+          floor((v - col("_lo")) / col("_width")).cast("int") + lit(1),
+          lit(nBuckets)))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(bounds), groupCols)
+      .groupBy(grp :+ slot.as("slot"): _*)
+      .agg(count(lit(1)).as("cnt"),
+        first(col("_lo")).as("lo"), first(col("_width")).as("width"))
+  }
+
   /** Element-wise merge of two same-layout counts arrays — the
     * incremental-maintenance primitive: a stored corpus histogram
     * plus a delta batch's histogram IS the updated corpus histogram,

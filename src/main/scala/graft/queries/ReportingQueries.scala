@@ -1124,6 +1124,36 @@ object ReportingQueries {
         .orderBy("event_type", "slot")
     },
 
+    // Auto-ranged per-group histogram: bounds DERIVED from each
+    // group's own min/max (exact, order-free aggregates), width one
+    // shared IEEE division, bucket map identical to hist_fixed's —
+    // the histogram(col, n) convenience without a priori bounds.
+    // Bounds join broadcasts (group-count rows); the count shuffle is
+    // per populated (group, slot). Data-derived doubles stay
+    // oracle-replayable because both engines run the same op
+    // sequence on the same min/max.
+    QueryDef.sql(
+      "q_agg_hist_auto",
+      """WITH f AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |      FROM f GROUP BY 1),
+        |w AS (SELECT event_type, lo, (hi - lo) / CAST(8 AS DOUBLE) AS width FROM b),
+        |s AS (SELECT f.event_type,
+        |        CASE WHEN w.width = 0 THEN 1
+        |             WHEN f.value < w.lo THEN 0
+        |             WHEN f.value >= w.lo + CAST(8 AS DOUBLE) * w.width THEN 9
+        |             ELSE LEAST(CAST(FLOOR((f.value - w.lo) / w.width) AS INT) + 1, 8)
+        |        END AS slot,
+        |        w.lo, w.width
+        |      FROM f JOIN w USING (event_type))
+        |SELECT event_type, slot, COUNT(*) AS cnt, lo, width
+        |FROM s GROUP BY event_type, slot, lo, width
+        |ORDER BY event_type, slot""".stripMargin) { (s, d) =>
+      graft.functions.Histograms.autoHistogram(
+          Tables.events(s, d), Seq("event_type"), "value", 8)
+        .orderBy("event_type", "slot")
+    },
+
     // Quantile estimates read off the histogram sketch — the constant-
     // memory alternative to exact percentile's per-group value sort:
     // at 100 TB the sketch agg ships 42 longs per group while
