@@ -587,6 +587,42 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Continuous decontamination — [[contamination]] driven by the
+    * row-level merge-table change feed: each checkpointed cycle scans
+    * ONLY the document rows that changed since the last cycle against
+    * the (broadcastable) benchmark, and folds the result into a
+    * durable per-doc contamination-STATUS snapshot with
+    * delete-and-replace semantics (an updated document's old flags
+    * drop, its re-scan's flags land — so the snapshot always equals
+    * what a full-batch [[contamination]] over the LIVE table state
+    * would produce, which is exactly what the
+    * `q_dedup_decontam_incremental` oracle checks). At 100 TB the
+    * nightly decontamination pass costs the changed rows, never the
+    * corpus. At-least-once redelivery re-scans the same delta into
+    * the same status rows (idempotent replace). Returns the refreshed
+    * status snapshot, or None when nothing was published. */
+  def decontaminateChanges(spark: org.apache.spark.sql.SparkSession,
+      docsDir: String, checkpointDir: String, statusRoot: String,
+      bench: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 4, minShared: Long = 1L,
+      partitionCol: String = ""): Option[DataFrame] =
+    graft.sources.Sources.processMergeRowChanges(spark, docsDir, checkpointDir,
+        Seq(idCol), partitionCol) { (delta, _) =>
+      // contamination keys its output 'doc_id' (operator contract)
+      val flags = contamination(delta, bench, idCol, textCol, n, minShared)
+        .localCheckpoint(false)
+      val cur =
+        if (graft.sources.Sources.snapshotExists(spark, statusRoot))
+          graft.sources.Sources.readSnapshot(spark, statusRoot)
+        else flags.limit(0)
+      val refreshed = cur
+        .join(delta.select(col(idCol).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .unionByName(flags)
+      graft.sources.Sources.publishSnapshot(refreshed, statusRoot)
+      graft.sources.Sources.readSnapshot(spark, statusRoot)
+    }
+
   /** Incremental MinHash dedup for continuous ingest: drop new
     * documents that near-duplicate anything in the ACCUMULATED corpus,
     * then fold the survivors' signatures into the store.

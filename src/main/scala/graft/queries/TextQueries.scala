@@ -714,6 +714,66 @@ object TextQueries {
         .orderBy("doc_id", "bench_id")
     },
 
+    // Continuous decontamination over the change feed: the corpus
+    // lives in a merge table (batch 1 = originals, batch 2 TRUNCATES
+    // every even doc — an UPDATE whose old flags must drop), each
+    // checkpointed cycle scans only changed rows against the static
+    // benchmark, and the per-doc status snapshot is maintained with
+    // delete-and-replace. Gated output = the final snapshot, against
+    // an oracle computing full-batch contamination over the FINAL
+    // table state — incremental ≡ full-batch, bit-for-bit, including
+    // the dropped flags of updated docs.
+    QueryDef.sql(
+      "q_dedup_decontam_incremental",
+      s"""WITH toks0 AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, t[1:CAST((len(t) + 1) // 2 AS INT)] AS t
+         |  FROM toks0 WHERE doc_id % 50 <> 0 AND doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, t FROM toks0
+         |  WHERE doc_id % 50 <> 0 AND doc_id % 3 <> 0 AND doc_id % 2 <> 0),
+         |bench AS (SELECT doc_id, t FROM toks0 WHERE doc_id % 50 = 0),
+         |shc AS (SELECT DISTINCT doc_id,
+         |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+         |        FROM corpus, UNNEST(range(1, greatest(len(t) - 2, 1))) AS g(i)
+         |        WHERE len(t) >= 4),
+         |shb AS (SELECT DISTINCT doc_id,
+         |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+         |        FROM bench, UNNEST(range(1, greatest(len(t) - 2, 1))) AS g(i)
+         |        WHERE len(t) >= 4)
+         |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+         |FROM shc c JOIN shb b ON c.shingle = b.shingle
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 1
+         |ORDER BY c.doc_id, bench_id""".stripMargin) { (s, d) =>
+      val root = s"/root/repo/target/roundtrip/${new java.io.File(d).getName}_decontam"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val (docsDir, ckDir, statusRoot) = (s"$root/docs", s"$root/ck", s"$root/status")
+      val cfg = graft.types.TableConfig("docs", Seq("doc_id"), Seq.empty)
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+      val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+        .localCheckpoint(false)
+      val b1 = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 4).cast("int").as("p"))
+      val b2 = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          array_join(slice(toks, lit(1), ((size(toks) + 1) / 2).cast("int")), " ")
+            .as("text"),
+          (col("doc_id") % 4).cast("int").as("p"))
+      graft.sources.Sources.publishMergePartitioned(s, docsDir, b1, cfg, "p")
+      Dedup.decontaminateChanges(s, docsDir, ckDir, statusRoot, bench,
+        partitionCol = "p")
+      graft.sources.Sources.publishMergePartitioned(s, docsDir, b2, cfg, "p")
+      Dedup.decontaminateChanges(s, docsDir, ckDir, statusRoot, bench,
+          partitionCol = "p")
+        .get
+        .orderBy("doc_id", "bench_id")
+    },
+
     // The composed curation pass (dedup → length → quality →
     // repetition → language) as ONE gated query — the end-to-end
     // corpus→clean-corpus funnel a training pipeline runs. Every

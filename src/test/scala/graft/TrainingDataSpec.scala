@@ -278,6 +278,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental decontamination: updated doc's old flags drop, new doc's flags land") {
+    val root = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    val (docsDir, ckDir, statusRoot) = (s"$root/d", s"$root/ck", s"$root/st")
+    val cfg = graft.types.TableConfig("docs", Seq("doc_id"), Seq.empty)
+    val bench = Seq((100L, "secret eval question about gradient descent methods"))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    def pub(rows: Seq[(Long, String)]): Unit =
+      graft.sources.Sources.publishMergePartitioned(spark, docsDir,
+        rows.toDF("doc_id", "text")
+          .withColumn("p", (col("doc_id") % 2).cast("int")), cfg, "p")
+    // cycle 1: doc 1 contaminated (contains a benchmark 4-gram),
+    // doc 2 clean
+    pub(Seq(
+      (1L, "intro text secret eval question about gradient stuff"),
+      (2L, "totally unrelated clean document body here")))
+    val s1 = Dedup.decontaminateChanges(spark, docsDir, ckDir, statusRoot, bench,
+      partitionCol = "p").get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == Set((1L, 100L)))
+    // cycle 2: doc 1 UPDATED to clean text (old flag must drop),
+    // doc 3 arrives contaminated
+    pub(Seq(
+      (1L, "rewritten clean body with nothing shared anymore"),
+      (3L, "another secret eval question about gradient descent here")))
+    val s2 = Dedup.decontaminateChanges(spark, docsDir, ckDir, statusRoot, bench,
+      partitionCol = "p").get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s2 == Set((3L, 100L)), s2.toString)
+    // no publish → None, status untouched
+    assert(Dedup.decontaminateChanges(spark, docsDir, ckDir, statusRoot, bench,
+      partitionCol = "p").isEmpty)
+  }
+
   test("containment pairs: asymmetric subset detection Jaccard misses") {
     import spark.implicits._
     // doc 2 = a strict prefix of doc 1 (quote/subset): containment
