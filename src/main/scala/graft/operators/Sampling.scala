@@ -185,4 +185,48 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("_h")
   }
+
+  /** TOKEN-BUDGET sample: the deterministic "give me ~N tokens of
+    * this corpus" selection a mixture builder runs (budgets are
+    * token counts, not document counts — sampling docs uniformly
+    * over-represents short ones in doc-count space and long ones in
+    * token space; the budget cut is the quantity that matters to a
+    * training run). Documents are ordered by their md5 fate (the
+    * per-row-deterministic shuffle every sampler here uses) and the
+    * kept set is the maximal prefix whose cumulative token count
+    * stays ≤ `budgetTokens` — reproducible, growth-stable (new docs
+    * land at hash-random positions; the cut point moves but
+    * surviving prefixes agree), engine-free.
+    *
+    * Scale shape: the global running sum uses the two-phase bucket
+    * prefix sum ([[graft.operators.TextAnalysis.packSequences]]'s
+    * discipline): per-bucket totals (map-side combined) → a serial
+    * window over #buckets ROWS (256, never data) → broadcast offsets
+    * → one within-bucket window. Buckets are the first two hex chars
+    * of the fate hash, so bucket order is a PREFIX of the global
+    * hash order and the two-phase sum equals the global one exactly.
+    * Output: kept rows as (doc_id, n_tokens, cum_tokens). */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
+    val sized = docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val bucketTotals = sized.groupBy("_b").agg(sum("n_tokens").as("_btot"))
+    // the ONLY serial window: 256 bucket rows, never data rows
+    val offsets = bucketTotals.withColumn("_boff",
+      coalesce(sum("_btot").over(Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_boff")
+    val local = Window.partitionBy("_b").orderBy("_h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), "_b")
+      .withColumn("cum_tokens", col("_boff") + sum("n_tokens").over(local))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "n_tokens", "cum_tokens")
+  }
 }

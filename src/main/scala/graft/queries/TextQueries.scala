@@ -1381,6 +1381,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TOKEN-BUDGET sample: the maximal md5-fate-ordered prefix whose
+    // cumulative token count stays within the budget — "give me
+    // ~50k tokens of this corpus", the budget cut a mixture builder
+    // actually needs (doc-count sampling misweights short vs long
+    // docs in token space). The engine's two-phase bucket prefix sum
+    // must be invisible: the oracle computes the PLAIN global
+    // running sum over (hash, doc_id) order.
+    QueryDef.sql(
+      "q_sample_token_budget",
+      s"""WITH sized AS (SELECT doc_id,
+         |    CAST(len($toksDuck) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY h, doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |      FROM sized)
+         |SELECT doc_id, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 50000
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(
+          Tables.documents(s, d), "doc_id", "text", 50000L)
+        .orderBy("doc_id")
+    },
+
     // Weighted sample without replacement, 7 docs per language
     // (Efraimidis-Spirakis A-ES over md5-derived uniforms): longer
     // documents are proportionally likelier, no RNG, fate per-row —

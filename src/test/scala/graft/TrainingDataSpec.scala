@@ -1035,4 +1035,48 @@ class VectorSpec extends SparkSpec {
     assert(Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", k = 2)
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
+
+  test("token-budget sample: exact maximal hash-ordered prefix, growth-stable, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    def corpus(n: Int) = (1 to n).map { i =>
+      val nt = (i % 13) + 1
+      (i.toLong, Seq.fill(nt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // ground truth: plain prefix over (md5(id), id) order
+    def truth(n: Int, budget: Long): Seq[Long] = {
+      var cum = 0L
+      // strict prefix on the INCLUSIVE running sum (not greedy
+      // knapsack): once the budget is crossed, nothing later is kept
+      (1 to n).map(i => (md5hex(i.toString), i.toLong, (i % 13) + 1))
+        .sortBy(t => (t._1, t._2))
+        .flatMap { case (_, id, nt) =>
+          cum += nt
+          if (cum <= budget) Some(id) else None
+        }
+    }
+    val kept = graft.operators.Sampling
+      .tokenBudgetSample(corpus(200), "doc_id", "text", 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == truth(200, 300L).toSet)
+    // the two-phase bucket sum is invisible under any partitioning
+    val kept13 = graft.operators.Sampling
+      .tokenBudgetSample(corpus(200).repartition(13), "doc_id", "text", 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept13 == kept)
+    // growth stability: adding docs only shrinks-or-keeps the old
+    // docs' kept set (new rows land at hash positions, cum at any
+    // old doc can only grow)
+    val keptBig = graft.operators.Sampling
+      .tokenBudgetSample(corpus(400), "doc_id", "text", 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert((keptBig.filter(_ <= 200L) -- kept).isEmpty)
+    // budget is respected and the cut is maximal
+    val rows = graft.operators.Sampling
+      .tokenBudgetSample(corpus(200), "doc_id", "text", 300L)
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= 300L && rows.map(_.getLong(2)).max == total)
+  }
 }
