@@ -345,4 +345,21 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_stream_kll")
     assert(p.contains("partial_kll_quantiles"), p.take(2000))
   }
+
+  test("token-budget sample: windows only partition by bucket, never a global data window") {
+    val p = planOf("q_sample_token_budget")
+    // every data-row window must carry the bucket partitioning; a
+    // single-partition window over data rows would read as a Window
+    // whose required ordering has no partition spec on _b
+    // the data-row running sum must carry the bucket partitioning
+    // (the only unpartitioned window is the 256-row bucket-offset one)
+    assert(p.contains("windowspecdefinition(_b#"), p.take(3000))
+  }
+
+  test("kmv set algebra: one aggregate pass builds the sketches, pair stage is sketch-sized") {
+    val p = planOf("q_agg_kmv_setops")
+    assert(p.contains("partial_kmv_minima"), p.take(2000))
+    // the pair join runs over 5 sketch rows — no sort-merge machinery
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
