@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[graft.functions.KllQuantiles].getName, "kll_quantiles"),
       graft.functions.SqlBuilders.kllQuantiles))
+    e.injectFunction((
+      FunctionIdentifier("kmv_minima"),
+      new ExpressionInfo(classOf[graft.functions.KmvMinima].getName, "kmv_minima"),
+      graft.functions.SqlBuilders.kmvMinima))
   }
 }

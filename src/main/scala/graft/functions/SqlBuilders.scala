@@ -73,6 +73,12 @@ object SqlBuilders {
       .toAggregateExpression()
   }
 
+  val kmvMinima: Seq[Expression] => Expression = args0 => {
+    val args = arity("kmv_minima", "(hash48, k)", 2)(args0)
+    KmvMinima(args.head, literalInt(args(1), "kmv_minima", "k"))
+      .toAggregateExpression()
+  }
+
   /** Variadic: `kll_quantiles(value, k, p1 [, p2 ...])`. */
   val kllQuantiles: Seq[Expression] => Expression = args => {
     if (args.size < 3) throw new IllegalArgumentException(

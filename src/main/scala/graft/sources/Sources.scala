@@ -1354,6 +1354,27 @@ object Sources {
     members.map(m => m -> spark.read.parquet(s"$live/$m")).toMap
   }
 
+  /** Time travel over a snapshot GROUP: all members of one RETAINED
+    * prior version (see [[snapshotVersions]] — same retention as
+    * single-frame snapshots). The audit read the incremental-identity
+    * registry needs: "what did subjects AND local_ids look like
+    * before cycle N", mutually consistent by construction. Fails
+    * loudly when the version was pruned; rival same-numbered dirs
+    * resolve with the [[readSnapshotVersion]] rule. */
+  def readSnapshotGroupVersion(spark: SparkSession, tableRoot: String,
+      version: Long, members: Seq[String]): Map[String, DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val dirs = listVersions(fs, root).collect { case (v, p) if v == version => p }
+    require(dirs.nonEmpty,
+      s"group version $version not retained (have: ${snapshotVersions(spark, tableRoot).mkString(",")})")
+    val chosen = currentPointer(fs, root)
+      .flatMap(cur => dirs.find(_.getName == cur))
+      .getOrElse(dirs.minBy(_.getName))
+    members.map(m => m -> spark.read.parquet(s"$chosen/$m")).toMap
+  }
+
   // accepts both the uid-suffixed layout (`v-<n>-<uid>`) and the
   // legacy plain one (`v-<n>`) — numeric prefix only
   private def listVersions(fs: org.apache.hadoop.fs.FileSystem,

@@ -97,6 +97,14 @@ class ExtensionsSpec extends SparkSpec {
     val parts = big.repartition(13).agg(kmvMinima(col("x"), 64))
       .collect()(0).getSeq[Long](0)
     assert(one == parts)
+    // SQL registration yields the identical array
+    graft.GraftSql.registerFunctions(spark)
+    big.createOrReplaceTempView("kmvm_in")
+    val viaSql = spark.sql(
+      """SELECT kmv_minima(CAST(conv(substr(md5(CAST(x AS STRING)), 1, 12), 16, 10)
+        |  AS BIGINT), 64) AS st FROM kmvm_in""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == one)
     // above capacity: overlap estimate lands near truth (A = 1..4000,
     // B = 2001..6000 → J = 1/3, |A∪B| = 6000)
     val ab = ((1 to 4000).map(i => ("a", s"u$i")) ++

@@ -198,6 +198,24 @@ class IncrementalIdentitySpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_current")))
   }
 
+  test("snapshot-group time travel: a retained prior version reads both members consistently") {
+    val root = tmp("tt")
+    (1 to 3).foreach { i =>
+      Sources.publishSnapshotGroup(
+        Seq("a" -> Seq((i, s"v$i")).toDF("k", "tag"),
+          "b" -> Seq((i, s"v$i")).toDF("k", "tag")), root)
+    }
+    val versions = Sources.snapshotVersions(spark, root)
+    assert(versions.contains(2L))
+    val m = Sources.readSnapshotGroupVersion(spark, root, 2L, Seq("a", "b"))
+    assert(m("a").collect()(0).getAs[String]("tag") == "v2")
+    assert(m("b").collect()(0).getAs[String]("tag") == "v2")
+    // pruned versions fail loudly
+    intercept[IllegalArgumentException] {
+      Sources.readSnapshotGroupVersion(spark, root, 99L, Seq("a"))
+    }: Unit
+  }
+
   test("snapshot-group stress: concurrent publishers never yield a mixed-version read") {
     val root = tmp("race")
     // seed so readers always have something to resolve
