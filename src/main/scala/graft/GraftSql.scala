@@ -59,6 +59,8 @@ object GraftSql {
       graft.functions.SqlBuilders.histFixed, "built-in")
     reg.createOrReplaceTempFunction("kll_quantiles",
       graft.functions.SqlBuilders.kllQuantiles, "built-in")
+    reg.createOrReplaceTempFunction("kll_quantiles_exact",
+      graft.functions.SqlBuilders.kllQuantilesExact, "built-in")
     reg.createOrReplaceTempFunction("kmv_minima",
       graft.functions.SqlBuilders.kmvMinima, "built-in")
     graft.functions.Similarity.register(spark)

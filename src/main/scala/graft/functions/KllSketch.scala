@@ -51,6 +51,7 @@ case class KllQuantiles(
     child: Expression,
     k: Int,
     probs: Seq[Double],
+    requireExact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllQuantiles.Buf]
@@ -80,8 +81,13 @@ case class KllQuantiles(
     buf
   }
 
-  override def eval(buf: KllQuantiles.Buf): Any =
+  override def eval(buf: KllQuantiles.Buf): Any = {
+    if (requireExact && buf.numLevels > 1) throw new IllegalStateException(
+      s"kll_quantiles(requireExact=true): a group exceeded the k=$k capacity " +
+        s"(n=${buf.totalWeight}) and compacted — the result would be " +
+        "approximate. Raise k or drop the exactness requirement.")
     new GenericArrayData(buf.quantiles(probs))
+  }
 
   override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
 
@@ -103,7 +109,9 @@ case class KllQuantiles(
 object KllQuantiles {
 
   /** Level ladder: `levels(i)` holds values of weight `2^i`,
-    * compacted when it reaches `k`. Mutable, single-threaded per
+    * compacted only when it EXCEEDS `k` (so a group of exactly `k`
+    * values stays in the exact regime, matching the documented
+    * `n ≤ k` contract). Mutable, single-threaded per
     * Spark's aggregate-buffer contract. */
   final class Buf(k: Int) {
     private[functions] var levels: Array[scala.collection.mutable.ArrayBuffer[Double]] =
@@ -111,7 +119,7 @@ object KllQuantiles {
 
     def insert(v: Double): Unit = {
       levels(0) += v
-      if (levels(0).length >= k) compactFrom(0)
+      if (levels(0).length > k) compactFrom(0)
     }
 
     def mergeIn(other: Buf): Unit = {
@@ -129,7 +137,7 @@ object KllQuantiles {
       }
       i = 0
       while (i < levels.length) {
-        if (levels(i).length >= k) compactFrom(i)
+        if (levels(i).length > k) compactFrom(i)
         i += 1
       }
     }
@@ -140,7 +148,7 @@ object KllQuantiles {
       * total weight is conserved exactly. */
     private def compactFrom(from: Int): Unit = {
       var i = from
-      while (i < levels.length && levels(i).length >= k) {
+      while (i < levels.length && levels(i).length > k) {
         val lvl = levels(i)
         val sorted = lvl.toArray
         java.util.Arrays.sort(sorted)
@@ -303,6 +311,7 @@ case class KllMergeQuantiles(
     child: Expression,
     k: Int,
     probs: Seq[Double],
+    requireExact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllQuantiles.Buf]
@@ -330,8 +339,13 @@ case class KllMergeQuantiles(
   override def merge(buf: KllQuantiles.Buf, other: KllQuantiles.Buf): KllQuantiles.Buf = {
     buf.mergeIn(other); buf
   }
-  override def eval(buf: KllQuantiles.Buf): Any =
+  override def eval(buf: KllQuantiles.Buf): Any = {
+    if (requireExact && buf.numLevels > 1) throw new IllegalStateException(
+      s"kll_merge(requireExact=true): the merged ladder exceeded the k=$k " +
+        s"capacity (n=${buf.totalWeight}) and compacted — the result would " +
+        "be approximate. Raise k or drop the exactness requirement.")
     new GenericArrayData(buf.quantiles(probs))
+  }
   override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
   override def deserialize(bytes: Array[Byte]): KllQuantiles.Buf =
     KllQuantiles.Buf.deserialize(k, bytes)
@@ -357,6 +371,16 @@ object Kll {
       KllQuantiles(Bridge.expression(c.cast("double")), k, probs)
         .toAggregateExpression())
 
+  /** [[kllQuantiles]] with the exact-regime precondition ENFORCED:
+    * throws (loud, job-failing) if any group exceeds `k` and would
+    * silently leave the exact regime — the guard the exact-rank
+    * oracle gates need so a scale-up can never turn a bit-exact
+    * comparison into an unexplained flake. */
+  def kllQuantilesExact(c: Column, k: Int, probs: Seq[Double]): Column =
+    Bridge.column(
+      KllQuantiles(Bridge.expression(c.cast("double")), k, probs,
+        requireExact = true).toAggregateExpression())
+
   /** Serialized sketch state per group (`BINARY`) — store it with
     * the batch; see [[KllSketchAgg]]. */
   def kllSketch(c: Column, k: Int): Column =
@@ -370,4 +394,12 @@ object Kll {
     Bridge.column(
       KllMergeQuantiles(Bridge.expression(state), k, probs)
         .toAggregateExpression())
+
+  /** [[kllMerge]] with the exact-regime precondition ENFORCED (see
+    * [[kllQuantilesExact]]): throws if the MERGED ladder compacted —
+    * catches both oversized stored sketches and an oversized union. */
+  def kllMergeExact(state: Column, k: Int, probs: Seq[Double]): Column =
+    Bridge.column(
+      KllMergeQuantiles(Bridge.expression(state), k, probs,
+        requireExact = true).toAggregateExpression())
 }

@@ -88,4 +88,17 @@ object SqlBuilders {
       args.drop(2).map(literalDouble(_, "kll_quantiles", "p")))
       .toAggregateExpression()
   }
+
+  /** `kll_quantiles_exact(...)`: same surface with the exact-regime
+    * precondition ENFORCED — throws if any group exceeds `k` (the
+    * result would silently become approximate otherwise). */
+  val kllQuantilesExact: Seq[Expression] => Expression = args => {
+    if (args.size < 3) throw new IllegalArgumentException(
+      s"kll_quantiles_exact(value, k, p1 [, p2 ...]) takes at least 3 arguments, got ${args.size}")
+    KllQuantiles(args.head,
+      literalInt(args(1), "kll_quantiles_exact", "k"),
+      args.drop(2).map(literalDouble(_, "kll_quantiles_exact", "p")),
+      requireExact = true)
+      .toAggregateExpression()
+  }
 }

@@ -592,33 +592,40 @@ object Dedup {
     * ONLY the document rows that changed since the last cycle against
     * the (broadcastable) benchmark, and folds the result into a
     * durable per-doc contamination-STATUS snapshot with
-    * delete-and-replace semantics (an updated document's old flags
-    * drop, its re-scan's flags land — so the snapshot always equals
-    * what a full-batch [[contamination]] over the LIVE table state
-    * would produce, which is exactly what the
-    * `q_dedup_decontam_incremental` oracle checks). At 100 TB the
-    * nightly decontamination pass costs the changed rows, never the
-    * corpus. At-least-once redelivery re-scans the same delta into
-    * the same status rows (idempotent replace). Returns the refreshed
-    * status snapshot, or None when nothing was published. */
+    * delete-and-replace semantics: an updated document's old flags
+    * drop and its re-scan's flags land, and a DELETED document's
+    * flags drop too (the feed's orphaned keys are anti-joined away),
+    * so the snapshot always equals what a full-batch
+    * [[contamination]] over the LIVE table state would produce —
+    * including delete workloads — which is exactly what the
+    * `q_dedup_decontam_incremental` oracle checks. On the feed's
+    * documented full-resync deliveries (first run, lagged past
+    * retention) the snapshot is REBUILT from the full delta, the only
+    * state consistent with an undiffable gap. At 100 TB the nightly
+    * decontamination pass costs the changed rows, never the corpus.
+    * At-least-once redelivery re-scans the same delta into the same
+    * status rows (idempotent replace). Returns the refreshed status
+    * snapshot, or None when nothing was published. */
   def decontaminateChanges(spark: org.apache.spark.sql.SparkSession,
       docsDir: String, checkpointDir: String, statusRoot: String,
       bench: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 4, minShared: Long = 1L,
       partitionCol: String = ""): Option[DataFrame] =
-    graft.sources.Sources.processMergeRowChanges(spark, docsDir, checkpointDir,
-        Seq(idCol), partitionCol) { (delta, _) =>
+    graft.sources.Sources.processMergeRowChangesWithDeletes(spark, docsDir,
+        checkpointDir, Seq(idCol), partitionCol) { (d, _) =>
       // contamination keys its output 'doc_id' (operator contract)
-      val flags = contamination(delta, bench, idCol, textCol, n, minShared)
+      val flags = contamination(d.delta, bench, idCol, textCol, n, minShared)
         .localCheckpoint(false)
-      val cur =
-        if (graft.sources.Sources.snapshotExists(spark, statusRoot))
-          graft.sources.Sources.readSnapshot(spark, statusRoot)
-        else flags.limit(0)
-      val refreshed = cur
-        .join(delta.select(col(idCol).as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        .unionByName(flags)
+      val refreshed =
+        if (d.fullResync || !graft.sources.Sources.snapshotExists(spark, statusRoot))
+          flags // the delta IS the live state — rebuild
+        else {
+          val cur = graft.sources.Sources.readSnapshot(spark, statusRoot)
+          val retired = d.delta.select(col(idCol).as("doc_id"))
+            .unionByName(d.orphanedKeys.select(col(idCol).as("doc_id")))
+            .distinct()
+          cur.join(retired, Seq("doc_id"), "left_anti").unionByName(flags)
+        }
       graft.sources.Sources.publishSnapshot(refreshed, statusRoot)
       graft.sources.Sources.readSnapshot(spark, statusRoot)
     }

@@ -96,7 +96,8 @@ object Linkage {
     * count, and the agreement-pattern histogram the estimate was fit
     * on (key = Σ γ_f·2^f). */
   final case class EmParams(lambda: Double, m: Array[Double], u: Array[Double],
-      nPairs: Long, patternCounts: Map[Int, Long])
+      nPairs: Long, patternCounts: Map[Int, Long],
+      cappedBlocks: Long = 0L, droppedRows: Long = 0L)
 
   /** Fixed-iteration EM estimation of the F-S m/u parameters from the
     * blocked candidate pairs themselves — closing the loop
@@ -128,19 +129,54 @@ object Linkage {
     * `fields` are agreement expressions over the row struct (the
     * [[CompareField]] convention); `F ≤ 16` keeps the pattern table
     * bounded (collect is ≤ 65536 rows of two longs — centroid-sized).
-    */
+    *
+    * SCALE BOUND (`maxBlock`): the candidate join materializes
+    * `Σ_b n_b²` pairs, and with block sizes growing linearly in data
+    * that curve is quadratic — the one measured scale-killer in the
+    * suite before this cap. Any block larger than `maxBlock` rows is
+    * deterministically SUBSAMPLED to `maxBlock` before pairing
+    * (md5-fate order over the id — no RNG, oracle-replayable), which
+    * bounds total pairs at `nBlocks · maxBlock²` regardless of data
+    * size. EM is parameter ESTIMATION — a bounded per-stratum sample
+    * is statistically standard — but the cap is never silent: dropped
+    * mass is logged loudly and reported in
+    * [[EmParams.cappedBlocks]]/[[EmParams.droppedRows]]. Blocks at or
+    * under the cap are bit-identical to the uncapped estimate. */
   def estimateParamsEM(df: DataFrame, idCol: String, blockCols: Seq[String],
       fields: Seq[Column => Column], iters: Int = 5,
-      lambda0: Double = 0.5, m0: Double = 0.9, u0: Double = 0.1): EmParams = {
+      lambda0: Double = 0.5, m0: Double = 0.9, u0: Double = 0.1,
+      maxBlock: Int = 256): EmParams = {
     require(fields.nonEmpty && fields.size <= 16,
       s"EM needs 1..16 compare fields, got ${fields.size}")
     require(iters >= 1, s"need at least one EM iteration, got $iters")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    // per-block deterministic subsample: rank by md5(id) (the engine's
+    // fate hash — reruns reproduce, the oracle replays), keep maxBlock
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val src = df
+      .withColumn("_rn", row_number().over(w))
+    val capped = src.filter(col("_rn") <= maxBlock).drop("_rn")
+    // loud cap accounting: one tiny aggregation over the block key
+    // column only (never silent — the "no silent caps" rule)
+    val capStats = src.filter(col("_rn") > maxBlock)
+      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("_over"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("_blocks"),
+        coalesce(sum(col("_over")), lit(0L)).as("_dropped"))
+      .collect()(0)
+    val (cappedBlocks, droppedRows) = (capStats.getLong(0), capStats.getLong(1))
+    if (droppedRows > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"estimateParamsEM: $cappedBlocks block(s) exceeded maxBlock=$maxBlock; " +
+          s"$droppedRows row(s) excluded from the EM fit by deterministic " +
+          "md5-fate subsample (estimates remain unbiased per-stratum samples)")
     val keep = (c: String) => col(c)
-    val a = df.select((idCol +: blockCols).map(keep) :+
-      struct(df.columns.map(col): _*).as("_ra"): _*)
+    val a = capped.select((idCol +: blockCols).map(keep) :+
+      struct(capped.columns.map(col): _*).as("_ra"): _*)
       .withColumnRenamed(idCol, "id_a")
-    val b = df.select((idCol +: blockCols).map(keep) :+
-      struct(df.columns.map(col): _*).as("_rb"): _*)
+    val b = capped.select((idCol +: blockCols).map(keep) :+
+      struct(capped.columns.map(col): _*).as("_rb"): _*)
       .withColumnRenamed(idCol, "id_b")
     val pattern = fields.zipWithIndex.map { case (f, i) =>
       when(f(col("_ra")) <=> f(col("_rb")), lit(1 << i)).otherwise(lit(0))
@@ -192,6 +228,13 @@ object Linkage {
           f += 1
         }
       }
+      // loud-failure guard (mirrors nPairs > 0): if every pattern's
+      // quantized posterior collapses to 0 (or 1e9), the M-step would
+      // compute 0/0 = NaN and clamp() would propagate NaN forever —
+      // fail here with the degenerate state named instead
+      require(sumW > 0 && sumNW > 0,
+        s"EM degenerated: every pair posterior collapsed to one class " +
+          s"(sumW=$sumW, sumNW=$sumNW) — check m0/u0/lambda0 seeds and field choice")
       def clamp(x: Double): Double = math.min(math.max(x, 0.000001), 0.999999)
       var f = 0
       while (f < nF) {
@@ -201,7 +244,7 @@ object Linkage {
       }
       lambda = clamp(sumW.toDouble / (1.0e9 * nPairs.toDouble))
     }
-    EmParams(lambda, m, u, nPairs, counts)
+    EmParams(lambda, m, u, nPairs, counts, cappedBlocks, droppedRows)
   }
 
   /** Integer log-odds for [[selfScore]] from learned [[EmParams]]:

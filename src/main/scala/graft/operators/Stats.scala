@@ -34,23 +34,73 @@ object Stats {
 
   /** One-pass moment row(s) for `cols` = (name, decimalDigits):
     * columns `n`, `s_i` (Σxᵢ), `p_i_j` (Σxᵢxⱼ for i ≤ j), all exact —
-    * one row per group (global when `groupCols` is empty). */
+    * one row per group (global when `groupCols` is empty).
+    *
+    * FAST PATH (default): every sum runs as a plain LONG sum — fully
+    * codegen'd, an order of magnitude cheaper than the DECIMAL(38,0)
+    * hot loop — and the SAME aggregate also collects `n` and each
+    * column's max |scaled| so exactness is PROVED post-hoc on the one
+    * result row: `n·max|xᵢ|·max|xⱼ| < 2⁶³` bounds every partial and
+    * total sum, hence no silent int64 wrap was possible. Past the
+    * bound the result row fails LOUDLY (`raise_error`, the l1Drift
+    * discipline) directing the caller to `decimalPath = true`, which
+    * runs the original DECIMAL(38,0) sums (exact to ~1e38). Both
+    * paths produce identical integers wherever both are defined, so
+    * oracles never see the difference. */
   private def moments(df: DataFrame, cols: Seq[(String, Int)],
-      groupCols: Seq[String] = Nil): DataFrame = {
-    val sc = cols.map { case (c, d) => scaled(col(c), d) }
-    val aggs =
-      sc.zipWithIndex.map { case (x, i) => sum(x).as(s"s_$i") } ++
+      groupCols: Seq[String] = Nil, decimalPath: Boolean = false): DataFrame = {
+    if (decimalPath) {
+      val sc = cols.map { case (c, d) => scaled(col(c), d) }
+      val aggs =
+        sc.zipWithIndex.map { case (x, i) => sum(x).as(s"s_$i") } ++
+          (for (i <- cols.indices; j <- cols.indices if i <= j)
+            yield sum(sc(i) * sc(j)).as(s"p_${i}_$j")) :+
+          count(lit(1)).as("n")
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val scl = cols.map { case (c, d) =>
+        val f = math.pow(10, d)
+        round(col(c).cast("double") * lit(f)).cast("long")
+      }
+      val aggs =
+        scl.zipWithIndex.map { case (x, i) => sum(x).as(s"_ls_$i") } ++
+          (for (i <- cols.indices; j <- cols.indices if i <= j)
+            yield sum(scl(i) * scl(j)).as(s"_lp_${i}_$j")) ++
+          scl.zipWithIndex.map { case (x, i) => max(abs(x)).as(s"_ma_$i") } :+
+          count(lit(1)).as("n")
+      val agged = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // post-hoc exactness proof over the ONE result row per group:
+      // conservative double-space check (9.0e18 < 2⁶³ leaves headroom
+      // for the check's own rounding); an unprovable bound fails loud
+      val nDbl = col("n").cast("double")
+      def maD(i: Int) = coalesce(col(s"_ma_$i"), lit(0L)).cast("double")
+      val guard = (cols.indices.map(i => nDbl * maD(i) <= lit(9.0e18)) ++
         (for (i <- cols.indices; j <- cols.indices if i <= j)
-          yield sum(sc(i) * sc(j)).as(s"p_${i}_$j")) :+
-        count(lit(1)).as("n")
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          yield nDbl * maD(i) * maD(j) <= lit(9.0e18))).reduce(_ && _)
+      def err = raise_error(format_string(
+        "moments: int64-exact magnitude bound exceeded " +
+          "(n=%s rows, scaled-magnitude maxima " +
+          cols.indices.map(_ => "%s").mkString("/") +
+          ") — rerun with decimalPath=true for DECIMAL(38,0) sums",
+        col("n") +: cols.indices.map(i => col(s"_ma_$i")): _*))
+      val outCols = groupCols.map(col) ++
+        cols.indices.map(i =>
+          when(guard, col(s"_ls_$i")).otherwise(err)
+            .cast("decimal(38,0)").as(s"s_$i")) ++
+        (for (i <- cols.indices; j <- cols.indices if i <= j)
+          yield when(guard, col(s"_lp_${i}_$j")).otherwise(err)
+            .cast("decimal(38,0)").as(s"p_${i}_$j")) :+
+        col("n")
+      agged.select(outCols: _*)
+    }
   }
 
   /** Pairwise Pearson correlation of the given fixed-point columns:
     * one row per unordered pair (x_col, y_col, n, corr). */
-  def pearsonMatrix(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+  def pearsonMatrix(df: DataFrame, cols: Seq[(String, Int)],
+      decimalPath: Boolean = false): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    val one = moments(df, cols)
+    val one = moments(df, cols, Nil, decimalPath)
     val nD = col("n").cast("decimal(20,0)")
     def cross(i: Int, j: Int): Column = {
       val (a, b) = (math.min(i, j), math.max(i, j))
@@ -82,8 +132,9 @@ object Stats {
     * meaningless — the caller chose the features. One aggregation pass,
     * one row: (n, slope_1, slope_2, intercept, r2). */
   def olsFit2(df: DataFrame, uCol: String, uDec: Int, vCol: String, vDec: Int,
-      yCol: String, yDec: Int): DataFrame = {
-    val one = moments(df, Seq(uCol -> uDec, vCol -> vDec, yCol -> yDec))
+      yCol: String, yDec: Int, decimalPath: Boolean = false): DataFrame = {
+    val one = moments(df, Seq(uCol -> uDec, vCol -> vDec, yCol -> yDec),
+      Nil, decimalPath)
     val nD = col("n").cast("decimal(20,0)")
     def c(i: Int, j: Int): Column = {
       val (a, b) = (math.min(i, j), math.max(i, j))
@@ -108,8 +159,8 @@ object Stats {
     * pass, with the identical mirrored final arithmetic per row.
     * Output: groupCols + (n, slope, intercept, r2). */
   def olsFitBy(df: DataFrame, groupCols: Seq[String], xCol: String, xDec: Int,
-      yCol: String, yDec: Int): DataFrame = {
-    val m = moments(df, Seq(xCol -> xDec, yCol -> yDec), groupCols)
+      yCol: String, yDec: Int, decimalPath: Boolean = false): DataFrame = {
+    val m = moments(df, Seq(xCol -> xDec, yCol -> yDec), groupCols, decimalPath)
     val nD = col("n").cast("decimal(20,0)")
     val num = (nD * col("p_0_1") - col("s_0") * col("s_1")).cast("double")
     val vx = (nD * col("p_0_0") - col("s_0") * col("s_0")).cast("double")
@@ -129,8 +180,8 @@ object Stats {
     * and the intercept by 10^yDec — both exact power-of-ten
     * constants. One row: (n, slope, intercept, r2). */
   def olsFit(df: DataFrame, xCol: String, xDec: Int,
-      yCol: String, yDec: Int): DataFrame = {
-    val one = moments(df, Seq(xCol -> xDec, yCol -> yDec))
+      yCol: String, yDec: Int, decimalPath: Boolean = false): DataFrame = {
+    val one = moments(df, Seq(xCol -> xDec, yCol -> yDec), Nil, decimalPath)
     val nD = col("n").cast("decimal(20,0)")
     val num = (nD * col("p_0_1") - col("s_0") * col("s_1")).cast("double")
     val vx = (nD * col("p_0_0") - col("s_0") * col("s_0")).cast("double")

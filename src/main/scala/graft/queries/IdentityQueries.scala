@@ -226,7 +226,12 @@ object IdentityQueries {
     // sum is an exact integer sum, and each new parameter is one
     // mirrored IEEE division — the oracle replays the ENTIRE
     // 5-iteration trajectory as unrolled CTEs and must land on
-    // identical doubles.
+    // identical doubles. The candidate join is BOUNDED: blocks larger
+    // than maxBlock=256 rows are deterministically subsampled by
+    // md5-fate rank (mirrored in the oracle's `capped` CTE), so total
+    // pairs are nBlocks·maxBlock² — linear-bounded, not quadratic —
+    // at any scale factor; at sf≤0.1 every block is under the cap and
+    // the result is bit-identical to the uncapped estimate.
     QueryDef.sql(
       "q_identity_fs_em", {
         val fieldsSql = Seq(
@@ -258,10 +263,16 @@ object IdentityQueries {
                 .mkString(",\n")}
              |  FROM e$k CROSS JOIN tot t GROUP BY t.n)""".stripMargin
         }.mkString(",\n")
-        s"""WITH pairs AS (
+        s"""WITH capped AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY c_nationkey, c_mktsegment
+           |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS _rn
+           |    FROM customer) WHERE _rn <= 256),
+           |pairs AS (
            |  SELECT ${fieldsSql.zipWithIndex.map { case (fx, f) =>
                 s"(CASE WHEN $fx THEN 1 ELSE 0 END) AS g$f" }.mkString(",\n         ")}
-           |  FROM customer a JOIN customer b
+           |  FROM capped a JOIN capped b
            |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
            |    AND a.c_custkey < b.c_custkey),
            |cnts AS (SELECT ${gCols.mkString(", ")}, CAST(COUNT(*) AS BIGINT) AS cnt

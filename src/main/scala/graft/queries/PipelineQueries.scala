@@ -422,7 +422,7 @@ object PipelineQueries {
         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
       graft.streaming.EventStream.windowedQuantiles(
           Tables.events(s, d).filter(col("value").isNotNull),
-          k = 16384, probs = Seq(0.5, 0.75))
+          k = 16384, probs = Seq(0.5, 0.75), requireExact = true)
         .select(col("window_start"), col("event_type"),
           posexplode(col("q")).as(Seq("qi", "qv")))
         .orderBy("window_start", "event_type", "qi")

@@ -1225,7 +1225,7 @@ object ReportingQueries {
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
         .groupBy("o_orderpriority")
-        .agg(graft.functions.Kll.kllQuantiles(
+        .agg(graft.functions.Kll.kllQuantilesExact(
           col("o_totalprice"), 65536, Seq(0.25, 0.5, 0.75)).as("q"))
         .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("qi", "qv")))
         .orderBy("o_orderpriority", "qi")
@@ -1262,7 +1262,7 @@ object ReportingQueries {
         .localCheckpoint(false)
       perBatch
         .groupBy("o_orderpriority")
-        .agg(graft.functions.Kll.kllMerge(
+        .agg(graft.functions.Kll.kllMergeExact(
           col("state"), 65536, Seq(0.25, 0.5, 0.75)).as("q"))
         .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("qi", "qv")))
         .orderBy("o_orderpriority", "qi")

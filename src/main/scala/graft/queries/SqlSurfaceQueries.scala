@@ -443,8 +443,10 @@ object SqlSurfaceQueries {
     },
 
     // The KLL quantile sketch through its SQL registration (variadic
-    // kll_quantiles) in its exact regime — same rank-pick oracle as
-    // q_agg_kll_quantile.
+    // kll_quantiles_exact) with the exact-regime precondition
+    // ENFORCED — a group exceeding k fails the job loudly instead of
+    // silently flaking the rank-pick oracle at a larger scale factor.
+    // Same oracle as q_agg_kll_quantile.
     QueryDef.sql(
       "q_sql_kll",
       """WITH f AS (SELECT o_orderpriority, o_totalprice
@@ -463,7 +465,7 @@ object SqlSurfaceQueries {
       sqlQuery(s, d,
         """SELECT o_orderpriority, qi, qv
           |FROM (SELECT o_orderpriority,
-          |        kll_quantiles(o_totalprice, 65536, 0.25, 0.5, 0.75) AS q
+          |        kll_quantiles_exact(o_totalprice, 65536, 0.25, 0.5, 0.75) AS q
           |      FROM orders WHERE o_orderkey % 7 = 0
           |      GROUP BY o_orderpriority) g
           |LATERAL VIEW posexplode(q) t AS qi, qv

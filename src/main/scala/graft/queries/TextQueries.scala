@@ -1395,8 +1395,8 @@ object TextQueries {
          |    md5(CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents),
          |c AS (SELECT doc_id, n_tokens,
-         |        SUM(n_tokens) OVER (ORDER BY h, doc_id
-         |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |        CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |      FROM sized)
          |SELECT doc_id, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 50000

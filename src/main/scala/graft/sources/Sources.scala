@@ -452,30 +452,65 @@ object Sources {
   def processMergeRowChanges[T](spark: SparkSession, tableDir: String,
       checkpointDir: String, naturalKey: Seq[String], partitionCol: String = "")
       (f: (DataFrame, Long) => T): Option[T] =
-    processCheckpointed(spark, tableDir, checkpointDir, f) {
+    processMergeRowChangesWithDeletes(spark, tableDir, checkpointDir,
+      naturalKey, partitionCol)((d, v) => f(d.delta, v))
+
+  /** Row-level delivery WITH retractions, for consumers maintaining a
+    * keyed downstream state that must track deletes (a status
+    * snapshot, a materialized index): alongside the changed rows, `f`
+    * receives the `orphaned` keys from the same row diff (keys
+    * present in the checkpointed version, absent from the live state
+    * of the rewritten partitions) and a `fullResync` flag for the
+    * documented degrade paths (first run / lagged past retention /
+    * unreadable checkpoint), where the delta is the FULL table and
+    * the orphan set cannot be derived from a diff — a consumer seeing
+    * `fullResync` must rebuild its state from the delta alone, which
+    * is exactly what makes those paths safe. Same at-least-once
+    * checkpoint loop as [[processMergeRowChanges]]. */
+  def processMergeRowChangesWithDeletes[T](spark: SparkSession,
+      tableDir: String, checkpointDir: String, naturalKey: Seq[String],
+      partitionCol: String = "")
+      (f: (RowDelta, Long) => T): Option[T] = {
+    import org.apache.spark.sql.functions.col
+    val emptyKeys = () => readMergePartitioned(spark, tableDir, partitionCol)
+      .select(naturalKey.map(col): _*).limit(0)
+    processCheckpointed(spark, tableDir, checkpointDir,
+        (d: RowDelta, v: Long) => f(d, v)) {
       case Some(v) =>
         try {
-          val changedKeys = mergeRowChangesSince(spark, tableDir, v, naturalKey,
-              partitionCol)
-            .filter(org.apache.spark.sql.functions.col("change_status")
-              .isin("new", "updated"))
-            .select(naturalKey.map(org.apache.spark.sql.functions.col): _*)
-          readMergePartitionedChanges(spark, tableDir, v, partitionCol)
+          val diff = mergeRowChangesSince(spark, tableDir, v, naturalKey,
+            partitionCol)
+          val changedKeys = diff.filter(col("change_status").isin("new", "updated"))
+            .select(naturalKey.map(col): _*)
+          val orphaned = diff.filter(col("change_status") === "orphaned")
+            .select(naturalKey.map(col): _*)
+          val delta = readMergePartitionedChanges(spark, tableDir, v, partitionCol)
             .join(changedKeys, naturalKey, "left_semi")
+          RowDelta(delta, orphaned, fullResync = false)
         } catch { case _: IllegalArgumentException => // lagged past retention
-          readMergePartitioned(spark, tableDir, partitionCol)
+          RowDelta(readMergePartitioned(spark, tableDir, partitionCol),
+            emptyKeys(), fullResync = true)
         }
-      case None => readMergePartitioned(spark, tableDir, partitionCol)
+      case None =>
+        RowDelta(readMergePartitioned(spark, tableDir, partitionCol),
+          emptyKeys(), fullResync = true)
     }
+  }
+
+  /** One row-level change delivery: the changed rows' current state,
+    * the retracted (orphaned) keys, and whether this delivery is a
+    * full resync (orphan set underivable — rebuild from `delta`). */
+  final case class RowDelta(delta: DataFrame, orphanedKeys: DataFrame,
+      fullResync: Boolean)
 
   /** The shared checkpoint loop under both incremental consumers:
     * resolve the live pointer, read the durable checkpoint, build the
     * delta for the gap, run `f`, then advance the checkpoint with the
     * same atomic rename-over as the table pointer (crash inside `f`
     * ⇒ redelivery next run; `f` must be idempotent). */
-  private def processCheckpointed[T](spark: SparkSession, tableDir: String,
-      checkpointDir: String, f: (DataFrame, Long) => T)
-      (deltaOf: Option[Long] => DataFrame): Option[T] = {
+  private def processCheckpointed[D, T](spark: SparkSession, tableDir: String,
+      checkpointDir: String, f: (D, Long) => T)
+      (deltaOf: Option[Long] => D): Option[T] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir), conf)
     val live = currentPointer(tFs, new org.apache.hadoop.fs.Path(tableDir))
@@ -549,7 +584,7 @@ object Sources {
     // not needed, underscore sidecars are filtered by Spark's listing
     // rules), so the WHOLE build is one non-adaptive aggregation job.
     val scan = bulkScan(spark, tableDir, todo,
-      counted.collectFirst { case (_, Some(m)) => m }, keyCol)
+      counted.collectFirst { case (_, ms) if ms.nonEmpty => ms.head }, keyCol)
     val aggs: Seq[org.apache.spark.sql.Column] = sized.map { case (dir, n) =>
       val items = math.max(n, 1L)
       val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
@@ -609,15 +644,19 @@ object Sources {
         st.getPath.getName
     }.sorted
 
-  /** Exact row count (and the first file's parquet schema) of every
+  /** Exact row count (and EVERY file's parquet schema) of every
     * parquet file under `dir` (recursive, hidden/sidecar files
     * skipped) from FOOTER METADATA only — no Spark job, no data read.
-    * The count equals the count() the serial builder paid a scan for. */
+    * The count equals the count() the serial builder paid a scan for.
+    * All schemas are kept (not just the first file's) so the
+    * schema-evolution guard can catch INTRA-dir drift: a dir whose
+    * later files lack the indexed column must fail as loudly as one
+    * whose first file does. */
   private def footerStats(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
-      dir: org.apache.hadoop.fs.Path): (Long, Option[org.apache.parquet.schema.MessageType]) = {
+      dir: org.apache.hadoop.fs.Path): (Long, Seq[org.apache.parquet.schema.MessageType]) = {
     var total = 0L
-    var schema: Option[org.apache.parquet.schema.MessageType] = None
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[org.apache.parquet.schema.MessageType]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
@@ -627,12 +666,11 @@ object Sources {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try {
           total += reader.getRecordCount
-          if (schema.isEmpty)
-            schema = Some(reader.getFileMetaData.getSchema)
+          schemas += reader.getFileMetaData.getSchema
         } finally reader.close()
       }
     }
-    (total, schema)
+    (total, schemas.toSeq)
   }
 
   /** One tagged scan over all `dirs`: footer-derived schema (no
@@ -664,23 +702,37 @@ object Sources {
     try action finally spark.conf.set(key, prev)
   }
 
-  /** Loud schema-evolution check for the bulk index builders: every
-    * dir that HAS data must carry `colName` in its parquet schema —
-    * otherwise the union scan would read nulls where the serial
-    * per-dir build fails, and the resulting empty sidecar would make
-    * pruned reads silently skip real rows. */
+  /** Loud schema-evolution check for the bulk index builders: EVERY
+    * parquet file of every dir that HAS data must carry `colName`,
+    * and carry it at ONE parquet type across all files and dirs —
+    * otherwise the union scan would read nulls (missing column) or
+    * coerced values (type drift) where the serial per-dir build
+    * fails, and the resulting sidecar would make pruned reads
+    * silently skip or mis-prune real rows. Checks all footers
+    * already opened by [[footerStats]], so intra-dir drift (a LATER
+    * file missing the column) is caught, not just the first file. */
   private def requireColumnEverywhere(dirs: Seq[String],
-      stats: Seq[(Long, Option[org.apache.parquet.schema.MessageType])],
-      colName: String, caller: String): Unit =
-    dirs.zip(stats).foreach { case (dir, (rows, schema)) =>
-      if (rows > 0) {
-        val has = schema.exists(m =>
-          (0 until m.getFieldCount).exists(i => m.getType(i).getName == colName))
-        require(has, s"$caller: batch dir '$dir' has no column '$colName' " +
-          "(schema evolution?) — refusing to write a sidecar that would " +
-          "make pruned reads skip its rows")
+      stats: Seq[(Long, Seq[org.apache.parquet.schema.MessageType])],
+      colName: String, caller: String): Unit = {
+    var refType: Option[String] = None
+    dirs.zip(stats).foreach { case (dir, (rows, schemas)) =>
+      if (rows > 0) schemas.foreach { m =>
+        val idx = (0 until m.getFieldCount).find(i => m.getType(i).getName == colName)
+        require(idx.isDefined,
+          s"$caller: a parquet file in batch dir '$dir' has no column '$colName' " +
+            "(schema evolution?) — refusing to write a sidecar that would " +
+            "make pruned reads skip its rows")
+        val t = m.getType(idx.get).toString
+        refType match {
+          case None => refType = Some(t)
+          case Some(r) => require(r == t,
+            s"$caller: column '$colName' changes parquet type across files " +
+              s"(saw '$r', then '$t' in batch dir '$dir') — refusing to index " +
+              "across a type drift the union scan would silently coerce")
+        }
       }
     }
+  }
 
   /** tmp-write + rename of a batch-dir sidecar (concurrent indexers
     * write identical bits, so the rename race is benign). */
@@ -813,7 +865,7 @@ object Sources {
     // 'empty' and range scans would silently skip its rows
     requireColumnEverywhere(todo, counted, statCol, "indexBatchStats")
     val grouped = bulkScan(spark, tableDir, todo,
-      counted.collectFirst { case (_, Some(m)) => m }, statCol)
+      counted.collectFirst { case (_, ms) if ms.nonEmpty => ms.head }, statCol)
       .groupBy("_bdir")
       .agg(fmin(col(statCol)).as("_lo"), fmax(col(statCol)).as("_hi"))
     val stats = withoutAqe(spark) { grouped.collect() }

@@ -88,12 +88,17 @@ object EventStream {
     * identically on a stream or a batch frame (the spec pins the
     * differential). */
   def windowedQuantiles(events: DataFrame, k: Int, probs: Seq[Double],
-      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      requireExact: Boolean = false): DataFrame = {
+    val agg =
+      if (requireExact) graft.functions.Kll.kllQuantilesExact(col("value"), k, probs)
+      else graft.functions.Kll.kllQuantiles(col("value"), k, probs)
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(graft.functions.Kll.kllQuantiles(col("value"), k, probs).as("q"))
+      .agg(agg.as("q"))
       .select(col("window.start").as("window_start"), col("event_type"), col("q"))
+  }
 
   /** The distribution-shift alarm end to end: per-(window, type)
     * histogram sketch joined against a broadcast per-type BASELINE

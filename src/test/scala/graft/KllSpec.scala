@@ -38,6 +38,26 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("n == k boundary stays exact (compaction fires only ABOVE capacity)") {
+    // the documented contract is exact at n <= k — a group of EXACTLY
+    // k values must not compact (regression: insert used >= k)
+    val k = 64
+    val data = stream(k)
+    val buf = new KllQuantiles.Buf(k)
+    data.foreach(buf.insert)
+    assert(buf.numLevels == 1, "a group of exactly k values must not compact")
+    assert(buf.retained == k)
+    val sortedData = data.sorted.toIndexedSeq
+    Seq(0.25, 0.5, 0.75, 1.0).foreach { p =>
+      val target = (math.max(1L, math.ceil(p * k).toLong) - 1).toInt
+      assert(buf.quantiles(Seq(p))(0) == sortedData(target), s"p=$p")
+    }
+    // one value past capacity DOES compact
+    buf.insert(0.0)
+    assert(buf.numLevels == 2, "k+1 values must compact")
+    assert(buf.totalWeight == k + 1L)
+  }
+
   test("weight is conserved exactly through compaction (driver-side ladder)") {
     val buf = new KllQuantiles.Buf(64)
     stream(50000).foreach(buf.insert)

@@ -674,6 +674,30 @@ class StatsSpec extends SparkSpec {
       Stats.olsFit(d, "a", 3, "b", 3).collect()(0).toString
     assert(run(df.repartition(1)) == run(df.repartition(13)))
   }
+
+  test("long fast path: loud failure past the int64 bound; decimalPath agrees below it") {
+    // values at 1e9 magnitude: each product is 1e18, ten rows push
+    // n·max|x|·max|y| to 1e19 > 2^63 — the post-hoc proof must fail
+    // LOUDLY (raise_error), never wrap silently
+    val big = (1 to 10).map(i => (1.0e9 + i, 1.0e9 - i)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Stats.olsFit(big, "x", 0, "y", 0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("magnitude bound exceeded")), msgs(ex).mkString("|"))
+    // the decimal escape hatch handles the same data exactly
+    val fit = Stats.olsFit(big, "x", 0, "y", 0, decimalPath = true).collect()(0)
+    assert(fit.getAs[Double]("slope") == -1.0)
+    // and below the bound the two paths are bit-identical
+    val df = (1L to 500L).map(i => ((i * 37 % 101).toDouble / 4, (i * 53 % 97).toDouble / 8))
+      .toDF("a", "b")
+    assert(Stats.olsFit(df, "a", 3, "b", 3).collect()(0).toString ==
+      Stats.olsFit(df, "a", 3, "b", 3, decimalPath = true).collect()(0).toString)
+    assert(Stats.pearsonMatrix(df, Seq("a" -> 3, "b" -> 3)).collect().map(_.toString).toSeq ==
+      Stats.pearsonMatrix(df, Seq("a" -> 3, "b" -> 3), decimalPath = true)
+        .collect().map(_.toString).toSeq)
+  }
 }
 
 class LinkageSpec extends SparkSpec {
@@ -766,5 +790,36 @@ class LinkageSpec extends SparkSpec {
     // disagree for a field where agreement is match-evidence
     val w = Linkage.scaledWeights(a)
     assert(w.forall { case (wa, wd) => wa > wd })
+  }
+
+  test("fs EM: oversized blocks are capped by deterministic md5-fate subsample, loudly") {
+    // one block of 50 rows, one of 5: maxBlock=10 caps only the big
+    // block, and the capped estimate equals the estimate over the
+    // pre-capped subset computed independently (the cap is a
+    // DEFINED deterministic subsample, not an arbitrary truncation)
+    val rows = (1L to 50L).map(i => (i, "big", (i % 4).toString)) ++
+      (101L to 105L).map(i => (i, "small", (i % 2).toString))
+    val df = rows.toDF("id", "blk", "f")
+    val fields: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(r => r.getField("f"))
+    val capped = Linkage.estimateParamsEM(df, "id", Seq("blk"), fields,
+      iters = 3, maxBlock = 10)
+    assert(capped.cappedBlocks == 1L && capped.droppedRows == 40L)
+    // expected kept ids: the 10 smallest md5(id)-fates in 'big' + all of 'small'
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fate(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val keptBig = (1L to 50L).sortBy(i => (fate(i), i)).take(10).toSet
+    val subset = rows.filter { case (i, b, _) => b == "small" || keptBig(i) }
+      .toDF("id", "blk", "f")
+    val direct = Linkage.estimateParamsEM(subset, "id", Seq("blk"), fields,
+      iters = 3, maxBlock = 1000000)
+    assert(direct.cappedBlocks == 0L && direct.droppedRows == 0L)
+    assert(capped.nPairs == direct.nPairs)
+    assert(capped.patternCounts == direct.patternCounts)
+    assert(capped.lambda == direct.lambda)
+    assert(capped.m.toSeq == direct.m.toSeq && capped.u.toSeq == direct.u.toSeq)
+    // pair volume is bounded: C(10,2) + C(5,2), never C(50,2)
+    assert(capped.nPairs == 45L + 10L)
   }
 }
