@@ -522,6 +522,39 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // Row-level DELETE publish (publishMergeDeletes — GDPR erasure /
+    // eval-set eviction): publish the seed, pin `since`, delete every
+    // %13 key, then read BOTH surfaces the retraction must reach —
+    // the live table state (rows gone, untouched partitions never
+    // rewritten) and the row-level change feed (each deleted key
+    // classified `orphaned`, which is what lets keyed downstream
+    // state like the decontamination snapshot retract). The oracle
+    // reconstructs both sides set-theoretically.
+    QueryDef.sql(
+      "q_merge_delete",
+      """WITH seed AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderkey, 'live' AS src FROM seed WHERE o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'orphaned' AS src FROM seed WHERE o_orderkey % 13 = 0
+        |ORDER BY src, o_orderkey""".stripMargin) { (s, d) =>
+      val cfg = graft.types.TableConfig("orders", Seq("o_orderkey"), Seq.empty)
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("p"))
+      val dir = scratch(d, "pmergedel")
+      Sources.publishMergePartitioned(s, dir, base, cfg, "p")
+      val since = Sources.mergeVersions(s, dir).max
+      val dels = base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey", "p")
+      Sources.publishMergeDeletes(s, dir, dels, cfg, "p")
+      val live = Sources.readMergePartitioned(s, dir, "p")
+        .select(col("o_orderkey"), lit("live").as("src"))
+      val orph = Sources.mergeRowChangesSince(s, dir, since, Seq("o_orderkey"), "p")
+        .filter(col("change_status") === "orphaned")
+        .select(col("o_orderkey"), lit("orphaned").as("src"))
+      live.unionByName(orph).orderBy("src", "o_orderkey")
+    },
+
     // S12 per-entity JSON sink + S3 JSON scan: orders partitioned by
     // priority -> JSONL -> read back -> per-partition aggregate. The
     // partition column is restored from the directory layout.

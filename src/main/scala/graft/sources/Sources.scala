@@ -172,6 +172,90 @@ object Sources {
     merged
   }
 
+  /** Row-level DELETE publish for a [[publishMergePartitioned]] table —
+    * the retraction half MERGE alone can't express (GDPR erasure,
+    * eval-set eviction, takedowns): rewrite the touched partitions
+    * WITHOUT the rows matching `deletes` on `cfg.naturalKey`, under
+    * the exact same manifest/forward-pointer/retention discipline as
+    * a merge publish. Deleted keys then surface as `orphaned` in
+    * [[mergeRowChangesSince]], so keyed downstream state (e.g.
+    * [[graft.operators.Dedup.decontaminateChanges]]'s status
+    * snapshot) retracts them through the row-level change feed.
+    *
+    * `deletes` must carry the natural key AND `partitionCol` — the
+    * partition values locate the touched partitions without a table
+    * scan, so the cost is the touched partitions' size, never the
+    * table. A partition emptied by the delete drops out of the
+    * manifest entirely (its data dir is pruned on the standard
+    * two-publish slack). Partition values must round-trip their
+    * `toString` through Spark's partition-path encoding (true for
+    * numeric/date/plain-string values; exotic strings need escaping
+    * and are refused loudly rather than silently kept). Returns the
+    * number of rows deleted (0 = no key matched; no publish). */
+  def publishMergeDeletes(
+      spark: SparkSession,
+      tableDir: String,
+      deletes: DataFrame,
+      cfg: graft.types.TableConfig,
+      partitionCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    require(deletes.columns.contains(partitionCol),
+      s"deletes frame must carry the partition column '$partitionCol'")
+    cfg.naturalKey.foreach(k => require(deletes.columns.contains(k),
+      s"deletes frame must carry natural-key column '$k'"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_current")),
+      s"publishMergeDeletes: '$tableDir' is not a manifest-published table")
+    val entries = manifestEntries(fs, root, partitionCol)
+    if (entries.isEmpty) return 0L
+    val touched = deletes.select(partitionCol).distinct().collect().map(_.get(0))
+    val touchedStr = touched.map(String.valueOf).toSet
+    touchedStr.foreach { v =>
+      require(!v.exists(c => c == '/' || c == '%' || Character.isISOControl(c)),
+        s"partition value '$v' does not round-trip path encoding — " +
+          "delete by a path-safe partition value")
+    }
+    val valueOfSeg = (s: String) => s.split("=", 2).lift(1).getOrElse("")
+    val dropSegs = entries.map(segmentOf)
+      .filter(s => touchedStr.contains(valueOfSeg(s))).toSet
+    if (dropSegs.isEmpty) return 0L
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val current = assembleManifest(spark, tableDir, entries).get
+      .filter(col(partitionCol).isin(touched: _*))
+      .withColumn(partitionCol,
+        col(partitionCol).cast(deletes.schema(partitionCol).dataType))
+    val delKeys = deletes.select(cfg.naturalKey.map(col): _*).distinct()
+    val remaining = current.join(delKeys, cfg.naturalKey, "left_anti")
+      .localCheckpoint(false) // count + write off one materialization
+    val nDeleted = current.count() - remaining.count()
+    if (nDeleted == 0L) return 0L
+    val bdir = f"b-$next%012d-$uid"
+    remaining.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
+    val written =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, bdir))) Seq.empty[String]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
+        .collect { case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
+        .toSeq
+    // drop EVERY old entry of a touched partition (including ones the
+    // rewrite emptied — merge publishes never empty a partition, so
+    // this is the one place entries vanish by value, not by name)
+    val newEntries =
+      entries.filterNot(e => dropSegs.contains(segmentOf(e))) ++
+        written.map(s => s"$bdir/$s")
+    val mfile = f"manifest-$next%012d-$uid"
+    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
+      newEntries.sorted.mkString("\n"))
+    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
+    pruneMergePartitioned(fs, root)
+    nDeleted
+  }
+
   /** Prune rotated manifests and the batch dirs only they reference.
     *
     * The retention contract is anchored to the LIVE POINTER, not the
@@ -384,7 +468,12 @@ object Sources {
     val live = manifestEntries(fs, new org.apache.hadoop.fs.Path(tableDir), partitionCol)
     val changed = live.filterNot(from.toSet)
     val changedSegs = changed.map(segmentOf).toSet
-    val oldDirs = from.filter(e => changedSegs.contains(segmentOf(e)))
+    // a partition DROPPED from the manifest (emptied by a delete
+    // publish) has no new entry at all — its old state must still
+    // enter the diff, where every row classifies `orphaned`
+    val liveSegs = live.map(segmentOf).toSet
+    val oldDirs = from.filter(e =>
+      changedSegs.contains(segmentOf(e)) || !liveSegs.contains(segmentOf(e)))
     (assembleManifest(spark, tableDir, changed),
         assembleManifest(spark, tableDir, oldDirs)) match {
       case (Some(newState), Some(oldState)) =>
@@ -392,6 +481,8 @@ object Sources {
           .filter(col("change_status") =!= "unchanged")
       case (Some(newState), None) => // all-new partitions: every row inserts
         graft.operators.ChangeDetector.compare(newState, newState.limit(0), naturalKey)
+      case (None, Some(oldState)) => // only whole-partition drops: all orphaned
+        graft.operators.ChangeDetector.compare(oldState.limit(0), oldState, naturalKey)
       case _ => spark.emptyDataFrame
     }
   }
@@ -722,7 +813,14 @@ object Sources {
           s"$caller: a parquet file in batch dir '$dir' has no column '$colName' " +
             "(schema evolution?) — refusing to write a sidecar that would " +
             "make pruned reads skip its rows")
-        val t = m.getType(idx.get).toString
+        // repetition (required vs optional) is benign nullability, not
+        // drift — compare the physical type + logical annotation only
+        val ft = m.getType(idx.get)
+        val t =
+          if (ft.isPrimitive)
+            ft.asPrimitiveType().getPrimitiveTypeName.toString +
+              Option(ft.getLogicalTypeAnnotation).map(":" + _.toString).getOrElse("")
+          else ft.toString.replaceFirst("^(required|optional|repeated) ", "")
         refType match {
           case None => refType = Some(t)
           case Some(r) => require(r == t,

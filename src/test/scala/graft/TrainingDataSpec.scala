@@ -308,6 +308,17 @@ class DedupSpec extends SparkSpec {
     // no publish → None, status untouched
     assert(Dedup.decontaminateChanges(spark, docsDir, ckDir, statusRoot, bench,
       partitionCol = "p").isEmpty)
+    // cycle 3: doc 3 DELETED from the table — its stale flag must
+    // drop via the feed's orphaned keys (the snapshot equals a full
+    // recontamination of the live state even under deletes); doc 5
+    // arrives contaminated in the same window
+    pub(Seq((5L, "yet another secret eval question about gradient descent")))
+    assert(graft.sources.Sources.publishMergeDeletes(spark, docsDir,
+      Seq((3L, 1)).toDF("doc_id", "p"),
+      graft.types.TableConfig("docs", Seq("doc_id"), Seq.empty), "p") == 1L)
+    val s3 = Dedup.decontaminateChanges(spark, docsDir, ckDir, statusRoot, bench,
+      partitionCol = "p").get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s3 == Set((5L, 100L)), s3.toString)
   }
 
   test("containment pairs: asymmetric subset detection Jaccard misses") {

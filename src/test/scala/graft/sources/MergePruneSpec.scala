@@ -121,6 +121,42 @@ class MergePruneSpec extends SparkSpec {
     }
   }
 
+  test("delete publish: rows gone, emptied partition drops, feed classifies orphaned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_mdel").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("id"), Seq.empty)
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c"), (4L, 2, "d"))
+        .toDF("id", "p", "v"), cfg, "p")
+    val v1 = Sources.mergeVersions(spark, dir).max
+    // delete id=2 (partition 0 keeps id=1) and id=3 (EMPTIES partition 1)
+    val n = Sources.publishMergeDeletes(spark, dir,
+      Seq((2L, 0), (3L, 1)).toDF("id", "p"), cfg, "p")
+    assert(n == 2L)
+    val live = Sources.readMergePartitioned(spark, dir, "p")
+      .select("id").as[Long].collect().toSet
+    assert(live == Set(1L, 4L))
+    // untouched partition 2 contributed zero I/O: its entry is unchanged
+    // and the deleted rows' old version is still time-travelable
+    val old = Sources.readMergePartitionedVersion(spark, dir, v1)
+      .select("id").as[Long].collect().toSet
+    assert(old == Set(1L, 2L, 3L, 4L))
+    // the row-level feed sees exactly the two deletions as orphaned
+    val diff = Sources.mergeRowChangesSince(spark, dir, v1, Seq("id"), "p")
+      .select(col("id").cast("long"), col("change_status"))
+      .as[(Long, String)].collect().toMap
+    assert(diff == Map(2L -> "orphaned", 3L -> "orphaned"), diff.toString)
+    // deleting a key that doesn't exist publishes nothing
+    assert(Sources.publishMergeDeletes(spark, dir,
+      Seq((99L, 0)).toDF("id", "p"), cfg, "p") == 0L)
+    // and the table remains publishable after a delete
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((5L, 1, "e")).toDF("id", "p", "v"), cfg, "p")
+    assert(Sources.readMergePartitioned(spark, dir, "p")
+      .select("id").as[Long].collect().toSet == Set(1L, 4L, 5L))
+  }
+
   test("vacuum reclaims aged unreferenced batch dirs, spares referenced and young ones") {
     val (fs, root, dir) = fsRoot()
     manifest(fs, root, 5, Seq("b-5/p=1"), aged = false)
