@@ -235,9 +235,18 @@ object Dedup {
     val allSh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val sizes = allSh.groupBy("_id").agg(count(lit(1)).as("_n"))
     val prefix = prefixShingles(allSh, sizes, threshold)
-    val cand = prefix.select(col("_id").as("id_a"), col("shingle"))
-      .join(prefix.select(col("_id").as("id_b"), col("shingle")), Seq("shingle"))
+    // PPJoin LENGTH FILTER: J(A,B) ≥ t forces t·max(|A|,|B|) ≤
+    // min(|A|,|B|) (intersection ≤ min, union ≥ max), so size-
+    // incompatible candidates die BEFORE the distinct — the sizes
+    // ride the prefix rows, zero extra joins; slack rounds toward
+    // keeping so no true pair is ever cut
+    val cand = prefix.select(col("_id").as("id_a"), col("shingle"),
+        col("_n").as("_na"))
+      .join(prefix.select(col("_id").as("id_b"), col("shingle"),
+        col("_n").as("_nb")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double") - lit(1e-6))
       .select("id_a", "id_b").distinct()
     val common = allSh.select(col("_id").as("id_a"), col("shingle"))
       .join(cand, Seq("id_a"))
@@ -256,8 +265,9 @@ object Dedup {
   /** The prefix stage of [[jaccardPairsPrefix]], exposed so its
     * candidate-volume guarantee is testable: each document keeps its
     * `|A| − ⌈t·|A|⌉ + 1` rarest shingles under the global
-    * (df asc, shingle) order. Input: the full (_id, shingle) table
-    * and the per-doc sizes. */
+    * (df asc, shingle) order, each row carrying the doc's full size
+    * `_n` so the length filter costs no extra join. Input: the full
+    * (_id, shingle) table and the per-doc sizes. */
   private[graft] def prefixShingles(allSh: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame = {
     val dfreq = allSh.groupBy("shingle").agg(count(lit(1)).as("_df"))
@@ -266,7 +276,7 @@ object Dedup {
       .withColumn("_rn", row_number().over(wDoc))
       .filter(col("_rn") <=
         col("_n") - ceil(lit(threshold) * col("_n").cast("double") - lit(1e-6)) + 1)
-      .select(col("_id"), col("shingle"))
+      .select(col("_id"), col("shingle"), col("_n"))
   }
 
   /** Candidate-pair volume of a posting-list self-join over the given

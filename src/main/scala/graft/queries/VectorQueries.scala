@@ -209,10 +209,63 @@ object VectorQueries {
     // its bucket count so occupancy stays bounded as data grows) —
     // at sf10 that is 10 bits / 1024 buckets with every bucket under
     // the cap, where the 4-bit gate config above would cap out
-    // entirely. rows-only: the adaptive bit count depends on a
-    // count() and has no fixed SQL replay; the algorithm itself is
-    // hash-gated by q_dedup_embedding_lsh.
-    QueryDef.rowsOnly("q_dedup_embedding_lsh_scale") { (s, d) =>
+    // entirely. FULLY hash-gated (was rows-only): the adaptive bit
+    // count is replayed in SQL with EXACT integer log2 (max j with
+    // (n//256) >> j >= 1 — no float log that could flake at a
+    // power-of-two boundary), and since randomPlanes draws planes
+    // sequentially from one seeded stream, the first `nbits` of 16
+    // interpolated plane literals ARE randomPlanes(nbits) — so
+    // bucketing, probing, cap, candidates and rerank all replay
+    // bit-exactly at ANY scale factor's derived nbits.
+    QueryDef.sql(
+      "q_dedup_embedding_lsh_scale", {
+        val planes = SimilaritySearch.randomPlanes(16, 64)
+        val pLit = planes.map(_.map(v =>
+            "%.17E".formatLocal(java.util.Locale.ROOT, v))
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        s"""WITH nb AS (SELECT GREATEST(4, COALESCE((
+           |    SELECT MAX(j) FROM range(0, 63) t(j)
+           |    WHERE ((SELECT count(*) FROM embeddings) // 256) >> j >= 1), 0)) AS nbits),
+           |pr AS (SELECT j, p[j] AS pv
+           |       FROM (SELECT $pLit AS p), UNNEST(range(1, 17)) AS r(j), nb
+           |       WHERE j <= nb.nbits),
+           |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |dots AS MATERIALIZED (
+           |  SELECT e.vec_id, pr.j,
+           |    list_sum(list_transform(range(1, len(v) + 1),
+           |      i -> CAST(v[i] AS DOUBLE) * pv[i])) AS dot
+           |  FROM e, pr),
+           |bucket AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END) AS BIGINT) AS b
+           |  FROM dots GROUP BY vec_id),
+           |flips AS (SELECT vec_id, j,
+           |            row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), j) AS rn
+           |          FROM dots),
+           |probed AS (
+           |  SELECT vec_id, b AS bucket FROM bucket
+           |  UNION ALL
+           |  SELECT f.vec_id, xor(b.b, (1::BIGINT << (f.j - 1)))
+           |  FROM flips f JOIN bucket b USING (vec_id) WHERE f.rn <= 1),
+           |capped AS (
+           |  SELECT p.vec_id, p.bucket FROM probed p
+           |  JOIN (SELECT bucket FROM probed GROUP BY bucket
+           |        HAVING count(*) <= 4096) s USING (bucket)),
+           |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |         FROM capped x JOIN capped y
+           |           ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |scored AS (
+           |  SELECT c.id_a, c.id_b,
+           |    list_sum(list_transform(range(1, len(a.v) + 1),
+           |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           |      AS cosine
+           |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+           |SELECT id_a, id_b, cosine FROM scored
+           |WHERE cosine >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
       val nBits = math.max(4,

@@ -370,6 +370,22 @@ class DedupSpec extends SparkSpec {
     val fast = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.5)
       .collect().map(_.toString).toSet
     assert(fast == plain && plain.nonEmpty)
+    // LENGTH FILTER differential: docs of wildly different sizes that
+    // share a rare prefix shingle are candidate-killed by t·max ≤ min
+    // — and exactness must survive, including at a boundary where
+    // t·max == min exactly (the slack must keep it)
+    val mixed = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((301L, "zq1 zq2 zq3 zq4"),                      // 2 shingles
+        (302L, ("zq1 zq2 zq3 zq4 " +                       // superset, many more
+          (0 until 30).map(j => s"zfill$j").mkString(" "))),
+        (303L, "zq1 zq2 zq3 zq4 tailone tailtwo")))        // 4 shingles: t·4 == 2
+      .toDF("doc_id", "text")
+    val plainM = Dedup.jaccardPairs(mixed, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toString).toSet
+    val fastM = Dedup.jaccardPairsPrefix(mixed, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toString).toSet
+    assert(fastM == plainM,
+      s"length filter broke exactness (missing=${(plainM -- fastM).take(3)})")
   }
 
   test("triangle enumeration: closed triples only, each reported once, ordered") {
