@@ -36,17 +36,23 @@ object Stats {
     * columns `n`, `s_i` (Σxᵢ), `p_i_j` (Σxᵢxⱼ for i ≤ j), all exact —
     * one row per group (global when `groupCols` is empty).
     *
-    * FAST PATH (default): every sum runs as a plain LONG sum — fully
-    * codegen'd, an order of magnitude cheaper than the DECIMAL(38,0)
-    * hot loop — and the SAME aggregate also collects `n` and each
-    * column's max |scaled| so exactness is PROVED post-hoc on the one
-    * result row: `n·max|xᵢ|·max|xⱼ| < 2⁶³` bounds every partial and
-    * total sum, hence no silent int64 wrap was possible. Past the
-    * bound the result row fails LOUDLY (`raise_error`, the l1Drift
-    * discipline) directing the caller to `decimalPath = true`, which
-    * runs the original DECIMAL(38,0) sums (exact to ~1e38). Both
-    * paths produce identical integers wherever both are defined, so
-    * oracles never see the difference. */
+    * FAST PATH (default): every moment accumulates as TWO plain LONG
+    * sums — the product split at 2³¹ into (hi, lo) halves
+    * (`lo = pmod(p, 2³¹) ∈ [0, 2³¹)`, `hi = (p − lo) >> 31`, both
+    * exact for every long including negatives) — fully codegen'd,
+    * no DECIMAL in the hot loop; the one result row reconstructs
+    * `Σp = 2³¹·Σhi + Σlo` in DECIMAL exactly. The SAME aggregate
+    * collects `n` and each column's max |scaled| so exactness is
+    * PROVED post-hoc (the proof uses only n and the maxima, so it is
+    * valid even if a sum DID wrap): `Σlo ≤ n·2³¹` needs `n < 4·10⁹`;
+    * `Σhi ≤ n·max|xᵢ|·max|xⱼ|/2³¹` needs `n·maxᵢ·maxⱼ < 10²⁸`; each
+    * product needs `maxᵢ·maxⱼ < 4·10¹⁸ < 2⁶²`. That envelope covers
+    * ~10¹² rows of ~10⁷-magnitude scaled values — true cluster
+    * scale. Past it the row fails LOUDLY (`raise_error`, the l1Drift
+    * discipline) directing the caller to `decimalPath = true` (the
+    * original DECIMAL(38,0) sums). Both paths produce identical
+    * integers wherever both are defined, so oracles never see the
+    * difference. */
   private def moments(df: DataFrame, cols: Seq[(String, Int)],
       groupCols: Seq[String] = Nil, decimalPath: Boolean = false): DataFrame = {
     if (decimalPath) {
@@ -58,38 +64,49 @@ object Stats {
           count(lit(1)).as("n")
       df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     } else {
+      val twoP31 = 2147483648L
       val scl = cols.map { case (c, d) =>
         val f = math.pow(10, d)
         round(col(c).cast("double") * lit(f)).cast("long")
       }
+      // (Σhi, Σlo) long-sum pair per moment — exact 2³¹-split halves
+      def hiLoSums(p: Column, tag: String): Seq[Column] = {
+        val lo = pmod(p, lit(twoP31))
+        Seq(sum(shiftright(p - lo, 31)).as(s"_h_$tag"),
+          sum(lo).as(s"_l_$tag"))
+      }
       val aggs =
-        scl.zipWithIndex.map { case (x, i) => sum(x).as(s"_ls_$i") } ++
+        cols.indices.flatMap(i => hiLoSums(scl(i), s"s$i")) ++
           (for (i <- cols.indices; j <- cols.indices if i <= j)
-            yield sum(scl(i) * scl(j)).as(s"_lp_${i}_$j")) ++
-          scl.zipWithIndex.map { case (x, i) => max(abs(x)).as(s"_ma_$i") } :+
+            yield hiLoSums(scl(i) * scl(j), s"p${i}_$j")).flatten ++
+          cols.indices.map(i => max(abs(scl(i))).as(s"_ma_$i")) :+
           count(lit(1)).as("n")
       val agged = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       // post-hoc exactness proof over the ONE result row per group:
-      // conservative double-space check (9.0e18 < 2⁶³ leaves headroom
-      // for the check's own rounding); an unprovable bound fails loud
+      // conservative double-space bounds; an unprovable bound fails
+      // loud (null maxima from all-null groups coalesce to 0 = safe)
       val nDbl = col("n").cast("double")
       def maD(i: Int) = coalesce(col(s"_ma_$i"), lit(0L)).cast("double")
-      val guard = (cols.indices.map(i => nDbl * maD(i) <= lit(9.0e18)) ++
-        (for (i <- cols.indices; j <- cols.indices if i <= j)
-          yield nDbl * maD(i) * maD(j) <= lit(9.0e18))).reduce(_ && _)
+      val guard = (lit(true) +: (nDbl <= lit(4.0e9)) +:
+        (cols.indices.map(i => nDbl * maD(i) <= lit(1.0e28)) ++
+          (for (i <- cols.indices; j <- cols.indices if i <= j) yield
+            (maD(i) * maD(j) <= lit(4.0e18)) &&
+              nDbl * maD(i) * maD(j) <= lit(1.0e28)))).reduce(_ && _)
       def err = raise_error(format_string(
         "moments: int64-exact magnitude bound exceeded " +
           "(n=%s rows, scaled-magnitude maxima " +
           cols.indices.map(_ => "%s").mkString("/") +
           ") — rerun with decimalPath=true for DECIMAL(38,0) sums",
         col("n") +: cols.indices.map(i => col(s"_ma_$i")): _*))
+      def rebuild(tag: String): Column =
+        (col(s"_h_$tag").cast("decimal(38,0)") * lit(twoP31) +
+          col(s"_l_$tag").cast("decimal(38,0)")).cast("decimal(38,0)")
       val outCols = groupCols.map(col) ++
         cols.indices.map(i =>
-          when(guard, col(s"_ls_$i")).otherwise(err)
-            .cast("decimal(38,0)").as(s"s_$i")) ++
+          when(guard, rebuild(s"s$i")).otherwise(err).as(s"s_$i")) ++
         (for (i <- cols.indices; j <- cols.indices if i <= j)
-          yield when(guard, col(s"_lp_${i}_$j")).otherwise(err)
-            .cast("decimal(38,0)").as(s"p_${i}_$j")) :+
+          yield when(guard, rebuild(s"p${i}_$j")).otherwise(err)
+            .as(s"p_${i}_$j")) :+
         col("n")
       agged.select(outCols: _*)
     }

@@ -676,10 +676,12 @@ class StatsSpec extends SparkSpec {
   }
 
   test("long fast path: loud failure past the int64 bound; decimalPath agrees below it") {
-    // values at 1e9 magnitude: each product is 1e18, ten rows push
-    // n·max|x|·max|y| to 1e19 > 2^63 — the post-hoc proof must fail
-    // LOUDLY (raise_error), never wrap silently
-    val big = (1 to 10).map(i => (1.0e9 + i, 1.0e9 - i)).toDF("x", "y")
+    // values at 3e9 magnitude: each product is ~9e18 > the 4e18
+    // per-product representability bound — the post-hoc proof must
+    // fail LOUDLY (raise_error), never wrap silently. (1e9-magnitude
+    // values now FIT the 2^31-split fast path — its envelope covers
+    // n·max_i·max_j up to 1e28.)
+    val big = (1 to 10).map(i => (3.0e9 + i, 3.0e9 - i)).toDF("x", "y")
     val ex = intercept[Exception] {
       Stats.olsFit(big, "x", 0, "y", 0).collect()
     }
