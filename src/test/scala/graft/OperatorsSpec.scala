@@ -675,30 +675,34 @@ class StatsSpec extends SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(13)))
   }
 
-  test("long fast path: loud failure past the int64 bound; decimalPath agrees below it") {
+  test("longPath: loud failure past the int64 envelope; bit-identical to decimal inside it") {
     // values at 3e9 magnitude: each product is ~9e18 > the 4e18
     // per-product representability bound — the post-hoc proof must
-    // fail LOUDLY (raise_error), never wrap silently. (1e9-magnitude
-    // values now FIT the 2^31-split fast path — its envelope covers
-    // n·max_i·max_j up to 1e28.)
+    // fail LOUDLY (raise_error), never wrap silently
     val big = (1 to 10).map(i => (3.0e9 + i, 3.0e9 - i)).toDF("x", "y")
     val ex = intercept[Exception] {
-      Stats.olsFit(big, "x", 0, "y", 0).collect()
+      Stats.olsFit(big, "x", 0, "y", 0, longPath = true).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("magnitude bound exceeded")), msgs(ex).mkString("|"))
-    // the decimal escape hatch handles the same data exactly
-    val fit = Stats.olsFit(big, "x", 0, "y", 0, decimalPath = true).collect()(0)
+    // the default decimal path handles the same data exactly
+    val fit = Stats.olsFit(big, "x", 0, "y", 0).collect()(0)
     assert(fit.getAs[Double]("slope") == -1.0)
-    // and below the bound the two paths are bit-identical
-    val df = (1L to 500L).map(i => ((i * 37 % 101).toDouble / 4, (i * 53 % 97).toDouble / 8))
+    // inside the envelope the two paths are bit-identical (incl.
+    // negative values exercising the two's-complement hi/lo split)
+    val df = (1L to 500L).map(i =>
+        ((i * 37 % 101).toDouble / 4 - 12.0, (i * 53 % 97).toDouble / 8 - 6.0))
       .toDF("a", "b")
     assert(Stats.olsFit(df, "a", 3, "b", 3).collect()(0).toString ==
-      Stats.olsFit(df, "a", 3, "b", 3, decimalPath = true).collect()(0).toString)
+      Stats.olsFit(df, "a", 3, "b", 3, longPath = true).collect()(0).toString)
     assert(Stats.pearsonMatrix(df, Seq("a" -> 3, "b" -> 3)).collect().map(_.toString).toSeq ==
-      Stats.pearsonMatrix(df, Seq("a" -> 3, "b" -> 3), decimalPath = true)
+      Stats.pearsonMatrix(df, Seq("a" -> 3, "b" -> 3), longPath = true)
         .collect().map(_.toString).toSeq)
+    assert(Stats.olsFitBy(df.withColumn("g", col("a") > 0), Seq("g"), "a", 3, "b", 3)
+        .orderBy("g").collect().map(_.toString).toSeq ==
+      Stats.olsFitBy(df.withColumn("g", col("a") > 0), Seq("g"), "a", 3, "b", 3,
+        longPath = true).orderBy("g").collect().map(_.toString).toSeq)
   }
 }
 
