@@ -276,10 +276,11 @@ object SourceQueries {
         .partitionBy("p").parquet(dir)
       Sources.publishMergePartitioned(s, dir, incoming, cfg, "p")
       Sources.indexBatchKeys(s, dir, "o_orderkey")
-      val keys: Seq[Any] = base.filter(col("o_orderkey") % 97 === 0)
-        .select("o_orderkey").distinct()
-        .collect().map(_.get(0)).toSeq // point-lookup set: ~n/97 keys
-      Sources.readMergePartitionedKeyed(s, dir, "p", "o_orderkey", keys)
+      // keys as a FRAME: the read picks point-lookup (sidecar-pruned)
+      // vs bulk (bloom semi-join) itself via a BOUNDED probe — no
+      // data-proportional collect anywhere in the harness
+      val keys = base.filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+      Sources.readMergePartitionedKeyedFrame(s, dir, "p", "o_orderkey", keys)
         .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
           "o_orderdate", "p")
         .orderBy("o_orderkey")

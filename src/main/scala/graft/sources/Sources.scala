@@ -1117,6 +1117,42 @@ object Sources {
     }
   }
 
+  /** Keyed read whose key set is a DATAFRAME — the shape that never
+    * collects data-proportionally. Two regimes, picked at runtime by
+    * a BOUNDED probe (`limit(maxPointLookup + 1)` — the collect can
+    * never exceed maxPointLookup+1 rows regardless of key volume):
+    *
+    *  - point-lookup (≤ `maxPointLookup` distinct keys): delegate to
+    *    [[readMergePartitionedKeyed]] — per-dir bloom sidecars prune
+    *    whole batch dirs driver-side, the classic primary-key read;
+    *  - bulk (more keys than that): dir pruning can't win (most dirs
+    *    match some key), so run the scan with a broadcast
+    *    bloom PREFILTER + exact semi-join against the keys frame
+    *    ([[graft.operators.BloomJoin]]) — rows drop before the
+    *    shuffle, the key set never visits the driver.
+    *
+    * Same result either way (both are exact key membership). */
+  def readMergePartitionedKeyedFrame(spark: SparkSession, tableDir: String,
+      partitionCol: String, keyCol: String, keys: DataFrame,
+      maxPointLookup: Int = 8192, bulkFpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(maxPointLookup >= 1, s"maxPointLookup must be >= 1, got $maxPointLookup")
+    val distinctKeys = keys.select(col(keyCol)).distinct()
+    val probe = distinctKeys.limit(maxPointLookup + 1).collect()
+    if (probe.length <= maxPointLookup)
+      readMergePartitionedKeyed(spark, tableDir, partitionCol, keyCol,
+        probe.map(_.get(0)).toSeq)
+    else {
+      // size the bloom from the true key count (a distributed agg on
+      // the keys frame — one long to the driver, never the keys)
+      val nKeys = distinctKeys.count()
+      graft.operators.BloomJoin.semiJoin(
+        readMergePartitioned(spark, tableDir, partitionCol), keyCol,
+        distinctKeys, keyCol,
+        expectedItems = math.max(nKeys, 1L), fpp = bulkFpp)
+    }
+  }
+
   /** Operational vacuum for [[publishMergePartitioned]] tables:
     * delete batch dirs referenced by NO manifest once older than
     * `olderThanMs` (default 24 h). Crashed publishers orphan their

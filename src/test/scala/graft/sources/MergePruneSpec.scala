@@ -224,6 +224,21 @@ class MergePruneSpec extends SparkSpec {
     // all-miss key set: empty result, zero data dirs opened
     val none = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", Seq(999L))
     assert(none.count() == 0 && none.inputFiles.isEmpty)
+
+    // FRAME key set, point-lookup regime (under the bound): same
+    // result as the Seq API, sidecar pruning still applies
+    val framePoint = Sources.readMergePartitionedKeyedFrame(spark, dir, "p", "k",
+        Seq(10L, 120L, 999L).toDF("k"), maxPointLookup = 8192)
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    assert(framePoint == full, s"$framePoint vs $full")
+
+    // FRAME key set, bulk regime (bound forced to 1): bloom-semi
+    // scale path, identical rows — the key set never materializes
+    // on the driver beyond the 2-row probe
+    val frameBulk = Sources.readMergePartitionedKeyedFrame(spark, dir, "p", "k",
+        Seq(10L, 120L, 999L).toDF("k"), maxPointLookup = 1)
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    assert(frameBulk == full, s"$frameBulk vs $full")
   }
 
   test("zone maps: range read skips disjoint batch dirs, handles string and date bounds") {
