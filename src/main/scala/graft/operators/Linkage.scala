@@ -155,15 +155,21 @@ object Linkage {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(blockCols.map(col): _*)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val src = df
+    val capped = df
       .withColumn("_rn", row_number().over(w))
-    val capped = src.filter(col("_rn") <= maxBlock).drop("_rn")
+      .filter(col("_rn") <= maxBlock).drop("_rn")
     // loud cap accounting: one tiny aggregation over the block key
-    // column only (never silent — the "no silent caps" rule)
-    val capStats = src.filter(col("_rn") > maxBlock)
-      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("_over"))
+    // column only (never silent — the "no silent caps" rule). Derived
+    // from per-block COUNTS, not the windowed frame: re-filtering the
+    // window output would re-run the per-block sort — the most
+    // expensive pre-pair stage — a second time even when no block
+    // exceeds the cap. A plain groupBy-count shuffles without sorting
+    // and gives the same dropped mass (Σ max(0, n_b − maxBlock)).
+    val capStats = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBlock)
       .agg(coalesce(count(lit(1)), lit(0L)).as("_blocks"),
-        coalesce(sum(col("_over")), lit(0L)).as("_dropped"))
+        coalesce(sum(col("_n") - lit(maxBlock)), lit(0L)).as("_dropped"))
       .collect()(0)
     val (cappedBlocks, droppedRows) = (capStats.getLong(0), capStats.getLong(1))
     if (droppedRows > 0)

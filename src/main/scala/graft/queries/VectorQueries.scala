@@ -223,9 +223,9 @@ object VectorQueries {
         val pLit = planes.map(_.map(v =>
             "%.17E".formatLocal(java.util.Locale.ROOT, v))
           .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-        s"""WITH nb AS (SELECT GREATEST(4, COALESCE((
+        s"""WITH nb AS (SELECT LEAST(16, GREATEST(4, COALESCE((
            |    SELECT MAX(j) FROM range(0, 63) t(j)
-           |    WHERE ((SELECT count(*) FROM embeddings) // 256) >> j >= 1), 0)) AS nbits),
+           |    WHERE ((SELECT count(*) FROM embeddings) // 256) >> j >= 1), 0))) AS nbits),
            |pr AS (SELECT j, p[j] AS pv
            |       FROM (SELECT $pLit AS p), UNNEST(range(1, 17)) AS r(j), nb
            |       WHERE j <= nb.nbits),
@@ -268,8 +268,12 @@ object VectorQueries {
       }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
-      val nBits = math.max(4,
-        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 256)))
+      // Capped at 16 on BOTH sides: the oracle interpolates exactly 16
+      // plane literals, so the derived bit count must never exceed the
+      // literal pool (>=33.5M embeddings would otherwise derive 17 bits
+      // engine-side and diverge at precisely the scale-up boundary).
+      val nBits = math.min(16, math.max(4,
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 256))))
       Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding",
           threshold = 0.45, nBits = nBits, dim = 64, nProbe = 2)
         .orderBy("id_a", "id_b")

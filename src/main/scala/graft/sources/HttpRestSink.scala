@@ -36,6 +36,20 @@ import org.apache.spark.sql.types._
   * collapses. The key is derived from CONTENT, never a timestamp or
   * RNG, per the engine's determinism discipline.
   *
+  * CAVEAT the key contract depends on: partition MEMBERSHIP is stable
+  * across task attempts (hash partitioning is deterministic) but
+  * intra-partition row ORDER after a shuffle is not — shuffle-block
+  * fetch order varies between attempts, so a retried task could group
+  * the same rows into different batches and mint fresh keys. Pass
+  * `stableKey` (a natural-key column list) and the sink sorts within
+  * partitions before batching, making batch composition — and hence
+  * every Idempotency-Key — a pure function of the data. Omitting
+  * `stableKey` is only safe when the input's partition-iteration
+  * order is itself deterministic (a direct file scan with no
+  * upstream shuffle); the sink cannot verify that, so shuffled
+  * inputs MUST pass `stableKey` for exactly-once delivery to an
+  * idempotent receiver.
+  *
   * Config rides `graft.rest.sink.*` system properties (set them via
   * `spark.executor.extraJavaOptions` on a real cluster; plain
   * `sys.props` in local mode):
@@ -54,14 +68,35 @@ import org.apache.spark.sql.types._
   */
 object HttpRestSink {
 
+  /** Retry-safe permanent failure: raised on any non-transient 4xx so
+    * the task fails without burning the retry budget. Object-level
+    * (no `$outer`) so the exception serializes back to the driver on a
+    * real cluster instead of masking the HTTP error with a
+    * NotSerializableException over the captured HttpClient. */
+  final class PermanentHttpException(msg: String) extends RuntimeException(msg)
+
+  /** Raised when `maxConsecutiveFailures` requests fail back-to-back.
+    * Object-level for the same serializability reason. */
+  final class FailureBudgetExhausted(msg: String) extends RuntimeException(msg)
+
   /** POST every row of `df` to the configured endpoint in batches of
-    * `batchSize`. Blocking, runs as one Spark job; returns rows sent. */
-  def post(df: DataFrame, batchSize: Int = 100): Long = {
+    * `batchSize`. Blocking, runs as one Spark job; returns rows sent.
+    *
+    * `stableKey`: natural-key columns to sort within partitions before
+    * batching. Required for stable Idempotency-Keys whenever `df` has
+    * a shuffle upstream (see class doc); a no-op cost-wise for the
+    * direct-scan case (in-memory sort of one task's rows). */
+  def post(df: DataFrame, batchSize: Int = 100,
+      stableKey: Seq[String] = Seq.empty): Long = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val src =
+      if (stableKey.isEmpty) df
+      else df.sortWithinPartitions(
+        stableKey.map(org.apache.spark.sql.functions.col): _*)
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("graft.rest.sink.rows")
     val schema = df.schema
-    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    src.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val client = new SinkClient(schema)
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var batchIdx = 0
@@ -138,9 +173,6 @@ object HttpRestSink {
       val idemKey = md.digest().map("%02x".format(_)).mkString
       request(body, idemKey)
     }
-
-    final class PermanentHttpException(msg: String) extends RuntimeException(msg)
-    final class FailureBudgetExhausted(msg: String) extends RuntimeException(msg)
 
     private def requestOnce(body: String, idemKey: String): Unit = {
       throttle()

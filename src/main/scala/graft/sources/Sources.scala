@@ -14,6 +14,20 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Upper bound on distinct partition values a single
+    * [[publishMergeDeletes]] may touch. Touched-partition values are the
+    * one driver-side collect in the merge-table metadata path; a delete
+    * frame touching more partitions than this is a table rewrite
+    * mis-spelled as a targeted delete (or the key column passed as the
+    * partition column) and is refused loudly instead of materializing a
+    * data-proportional set on the driver. Overridable via the
+    * `graft.merge.maxTouchedPartitions` system property. */
+  def MaxTouchedPartitions: Int =
+    Option(System.getProperty("graft.merge.maxTouchedPartitions"))
+      .map(_.toInt).getOrElse(10000)
+
   /** S1/S2: CSV fragment scan (header row, reference null tokens
     * preserved as raw strings for the coercion layer to normalize). */
   def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
@@ -189,8 +203,12 @@ object Sources {
     * manifest entirely (its data dir is pruned on the standard
     * two-publish slack). Partition values must round-trip their
     * `toString` through Spark's partition-path encoding (true for
-    * numeric/date/plain-string values; exotic strings need escaping
-    * and are refused loudly rather than silently kept). Returns the
+    * numeric/date/plain-string values; exotic strings and nulls would
+    * be percent-/sentinel-encoded by Spark's `escapePathName` and are
+    * refused loudly rather than silently kept — the guard round-trips
+    * each value through the exact escaping Spark writes with). Deletes
+    * touching more than [[MaxTouchedPartitions]] distinct partition
+    * values are refused as table-rewrites-in-disguise. Returns the
     * number of rows deleted (0 = no key matched; no publish). */
   def publishMergeDeletes(
       spark: SparkSession,
@@ -211,17 +229,52 @@ object Sources {
       s"publishMergeDeletes: '$tableDir' is not a manifest-published table")
     val entries = manifestEntries(fs, root, partitionCol)
     if (entries.isEmpty) return 0L
-    val touched = deletes.select(partitionCol).distinct().collect().map(_.get(0))
-    val touchedStr = touched.map(String.valueOf).toSet
-    touchedStr.foreach { v =>
-      require(!v.exists(c => c == '/' || c == '%' || Character.isISOControl(c)),
-        s"partition value '$v' does not round-trip path encoding — " +
-          "delete by a path-safe partition value")
+    // Bounded metadata collect: touched-partition cardinality is the ONLY
+    // thing collected, and even that is probed with a limit first so a
+    // mis-specified deletes frame (e.g. the key column passed as the
+    // partition column) refuses loudly instead of materializing a
+    // data-proportional set on the driver.
+    val maxTouched = MaxTouchedPartitions
+    val touchedProbe = deletes.select(partitionCol).distinct()
+      .limit(maxTouched + 1).collect().map(_.get(0))
+    require(touchedProbe.length <= maxTouched,
+      s"publishMergeDeletes: deletes touch > $maxTouched distinct " +
+        s"'$partitionCol' values — that is a table rewrite, not a targeted " +
+        "delete; split the job or republish the table instead")
+    val touched = touchedProbe
+    // Spark percent-encodes far more than '/' and '%' on partition paths
+    // (':', '=', '#', '*', '?', quotes, brackets, …) and renders null as
+    // __HIVE_DEFAULT_PARTITION__. Guard with the SAME escaping Spark uses:
+    // a value that does not round-trip identity through escapePathName
+    // would silently match no manifest segment and retain rows meant for
+    // erasure — refuse loudly instead.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    touched.foreach { v =>
+      require(v != null,
+        "publishMergeDeletes: null partition value — delete null-partition " +
+          "rows by republishing the table without them")
+      val s = String.valueOf(v)
+      require(ExternalCatalogUtils.escapePathName(s) == s,
+        s"partition value '$s' does not round-trip Spark's partition-path " +
+          "encoding — delete by a path-safe partition value")
     }
+    val touchedStr = touched.map(String.valueOf).toSet
     val valueOfSeg = (s: String) => s.split("=", 2).lift(1).getOrElse("")
+    val liveVals = entries.map(e => valueOfSeg(segmentOf(e))).toSet
     val dropSegs = entries.map(segmentOf)
       .filter(s => touchedStr.contains(valueOfSeg(s))).toSet
-    if (dropSegs.isEmpty) return 0L
+    if (dropSegs.isEmpty) {
+      // Every touched value missed the manifest. The escapePathName
+      // round-trip guard above already rules out the silent-rendering
+      // mismatch class, so this is genuinely "partition not live" —
+      // e.g. an idempotent re-run after the delete emptied it. Keep the
+      // no-op contract but say so loudly in the log.
+      log.warn(
+        s"publishMergeDeletes: none of the ${touchedStr.size} touched " +
+          s"'$partitionCol' values match a live partition " +
+          s"(live sample: ${liveVals.take(5).mkString(", ")}); no-op")
+      return 0L
+    }
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
     val current = assembleManifest(spark, tableDir, entries).get

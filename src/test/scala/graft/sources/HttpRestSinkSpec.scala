@@ -126,6 +126,34 @@ class HttpRestSinkSpec extends SparkSpec {
     }
   }
 
+  test("stableKey makes idempotency keys invariant to upstream row order (shuffle-retry contract)") {
+    // Two runs of the SAME logical data arriving in different
+    // intra-partition orders — the stand-in for a task retry whose
+    // shuffle-block fetch order changed. With stableKey the sink sorts
+    // within partitions before batching, so batch composition (and
+    // every Idempotency-Key) must be identical across the runs.
+    def runOnce(orderSeed: Int): Set[String] = {
+      var keys = Set.empty[String]
+      withServer(accept) { port =>
+        withProps(baseProps(port)) {
+          val rows = (1 to 60).map(i => (i.toLong, s"rec-$i"))
+          val shuffled = new scala.util.Random(orderSeed).shuffle(rows)
+          // repartition on id → partition MEMBERSHIP deterministic,
+          // arrival order within a partition follows the input order
+          val df = shuffled.toDF("id", "name")
+            .repartition(3, org.apache.spark.sql.functions.col("id"))
+          assert(HttpRestSink.post(df, batchSize = 8,
+            stableKey = Seq("id")) == 60L)
+          keys = seen.keySet().toArray.map(_.asInstanceOf[String]).toSet
+        }
+      }
+      keys
+    }
+    val a = runOnce(1)
+    val b = runOnce(2)
+    assert(a == b, s"keys diverged across input orders: ${a.diff(b).take(3)}")
+  }
+
   test("null fields and typed values serialize faithfully") {
     withServer(accept) { port =>
       withProps(baseProps(port)) {

@@ -157,6 +157,41 @@ class MergePruneSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 4L, 5L))
   }
 
+  test("delete guards: exotic/null partition values and many-partition deletes refuse loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mdelg").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("id"), Seq.empty)
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "p", "v"), cfg, "p")
+    // a value Spark would percent-encode ("x=y" → "x%3Dy") must be
+    // refused — silently matching no segment would RETAIN rows meant
+    // for GDPR erasure
+    val e1 = intercept[IllegalArgumentException] {
+      Sources.publishMergeDeletes(spark, dir,
+        Seq((1L, "x=y")).toDF("id", "p"), cfg, "p")
+    }
+    assert(e1.getMessage.contains("round-trip"), e1.getMessage)
+    // null partition value (Spark renders __HIVE_DEFAULT_PARTITION__)
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.publishMergeDeletes(spark, dir,
+        Seq((1L, null.asInstanceOf[String])).toDF("id", "p"), cfg, "p")
+    }
+    assert(e2.getMessage.contains("null partition value"), e2.getMessage)
+    // touched-partition cardinality above the bound = table rewrite in
+    // disguise — refused before any driver-side materialization
+    System.setProperty("graft.merge.maxTouchedPartitions", "2")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        Sources.publishMergeDeletes(spark, dir,
+          Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p"), cfg, "p")
+      }
+      assert(e3.getMessage.contains("targeted"), e3.getMessage)
+    } finally System.clearProperty("graft.merge.maxTouchedPartitions")
+    // the table is untouched by all three refusals
+    assert(Sources.readMergePartitioned(spark, dir, "p")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("vacuum reclaims aged unreferenced batch dirs, spares referenced and young ones") {
     val (fs, root, dir) = fsRoot()
     manifest(fs, root, 5, Seq("b-5/p=1"), aged = false)
