@@ -4,8 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every declared query against
   * `SPARK_GRAFT_SF_DIR`, print one JSON line of per-query seconds.
-  * A warm-up action first so JVM/codegen warm-up is not billed to the
-  * first query. */
+  *
+  * Falsifiability discipline (round 12): this sandbox has a proven
+  * ±50% host-noise envelope on identical code, so single-run numbers
+  * cannot distinguish a real 1.5× regression from drift. Every query
+  * therefore gets ONE untimed warm-up run (JIT + page cache + codegen
+  * primed) followed by MEDIAN-OF-5 timed runs when its warm-up took
+  * ≥1 s (median-of-3 below that — sub-second queries are dominated by
+  * fixed overhead and 3 reps bound them fine). The full per-query
+  * MEDIAN map, a per-query spread table, and a ratio table against
+  * the previous round's BENCH_r{N-1}.json are all printed and
+  * persisted under target/, so a genuine regression is readable from
+  * artifacts alone. A wall-clock budget (default 1500 s, env
+  * `SPARK_GRAFT_BENCH_BUDGET_SEC`) degrades rep counts LOUDLY rather
+  * than risking a driver timeout.
+  */
 object Bench {
 
   /** The headline subset reported on the final (parse-bearing) JSON
@@ -29,10 +42,6 @@ object Bench {
     "q_curation_pipeline", "q_dedup_incremental", "q_dedup_semantic",
     "q_vec_pq_search", "q_text_bpe_learn", "q_graph_centrality",
     "q_retrieval_hybrid", "q_agg_hist_sketch", "q_rep_corr_matrix",
-    // round-10 heavy additions: median-of-3 protection for the
-    // queries most exposed to host noise (infra-heavy end-to-end
-    // compositions); final-line budget re-measured at ~1.3 KB,
-    // still under the driver's ~1.5 KB tail window
     "q_identity_incremental", "q_dedup_jaccard_prefix",
     "q_dedup_decontam_incremental")
 
@@ -45,15 +54,20 @@ object Bench {
     // every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(1500.0)
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + codegen + parquet footer reads
+    // session warm-up: JVM + codegen + parquet footer reads
     Tables.lineitem(spark, sfDir).count()
 
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+
     var nRun = 0
-    def timeQuery(q: graft.queries.QueryDef): Double = {
+    def timeOnce(q: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
       // a per-query failure must be LOUD: print it, and record the
       // query as -1 in the map (a silent catch turns a red query into
@@ -67,10 +81,10 @@ object Bench {
       }
       // Isolate queries AND bound accumulated state: clearCache drops
       // SQL-cached plans, but localCheckpoint/persist blocks survive it
-      // and pile up across ~80 queries until late queries pay eviction
+      // and pile up across ~200 queries until late queries pay eviction
       // + GC (driver's r2 bench ran 2-10x the local times for exactly
       // the checkpoint-heavy late-positioned queries). Unpersist every
-      // RDD explicitly each round, and periodically force a GC so the
+      // RDD explicitly each run, and periodically force a GC so the
       // ContextCleaner actually releases shuffle files / broadcasts
       // (they are weak-reference-cleaned, i.e. only on GC — a 24g heap
       // may otherwise not GC for the whole run).
@@ -80,64 +94,131 @@ object Bench {
       if (nRun % 8 == 0) System.gc()
       if (err.isDefined) -1.0 else dt
     }
-    val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
-    val results = defs.map(q => q.name -> timeQuery(q))
 
-    // The headline subset is re-timed twice more and reported as the
-    // MEDIAN of the three runs: a single contended driver run (the
-    // r08 bench regressed 10-44x on shuffle-heavy queries with
-    // bit-identical code) can then no longer halve the apparent
-    // throughput of any headline row. Bounded cost: repeats only for
-    // the ~38 headline queries.
-    val hset = headline.toSet
-    val headlineDefs = defs.filter(q => hset(q.name))
-    val reps: Map[String, Seq[Double]] = {
-      val extra = (1 to 2).map(_ => headlineDefs.map(q => q.name -> timeQuery(q)).toMap)
-      val first = results.toMap
-      headlineDefs.map(q => q.name ->
-        (Seq(first(q.name)) ++ extra.map(_(q.name)))).toMap
+    var degraded = 0
+    /** warm-up run (never billed) + adaptive timed reps → all timed
+      * samples. Budget pressure drops reps, never the warm-up+1. */
+    def timeQuery(q: graft.queries.QueryDef): Seq[Double] = {
+      val warm = timeOnce(q)
+      if (warm < 0) return Seq(-1.0)
+      val want = if (warm >= 1.0) 5 else 3
+      val n =
+        if (elapsedSec > budgetSec) { degraded += 1; 1 }
+        else if (elapsedSec > 0.8 * budgetSec) { degraded += 1; math.min(want, 2) }
+        else want
+      val times = (1 to n).map(_ => timeOnce(q))
+      if (times.exists(_ < 0)) Seq(-1.0) else times
     }
-    def median3(v: Seq[Double]): Double =
+    def median(v: Seq[Double]): Double =
       if (v.exists(_ < 0)) -1.0 else v.sorted.apply(v.length / 2)
+
+    val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
+    val samples: Seq[(String, Seq[Double])] = defs.map(q => q.name -> timeQuery(q))
+    if (degraded > 0)
+      System.err.println(s"[bench] budget ${budgetSec}s pressure: rep count degraded " +
+        s"for $degraded queries (raise SPARK_GRAFT_BENCH_BUDGET_SEC for full medians)")
+    val medians: Seq[(String, Double)] = samples.map { case (k, v) => k -> median(v) }
+    val medianMap = medians.toMap
 
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     def jsonLine(qs: Seq[(String, Double)], total: Double, tail: String = ""): String =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jmap(qs)},"sf":"$sfDir"$tail}"""
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val nFailed = medians.count(_._2 < 0)
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed queries FAILED (value -1 in the map)")
-    val full = jsonLine(results, total)
-    // full map: printed first (human log) and persisted for dev diffing
+
+    // full map of per-query MEDIANS: printed first (human log) and
+    // persisted for dev diffing
+    val full = jsonLine(medians, total)
     println(full)
-    // per-headline median/min/max: printed for the log, persisted for
-    // dev diffing (kept OFF the final line to stay under the driver's
-    // ~1.5 KB tail window)
-    val spreadJson = reps.toSeq.sortBy(_._1).map { case (k, v) =>
-      s""""$k":{"median":${f2(median3(v))},"min":${f2(v.min)},"max":${f2(v.max)}}"""
+
+    // per-query spread table (median/min/max over the timed reps, ALL
+    // queries): the falsifiability record — a real regression shows a
+    // moved median with small spread; drift shows spread swallowing it
+    val spreadJson = samples.sortBy(_._1).map { case (k, v) =>
+      s""""$k":{"median":${f2(median(v))},"min":${f2(v.min)},"max":${f2(v.max)},"reps":${v.length}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"headline_spread","reps":3,"queries":$spreadJson}""")
+    val spreadLine = s"""{"metric":"spread","warmup":1,"queries":$spreadJson}"""
+    println(spreadLine)
+
+    // r-vs-(r-1) ratio table: this run's medians over the newest
+    // BENCH_r*.json in the repo root (headline medians of last round).
+    // >1.5x rows are named loudly; missing prior file degrades to an
+    // empty table, never a crash.
+    val ratioLine: String = try {
+      val dir = new java.io.File(".")
+      val prior = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .lastOption
+      prior match {
+        case None => """{"metric":"ratio_vs_prev","prev":null,"queries":{}}"""
+        case Some(f) =>
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+          // driver BENCH files are wrappers {n, rc, tail, parsed}; the
+          // final bench line lives inside the captured `tail` text —
+          // extract the last {"metric":"total"...} line from it
+          val payload: com.fasterxml.jackson.databind.JsonNode =
+            if (root.has("queries")) root
+            else {
+              val t = if (root.has("tail")) root.get("tail").asText() else ""
+              val i = t.lastIndexOf("{\"metric\":\"total\"")
+              if (i < 0) mapper.createObjectNode()
+              else {
+                val j = t.indexOf('\n', i)
+                mapper.readTree(if (j < 0) t.substring(i) else t.substring(i, j))
+              }
+            }
+          val qs = Option(payload.get("queries"))
+          val prev = qs.map { node =>
+            val it = node.fields()
+            val b = Seq.newBuilder[(String, Double)]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
+            b.result()
+          }.getOrElse(Seq.empty)
+          val ratios = prev.flatMap { case (k, pv) =>
+            medianMap.get(k).collect {
+              case cv if cv > 0 && pv > 0 => k -> cv / pv
+            }
+          }
+          val flagged = ratios.filter { case (k, r) =>
+            r > 1.5 && medianMap.getOrElse(k, 0.0) > 0.5 }.map(_._1)
+          if (flagged.nonEmpty)
+            System.err.println(s"[bench] ${flagged.size} queries >1.5x vs ${f.getName}: " +
+              flagged.sorted.mkString(", "))
+          s"""{"metric":"ratio_vs_prev","prev":"${f.getName}","flagged_gt_1_5x":${flagged.size},"queries":${jmap(ratios.sortBy(_._1))}}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ratio table failed: ${e.getMessage}")
+      """{"metric":"ratio_vs_prev","prev":null,"queries":{}}"""
+    }
+    println(ratioLine)
+
     for ((name, text) <- Seq("bench_full.json" -> full,
-        "bench_headline_spread.json" ->
-          s"""{"metric":"headline_spread","reps":3,"queries":$spreadJson}""")) {
+        "bench_spread.json" -> spreadLine,
+        "bench_ratio_vs_prev.json" -> ratioLine)) {
       try {
         val p = java.nio.file.Paths.get(s"target/$name")
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p, text.getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
-    // final line = compact headline subset (median-of-3 values),
-    // guaranteed inside the driver's tail window (see `headline`
-    // scaladoc). spread_max_rel = worst (max-min)/median across
-    // headline rows — a one-number contention indicator.
-    val medians = results.collect { case (k, _) if hset(k) => k -> median3(reps(k)) }
-    val spreadMaxRel = reps.values.collect {
-      case v if v.forall(_ >= 0) && median3(v) > 0.05 => (v.max - v.min) / median3(v)
+
+    // final line = compact headline subset (median values), guaranteed
+    // inside the driver's tail window (see `headline` scaladoc).
+    // spread_max_rel = worst (max-min)/median across headline rows — a
+    // one-number contention indicator.
+    val hset = headline.toSet
+    val headlineMedians = medians.filter { case (k, _) => hset(k) }
+    val spreadMaxRel = samples.collect {
+      case (k, v) if hset(k) && v.forall(_ >= 0) && median(v) > 0.05 =>
+        (v.max - v.min) / median(v)
     }.foldLeft(0.0)(math.max)
-    println(jsonLine(medians, total,
-      s""","reps":3,"spread_max_rel":${f2(spreadMaxRel)}"""))
+    println(jsonLine(headlineMedians, total,
+      s""","reps":5,"warmup":1,"spread_max_rel":${f2(spreadMaxRel)}"""))
     spark.stop()
   }
 }

@@ -29,7 +29,19 @@ object SparkEntry {
     allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops. A
+    * DEFERRED oracle whose query has not run yet (see QueryDef) is
+    * omitted here too — [[Verify]] forces thunks itself, after running
+    * the queries, with per-entry failure sentinels. */
   def oracleSql: Map[String, String] =
-    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allDefs.flatMap(q =>
+      try q.oracle.map(q.name -> _)
+      catch { case _: Throwable => None }).toMap
+
+  /** Declared reason for every def that ships WITHOUT an oracle —
+    * self-explaining gates (Verify dumps these as oracle_reasons.json
+    * next to oracle_sql.json). Empty map = every query is oracled. */
+  def oracleReasons: Map[String, String] =
+    allDefs.filter(_.oracleThunk.isEmpty)
+      .map(q => q.name -> q.reason.getOrElse("undeclared")).toMap
 }

@@ -37,9 +37,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Force each oracle thunk individually: a deferred oracle whose
+    // query never ran (dev-side filter, or the query itself failed)
+    // must fail ITS row in the DuckDB compare — emit unparseable SQL —
+    // not zero the whole round by crashing the dump.
+    val json = SparkEntry.allDefs.flatMap { d =>
+      if (only.nonEmpty && !only(d.name)) None
+      else try d.oracle.map(d.name -> _)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] oracle for ${d.name} failed to generate: ${e.getMessage}")
+        Some(d.name -> s"ORACLE GENERATION FAILED: ${e.getMessage}")
+      }
+    }.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-explaining oracle-less gates: name -> declared reason
+    Files.writeString(Paths.get(s"$outDir/oracle_reasons.json"),
+      SparkEntry.oracleReasons
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -11,6 +11,12 @@ object TextQueries {
 
   private val toksDuck = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
+  /** Emitted pair set of the last q_dedup_minhash_fast run — stashed so
+    * the deferred oracle can restrict brute-force Jaccard truth to it
+    * (see the QueryDef scaladoc on deferred oracles). */
+  private val minhashFastPairs =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]](null)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -492,16 +498,59 @@ object TextQueries {
     },
 
     // The PRODUCTION MinHash path: Fast mode (xxhash64 family), the
-    // default users run. The Portable gate above verifies the pipeline
-    // bit-for-bit; this entry exists so the bench reports the Fast
-    // number too (candidate recall vs exact Jaccard is pinned in
-    // DedupSpec). rows-only: the xxhash64 family is not reproducible
-    // in the oracle by design.
-    QueryDef.rowsOnly("q_dedup_minhash_fast") { (s, d) =>
-      Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text",
+    // default users run. The Portable gate above verifies the whole
+    // pipeline bit-for-bit; this one gates the Fast path's PRECISION
+    // exactly. The xxhash64 candidate set is not SQL-replayable by
+    // design, but the verify stage is exact Jaccard — every emitted
+    // pair is in the brute-force truth by construction — so the query
+    // stashes its emitted (id_a, id_b) set while running and the
+    // DEFERRED oracle (QueryDef.sqlDeferred: Verify dumps oracles
+    // after all queries ran) recomputes each pair's exact Jaccard
+    // from raw documents, restricted to that set. A wrong jaccard, a
+    // duplicate, or any pair below threshold hash-fails the gate;
+    // candidate RECALL (the hash-family-dependent part) is pinned
+    // separately in DedupSpec. The stash collect is result-sized (the
+    // gate materializes results driver-side anyway) and capped loudly.
+    QueryDef.sqlDeferred("q_dedup_minhash_fast") { (s, d) =>
+      val out = Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5,
           mode = Dedup.Fast)
         .orderBy("id_a", "id_b")
+        .localCheckpoint(false) // one materialization feeds stash + write
+      val pairs = out.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      require(pairs.size <= 200000,
+        s"q_dedup_minhash_fast: ${pairs.size} emitted pairs exceed the " +
+          "oracle-literal budget — raise the threshold or gate at a smaller sf")
+      minhashFastPairs.set(pairs)
+      out
+    } {
+      val pairs = Option(minhashFastPairs.get()).getOrElse(throw new IllegalStateException(
+        "q_dedup_minhash_fast oracle requested before the query ran"))
+      val pairsSrc =
+        if (pairs.isEmpty)
+          "(SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE FALSE)"
+        else pairs.map { case (a, b) => s"($a, $b)" }
+          .mkString("(SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b FROM (VALUES ",
+            ", ", ") v(a, b))")
+      s"""WITH pairs AS $pairsSrc,
+         |toks AS (SELECT doc_id, $toksDuck AS t FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS g(i)
+         |       WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+         |           FROM pairs p
+         |           JOIN sh a ON a.doc_id = p.id_a
+         |           JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |           GROUP BY p.id_a, p.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     // Incremental MinHash dedup under the hash gate: batch1 (even ids)
