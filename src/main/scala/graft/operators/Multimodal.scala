@@ -36,6 +36,29 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
+  /** Decoder output: typed metadata + a fixed-dim feature vector.
+    * Image decoders fill width/height, audio decoders fill
+    * sampleRate/channels/durationMs; irrelevant fields stay 0. */
+  final case class Decoded(
+      width: Int, height: Int, sampleRate: Int, channels: Int,
+      durationMs: Long, features: Array[Float])
+
+  /** User-pluggable media decoder: lets real codec libraries (libjpeg
+    * via JNI, an mp3 decoder, an ffmpeg frame grabber) ride the same
+    * mapPartitions kernel, fallback discipline, and downstream
+    * dHash/near-dup machinery as the built-in JRE decoders.
+    *
+    * Contract: MUST be Serializable (instances ship to executors once
+    * per partition, so construction may be arbitrarily heavy — lazily
+    * initialize native handles in a `@transient lazy val`); MUST be
+    * deterministic per payload (the md5-checksum oracle rides on it);
+    * returns None for payloads it does not handle, which then fall to
+    * the built-in decoders and finally the hash-derived fallback —
+    * the batch never fails on a corrupt blob. */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, payload: Array[Byte], dim: Int): Option[Decoded]
+  }
+
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -271,12 +294,16 @@ object Multimodal {
     } catch { case _: Throwable => None }
 
   /** The batched decode shape: partition-local iteration, one output
-    * row per media row. Image rows go through the REAL [[decodeImage]]
-    * kernel, audio rows through the REAL [[decodeAudio] kernel
-    * (PCM containers); undecodable payloads fall back to
-    * deterministic hash-derived features so the batch never fails and
-    * downstream plans are identical either way. */
-  def mapBatches(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    * row per media row. Decode preference order per row: the
+    * user-supplied [[MediaDecoder]] (when given) → the built-in REAL
+    * kernels ([[decodeImage]] for images, [[decodeAudio]] for PCM
+    * audio) → deterministic hash-derived fallback features, so the
+    * batch never fails and downstream plans are identical either way.
+    * A plugged decoder is how real JPEG/MP3/video corpora ride this
+    * kernel: same schema, same partitioning, same fallback, same
+    * checksum oracle. */
+  def mapBatches(media: Dataset[MediaRow], dim: Int = 8,
+      decoder: Option[MediaDecoder] = None): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // one digest instance per partition, reset per row
@@ -289,7 +316,12 @@ object Multimodal {
         md.reset()
         val checksum = md.digest(bytes).take(7)
           .foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL))
-        val decoded: Option[MediaFeatures] = r.kind match {
+        val plugged: Option[MediaFeatures] = decoder.flatMap(dec =>
+          try dec.decode(r.kind, bytes, dim) catch { case _: Throwable => None })
+          .map(d => MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
+            decoded = true, d.width, d.height, d.sampleRate, d.channels,
+            d.durationMs, d.features))
+        val decoded: Option[MediaFeatures] = plugged.orElse(r.kind match {
           case "image" => decodeImage(bytes, dim).map { case (w, h, feats) =>
             MediaFeatures(r.media_id, r.kind, bytes.length, checksum,
               decoded = true, w, h, 0, 0, 0L, feats)
@@ -299,7 +331,7 @@ object Multimodal {
               decoded = true, 0, 0, rate, ch, durMs, feats)
           }
           case _ => None
-        }
+        })
         decoded.getOrElse {
           val feats = Array.tabulate(dim)(i =>
             (((checksum >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2 - 1)
@@ -323,10 +355,12 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
 
   /** End-to-end feature extraction from a DataFrame with a binary
-    * payload: schema in, schema out, binary dropped after decode. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    * payload: schema in, schema out, binary dropped after decode.
+    * `decoder` plugs a user codec in front of the built-ins. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      decoder: Option[MediaDecoder] = None): DataFrame = {
     import spark.implicits._
-    mapBatches(media.as[MediaRow]).toDF()
+    mapBatches(media.as[MediaRow], decoder = decoder).toDF()
   }
 
   /** Exact media dedup by content hash — byte-identical payloads

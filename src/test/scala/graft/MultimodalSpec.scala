@@ -99,6 +99,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("checksum") == out(1L).getAs[Long]("checksum"))
   }
 
+  test("pluggable decoder: user codec rides the kernel, wins over built-ins, falls back cleanly") {
+    // A synthetic "video codec": decodes any video-kind payload whose
+    // first byte is 'V' into deterministic byte-derived features —
+    // the stand-in for an ffmpeg frame grabber. Everything else → None.
+    object FakeVideoDecoder extends Multimodal.MediaDecoder {
+      override def decode(kind: String, payload: Array[Byte], dim: Int)
+          : Option[Multimodal.Decoded] =
+        if (kind == "video" && payload.nonEmpty && payload(0) == 'V')
+          Some(Multimodal.Decoded(
+            width = 640, height = 480, sampleRate = 0, channels = 0,
+            durationMs = payload.length.toLong * 40,
+            features = Array.tabulate(dim)(i =>
+              payload(i % payload.length).toFloat / 127f)))
+        else None
+    }
+    val wav = Multimodal.synthWavPcm16(seed = 7L, nFrames = 800, sampleRate = 8000)
+    val rows = Seq(
+      (1L, "video", "Vabc".getBytes("UTF-8")),   // plugged decoder handles
+      (2L, "video", "Xabc".getBytes("UTF-8")),   // no decoder → hash fallback
+      (3L, "audio", wav))                        // built-in still wins for audio
+      .toDF("id", "kind", "payload")
+    val media = rows.select(
+      col("id").as("media_id"), col("kind"), col("payload"),
+      lit("application/octet-stream").as("mime"),
+      lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
+    val out = Multimodal.extractFeatures(spark, media,
+      decoder = Some(FakeVideoDecoder)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // plugged path: decoded=true with the codec's metadata
+    assert(out(1L).getAs[Boolean]("decoded"))
+    assert(out(1L).getAs[Int]("decoded_width") == 640 &&
+      out(1L).getAs[Int]("decoded_height") == 480 &&
+      out(1L).getAs[Long]("duration_ms") == 160L)
+    // unhandled payload: clean fallback, never a failure
+    assert(!out(2L).getAs[Boolean]("decoded"))
+    // built-in audio decode unaffected by the plug
+    assert(out(3L).getAs[Boolean]("decoded") &&
+      out(3L).getAs[Int]("sample_rate") == 8000)
+    // determinism: a second run yields identical feature vectors
+    val again = Multimodal.extractFeatures(spark, media,
+      decoder = Some(FakeVideoDecoder)).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    assert(again(1L) == out(1L).getAs[scala.collection.Seq[Float]]("features"))
+    // and the plugged features feed the same downstream near-dup
+    // machinery: identical plugged payloads collapse in dedupExact
+    val dupes = Multimodal.dedupExact(media.union(media
+      .withColumn("media_id", col("media_id") + 10)))
+    assert(dupes.count() == 3) // 3 distinct payloads across 6 rows
+  }
+
   test("frame sampling explodes one row per sampled frame") {
     val vid = Seq((1L, "video", Array[Byte](1), "video/mp4", 0, 0, 1000L))
       .toDF("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
