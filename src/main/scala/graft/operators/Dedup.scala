@@ -461,6 +461,40 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"_m$i")): _*).as("signature"))
   }
 
+
+  /** Per-JVM count of LSH buckets dropped by a cap — the "no silent
+    * truncation" ledger. Incremented executor-side inside the cap
+    * filter itself (same job, zero extra passes); in local mode the
+    * driver JVM sees the total, on a cluster each executor counts and
+    * logs its own drops. (`Dataset.observe` would be the idiomatic
+    * in-job channel, but its metrics are silently dropped when the
+    * observed subtree is duplicated by the candidate self-join —
+    * measured, not assumed — so the cap filter logs directly.) */
+  val capEvents = new java.util.concurrent.atomic.LongAdder()
+  private val capLogged = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Loud bucket cap: keep buckets with `_bsz` <= maxBucket; every
+    * dropped bucket increments [[capEvents]] and WARNs (first 20, then
+    * every 1000th — hot-skew corpora can cap thousands of buckets).
+    * The filter runs on the bucket-SIZE frame (one row per bucket), so
+    * the UDF cost is negligible and the data path stays codegen'd. */
+  private def capBuckets(sizes: DataFrame, maxBucket: Int, what: String): DataFrame = {
+    val keep = udf { (bsz: Long) =>
+      val ok = bsz <= maxBucket
+      if (!ok) {
+        capEvents.increment()
+        val n = capLogged.incrementAndGet()
+        if (n <= 20 || n % 1000 == 0)
+          org.slf4j.LoggerFactory.getLogger("graft.caps").warn(
+            s"graft.cap.$what: bucket of $bsz rows exceeds cap $maxBucket — " +
+              "dropped wholesale; its candidate pairs were NOT generated " +
+              s"(drop #$n in this JVM)")
+      }
+      ok
+    }
+    sizes.filter(keep(col("_bsz")))
+  }
+
   /** LSH banding: candidate pairs whose signatures agree on at least
     * one band of `rowsPerBand` consecutive hashes. Shuffle payload is
     * (band_idx, band_hash, id) only.
@@ -497,9 +531,8 @@ object Dedup {
       else {
         // co-partitioned with the self-join key, so the cap costs one
         // map-side-combined aggregate, no extra wide shuffle
-        val sizes = banded.groupBy("band_idx", "band_hash")
-          .agg(count(lit(1)).as("_bsz"))
-          .filter(col("_bsz") <= maxBucket)
+        val sizes = capBuckets(banded.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("_bsz")), maxBucket, "minhash")
         banded.join(sizes, Seq("band_idx", "band_hash")).drop("_bsz")
       }
     capped.as("x").join(capped.as("y"),
@@ -775,8 +808,8 @@ object Dedup {
     val capped =
       if (maxBucket <= 0) probedM
       else {
-        val sizes = probedM.groupBy("_bucket").agg(count(lit(1)).as("_bsz"))
-          .filter(col("_bsz") <= maxBucket)
+        val sizes = capBuckets(probedM.groupBy("_bucket")
+          .agg(count(lit(1)).as("_bsz")), maxBucket, "embedding_lsh")
         probedM.join(sizes, Seq("_bucket")).drop("_bsz")
       }
     val cands = capped.as("x").join(capped.as("y"),
@@ -864,9 +897,8 @@ object Dedup {
     val banded =
       if (maxBucket <= 0) allBanded
       else {
-        val sizes = allBanded.groupBy("band_idx", "band_val")
-          .agg(count(lit(1)).as("_bsz"))
-          .filter(col("_bsz") <= maxBucket)
+        val sizes = capBuckets(allBanded.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("_bsz")), maxBucket, "simhash")
         allBanded.join(sizes, Seq("band_idx", "band_val")).drop("_bsz")
       }
     banded.as("x").join(banded.as("y"),

@@ -483,6 +483,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).exists(_ <= 16))
     assert(!pairs.contains((4L, 5L)))
   }
+
+  test("bucket caps are LOUD: a hot LSH bucket counts its drops in the cap ledger") {
+    // 40 byte-identical docs -> every band bucket holds all 40 ids;
+    // maxBucket=8 drops them wholesale. Every dropped bucket must
+    // increment Dedup.capEvents (and WARN) — no silent truncation
+    // under skew. Local mode shares the JVM, so the ledger is visible.
+    val before = Dedup.capEvents.sum()
+    val hot = (1L to 40L).map(i =>
+      (i, "the same exact boilerplate text repeated across the entire corpus body"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(hot, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 8)
+    assert(out.count() == 0) // every bucket capped -> no candidates
+    val dropped = Dedup.capEvents.sum() - before
+    // 16 bands x 1 hot bucket each = at least 16 drops (stage retries
+    // may over-count; never under)
+    assert(dropped >= 16, s"cap ledger recorded $dropped drops")
+  }
 }
 
 class VectorSpec extends SparkSpec {
