@@ -217,8 +217,17 @@ object Bench {
       case (k, v) if hset(k) && v.forall(_ >= 0) && median(v) > 0.05 =>
         (v.max - v.min) / median(v)
     }.foldLeft(0.0)(math.max)
+    // self-describing fidelity: ACTUAL rep-count range over successful
+    // queries (sub-second queries get 3, ≥1 s get 5, budget pressure
+    // degrades to 1-2) + how many queries were degraded — the artifact
+    // must not claim 5 reps it didn't run (per-query counts are in
+    // bench_spread.json)
+    val repCounts = samples.collect { case (_, v) if v.forall(_ >= 0) => v.length }
+    val (repsMin, repsMax) =
+      if (repCounts.isEmpty) (0, 0) else (repCounts.min, repCounts.max)
     println(jsonLine(headlineMedians, total,
-      s""","reps":5,"warmup":1,"spread_max_rel":${f2(spreadMaxRel)}"""))
+      s""","reps_min":$repsMin,"reps_max":$repsMax,"degraded_queries":$degraded""" +
+        s""","warmup":1,"spread_max_rel":${f2(spreadMaxRel)}"""))
     spark.stop()
   }
 }

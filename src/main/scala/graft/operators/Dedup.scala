@@ -477,7 +477,14 @@ object Dedup {
     * dropped bucket increments [[capEvents]] and WARNs (first 20, then
     * every 1000th — hot-skew corpora can cap thousands of buckets).
     * The filter runs on the bucket-SIZE frame (one row per bucket), so
-    * the UDF cost is negligible and the data path stays codegen'd. */
+    * the UDF cost is negligible and the data path stays codegen'd.
+    * The filtered frame is EAGERLY localCheckpoint'ed: every call site
+    * feeds the candidate self-join, which scans the capped frame on
+    * BOTH sides — without the checkpoint the side-effecting filter
+    * would execute once per subtree and double-count every drop. The
+    * eager job completes before any consumer runs, so each dropped
+    * bucket is counted exactly once per invocation (still at-least-once
+    * under task retries/executor loss, like any executor-side ledger). */
   private def capBuckets(sizes: DataFrame, maxBucket: Int, what: String): DataFrame = {
     val keep = udf { (bsz: Long) =>
       val ok = bsz <= maxBucket
@@ -492,7 +499,7 @@ object Dedup {
       }
       ok
     }
-    sizes.filter(keep(col("_bsz")))
+    sizes.filter(keep(col("_bsz"))).localCheckpoint()
   }
 
   /** LSH banding: candidate pairs whose signatures agree on at least

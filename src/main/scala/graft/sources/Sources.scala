@@ -254,6 +254,14 @@ object Sources {
         "publishMergeDeletes: null partition value — delete null-partition " +
           "rows by republishing the table without them")
       val s = String.valueOf(v)
+      // escapePathName("") == "" passes the round-trip, but the writer
+      // renders empty (like null) as __HIVE_DEFAULT_PARTITION__
+      // (ExternalCatalogUtils.getPartitionPathString) — an empty-string
+      // delete would silently match no segment and RETAIN the rows
+      require(s.nonEmpty,
+        "publishMergeDeletes: empty-string partition value — Spark writes " +
+          "it as the default-partition sentinel; delete those rows by " +
+          "republishing the table without them")
       require(ExternalCatalogUtils.escapePathName(s) == s,
         s"partition value '$s' does not round-trip Spark's partition-path " +
           "encoding — delete by a path-safe partition value")

@@ -177,6 +177,14 @@ class MergePruneSpec extends SparkSpec {
         Seq((1L, null.asInstanceOf[String])).toDF("id", "p"), cfg, "p")
     }
     assert(e2.getMessage.contains("null partition value"), e2.getMessage)
+    // empty string passes escapePathName's round-trip verbatim but the
+    // writer renders it as the same default-partition sentinel as null —
+    // it must be refused, not silently no-op'ed (r12 ADVICE)
+    val e2b = intercept[IllegalArgumentException] {
+      Sources.publishMergeDeletes(spark, dir,
+        Seq((1L, "")).toDF("id", "p"), cfg, "p")
+    }
+    assert(e2b.getMessage.contains("empty-string partition value"), e2b.getMessage)
     // touched-partition cardinality above the bound = table rewrite in
     // disguise — refused before any driver-side materialization
     System.setProperty("graft.merge.maxTouchedPartitions", "2")
