@@ -59,6 +59,14 @@ object Multimodal {
     def decode(kind: String, payload: Array[Byte], dim: Int): Option[Decoded]
   }
 
+  /** The default image reader behind [[dHash]]: ImageIO (PNG/JPEG/
+    * GIF/BMP in every JRE). Exposed so plugged readers can fall back
+    * to it (`bytes => custom(bytes).orElse(imageIoRead(bytes))`). */
+  val imageIoRead: Array[Byte] => Option[java.awt.image.BufferedImage] =
+    bytes => try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Throwable => None }
+
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -99,28 +107,35 @@ object Multimodal {
   private[operators] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (rs, gs, bs) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              rs += (p >>> 16) & 0xFF; gs += (p >>> 8) & 0xFF; bs += p & 0xFF
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          def mean(s: Long) = ((s.toDouble / n) / 255.0 * 2 - 1).toFloat
-          val base = Array(mean(rs), mean(gs), mean(bs),
-            mean((rs * 299 + gs * 587 + bs * 114) / 1000),
-            math.min(w, 4096).toFloat / 4096 * 2 - 1,
-            math.min(h, 4096).toFloat / 4096 * 2 - 1)
-          (w, h, Array.tabulate(dim)(i => if (i < base.length) base(i) else 0f))
-        }
+        .map(pixelFeatures(_, dim))
     } catch { case _: Throwable => None }
+
+  /** The pixel-statistic feature kernel shared by the built-in ImageIO
+    * decode and any plugged codec that yields a `BufferedImage` (e.g.
+    * [[PpmDecoder]]): two codecs decoding the same pixels produce
+    * bit-identical features because the arithmetic lives HERE, once. */
+  private[operators] def pixelFeatures(
+      img: java.awt.image.BufferedImage, dim: Int): (Int, Int, Array[Float]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        rs += (p >>> 16) & 0xFF; gs += (p >>> 8) & 0xFF; bs += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    def mean(s: Long) = ((s.toDouble / n) / 255.0 * 2 - 1).toFloat
+    val base = Array(mean(rs), mean(gs), mean(bs),
+      mean((rs * 299 + gs * 587 + bs * 114) / 1000),
+      math.min(w, 4096).toFloat / 4096 * 2 - 1,
+      math.min(h, 4096).toFloat / 4096 * 2 - 1)
+    (w, h, Array.tabulate(dim)(i => if (i < base.length) base(i) else 0f))
+  }
 
   /** Real audio decode: `javax.sound.sampled.AudioSystem` over the
     * payload bytes — WAV/AIFF/AU with 16-bit signed PCM decode in
@@ -259,10 +274,19 @@ object Multimodal {
     * out of scope for the exact gate).
     *
     * Scale: pure per-row kernel (decode + O(pixels) integer work),
-    * embarrassingly parallel, only (id, 2 longs) ever shuffle. */
-  def dHash(bytes: Array[Byte], gw: Int = 8, gh: Int = 8): Option[(Long, Long)] =
+    * embarrassingly parallel, only (id, 2 longs) ever shuffle.
+    *
+    * `read` is the codec seam: it defaults to ImageIO (PNG/JPEG/GIF/
+    * BMP) and accepts any bytes→BufferedImage reader — plug
+    * [[PpmDecoder.readOrImageIO]] to hash Netpbm corpora, or a JNI
+    * libjpeg/ffmpeg frame grabber — and the SAME grid arithmetic runs
+    * on the decoded pixels, so two codecs decoding identical content
+    * produce the identical 64-bit hash (spec-pinned). */
+  def dHash(bytes: Array[Byte], gw: Int = 8, gh: Int = 8,
+      read: Array[Byte] => Option[java.awt.image.BufferedImage] = imageIoRead)
+      : Option[(Long, Long)] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      read(bytes)
         .filter(img => img.getWidth % (gw + 1) == 0 && img.getHeight % gh == 0)
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
@@ -407,14 +431,16 @@ object Multimodal {
     * candidate fan-out is quadratic and whose evidence value is nil. */
   def videoNearDup(frames: DataFrame, minMatchFrac: Double,
       idCol: String = "video_id", frameCol: String = "frame_idx",
-      payloadCol: String = "payload", maxFrameFreq: Long = 0L): DataFrame = {
+      payloadCol: String = "payload", maxFrameFreq: Long = 0L,
+      read: Array[Byte] => Option[java.awt.image.BufferedImage] = imageIoRead)
+      : DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
     val sig = frames
       .select(col(idCol).cast("long"), col(frameCol).cast("int"), col(payloadCol))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions(_.map { case (v, k, bytes) =>
-        val (lo, hi) = dHash(bytes)
+        val (lo, hi) = dHash(bytes, read = read)
           .getOrElse(sys.error(s"video $v frame $k failed to decode"))
         (v, k, lo, hi)
       })

@@ -95,6 +95,47 @@ object StressSkew {
     println(s"[skew] simhash: emitted_pairs=$simPairs " +
       s"capped_buckets=${Dedup.capEvents.sum() - drops1}")
 
+    // ---- degenerate duplicate corpus: the cap ledger MUST fire -------
+    // 30% of docs get fully IDENTICAL text (the 100 TB "title card" /
+    // boilerplate-only page): every band bucket for that signature
+    // holds the whole hot set, so without the cap the self-join goes
+    // quadratic on it (|hot|²/2 pairs × bands). The cap drops those
+    // buckets wholesale and the ledger must count every drop.
+    val dupDocs = docs.select(col("doc_id"),
+      when(h % 10 < 3, lit(boiler)).otherwise(col("text")).as("text"))
+      .localCheckpoint(false)
+    val nDup = dupDocs.filter(col("text") === boiler).count()
+    val drops2 = Dedup.capEvents.sum()
+    val dupPairs = phase("minhash LSH on 30% identical corpus (capped)") {
+      Dedup.minhashDedup(dupDocs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5, mode = Dedup.Fast).count()
+    }
+    val dupCapped = Dedup.capEvents.sum() - drops2
+    println(s"[skew] identical-corpus: hot_docs=$nDup emitted_pairs=$dupPairs " +
+      s"capped_buckets=$dupCapped — quadratic core " +
+      s"(${nDup * (nDup - 1) / 2} pairs/band) refused, counted, WARNed")
+    require(dupCapped > 0, "cap ledger failed to fire on an identical corpus")
+
+    // A/B the avoided work at a size where uncapped is still feasible:
+    // same corpus shape, hot set scaled to ~1.5k docs, cap OFF vs ON.
+    val smallHot = docs.filter(h % 10 === 0).limit(1500)
+      .select(col("doc_id"), lit(boiler).as("text"))
+    val smallRest = docs.filter(h % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val small = smallHot.unionByName(smallRest).localCheckpoint(false)
+    small.count()
+    val uncapped = phase("small hot set (1.5k identical), cap OFF") {
+      Dedup.minhashDedup(small, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5, mode = Dedup.Fast,
+        maxBucket = 0).count()
+    }
+    val capped2 = phase("small hot set (1.5k identical), cap 256") {
+      Dedup.minhashDedup(small, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5, mode = Dedup.Fast).count()
+    }
+    println(s"[skew] cap A/B: uncapped_pairs=$uncapped capped_pairs=$capped2 " +
+      s"(uncapped pays the |hot|² candidate join + verify; capped refuses it loudly)")
+
     // ---- hot-key join: AQE skew-split vs salted ----------------------
     // BIG x MID equi-join on the zipfian key; broadcast disabled so the
     // shuffle join's hot partition actually exists, which is exactly
