@@ -1808,5 +1808,106 @@ object TextQueries {
       graft.operators.Dedup.collapseNearDuplicates(videos, pairs, "video_id")
         .select("video_id", "cluster_id", "kept")
         .orderBy("video_id")
+    },
+
+    // The PLUGGED decoder under the hash gate: each document mints a
+    // deterministic 12×10 binary PPM (P6, with a header comment —
+    // channel (r,g,b) of pixel (x,y) of image d is
+    // ((d·31+x·7+y·131), (d·17+x·13+y·37), (d·53+x·3+y·11+x·y)) mod
+    // 256), a format the JRE's ImageIO has NO reader for — the
+    // built-in path would emit hash-derived fallback features with
+    // decoded=false. `extractFeatures(decoder = Some(PpmDecoder))`
+    // must instead decode it for real: decoded=true, true dimensions,
+    // and channel/luma means produced by the SAME pixel-statistic
+    // kernel as the built-in image path, recomputed by the oracle
+    // from (doc_id, x, y) arithmetic alone (exact integer channel
+    // sums; the luma sum's integer division; one IEEE
+    // division/scale chain per mean, replayed in the same order). A
+    // decoder that misparses the header, drops the comment line,
+    // mis-scales a sample or diverges from the shared kernel's
+    // arithmetic breaks the hash.
+    QueryDef.sql(
+      "q_multimodal_ppm_decode",
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 120),
+        |      i -> (doc_id*31 + (i % 12)*7 + (i // 12)*131) % 256)) AS BIGINT) AS rs,
+        |    CAST(list_sum(list_transform(range(0, 120),
+        |      i -> (doc_id*17 + (i % 12)*13 + (i // 12)*37) % 256)) AS BIGINT) AS gs,
+        |    CAST(list_sum(list_transform(range(0, 120),
+        |      i -> (doc_id*53 + (i % 12)*3 + (i // 12)*11 + (i % 12)*(i // 12)) % 256)) AS BIGINT) AS bs
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(389 AS INT) AS n_bytes, TRUE AS decoded,
+        |  12 AS decoded_width, 10 AS decoded_height,
+        |  CAST(((CAST(rs AS DOUBLE) / 120) / 255.0 * 2 - 1) AS REAL) AS mean_r,
+        |  CAST(((CAST(gs AS DOUBLE) / 120) / 255.0 * 2 - 1) AS REAL) AS mean_g,
+        |  CAST(((CAST(bs AS DOUBLE) / 120) / 255.0 * 2 - 1) AS REAL) AS mean_b,
+        |  CAST(((CAST((rs*299 + gs*587 + bs*114) // 1000 AS DOUBLE) / 120) / 255.0 * 2 - 1) AS REAL) AS mean_luma
+        |FROM px
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = graft.operators.PpmDecoder.encodeP6(12, 10)((x, y) => (
+            ((id * 31 + x * 7 + y * 131) % 256).toInt,
+            ((id * 17 + x * 13 + y * 37) % 256).toInt,
+            ((id * 53 + x * 3 + y * 11 + x * y) % 256).toInt))
+          (id, "image", bytes, "image/x-portable-pixmap", 0, 0, 0L)
+        })
+        .toDF("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
+      graft.operators.Multimodal.extractFeatures(s, media,
+          decoder = Some(graft.operators.PpmDecoder))
+        .select(col("media_id"), col("n_bytes"), col("decoded"),
+          col("decoded_width"), col("decoded_height"),
+          element_at(col("features"), 1).as("mean_r"),
+          element_at(col("features"), 2).as("mean_g"),
+          element_at(col("features"), 3).as("mean_b"),
+          element_at(col("features"), 4).as("mean_luma"))
+        .orderBy("media_id")
+    },
+
+    // Codec-independence of the perceptual hash, under the hash gate:
+    // a MIXED-codec corpus (even docs mint the 18×16 grayscale BMP of
+    // q_multimodal_dhash; odd docs mint a binary PGM of the SAME
+    // pixel formula — a format ImageIO cannot read) hashed through
+    // ONE reader seam (`dHash(read = PpmDecoder.readOrImageIO)`:
+    // Netpbm first, ImageIO fallback). The oracle derives every hash
+    // from the shared (doc_id, x, y) formula with no codec term at
+    // all — if the PGM path decoded pixels even one gray level off,
+    // or the seam's fallback ordering broke the BMP half, the hash
+    // splits by parity and the gate fails. This is the property that
+    // makes mixed-codec corpora dedup correctly at 100 TB.
+    QueryDef.sql(
+      "q_multimodal_ppm_dhash", {
+        def cs(cx: String, cy: String) =
+          s"(((doc_id*31 + (2*($cx))*7 + (2*($cy))*131) % 256) + " +
+            s"((doc_id*31 + (2*($cx)+1)*7 + (2*($cy))*131) % 256) + " +
+            s"((doc_id*31 + (2*($cx))*7 + (2*($cy)+1)*131) % 256) + " +
+            s"((doc_id*31 + (2*($cx)+1)*7 + (2*($cy)+1)*131) % 256))"
+        s"""SELECT doc_id AS media_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'pgm' END AS codec,
+           |  CAST(list_sum(list_transform(range(0, 32),
+           |    b -> CASE WHEN ${cs("b % 8", "b // 8")} < ${cs("b % 8 + 1", "b // 8")}
+           |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS dhash_lo,
+           |  CAST(list_sum(list_transform(range(32, 64),
+           |    b -> CASE WHEN ${cs("b % 8", "b // 8")} < ${cs("b % 8 + 1", "b // 8")}
+           |              THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS dhash_hi
+           |FROM documents
+           |ORDER BY media_id""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 2 == 0) graft.operators.Multimodal.synthBmpSeeded(id, 18, 16)
+            else graft.operators.PpmDecoder.encodeP5(18, 16)((x, y) =>
+              ((id * 31 + x * 7 + y * 131) % 256).toInt)
+          val (lo, hi) = graft.operators.Multimodal.dHash(bytes,
+            read = graft.operators.PpmDecoder.readOrImageIO)
+            .getOrElse(sys.error(s"media $id failed to decode"))
+          (id, if (id % 2 == 0) "bmp" else "pgm", lo, hi)
+        })
+        .toDF("media_id", "codec", "dhash_lo", "dhash_hi")
+        .orderBy("media_id")
     })
 }
