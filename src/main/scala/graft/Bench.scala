@@ -66,8 +66,36 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
 
+    // per-rep resource ledger (stderr only; the JSON contract is
+    // unchanged): wall + JVM GC-time delta + executor spill/shuffle
+    // deltas per timed rep. The r12 47.75 s minhash_lsh stall and the
+    // r13 mid-suite inflation window were both unexplainable after
+    // the fact because wall time was the only record — this makes
+    // every future stall self-describing at zero overhead (the
+    // listener adds per-task counter bumps only).
+    val repSpillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val repSpillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val repShufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          repSpillMem.addAndGet(m.memoryBytesSpilled)
+          repSpillDisk.addAndGet(m.diskBytesSpilled)
+          repShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+
     var nRun = 0
     def timeOnce(q: graft.queries.QueryDef): Double = {
+      val (gc0, sm0, sd0, sw0) =
+        (gcMillis, repSpillMem.get(), repSpillDisk.get(), repShufWrite.get())
       val t0 = System.nanoTime()
       // a per-query failure must be LOUD: print it, and record the
       // query as -1 in the map (a silent catch turns a red query into
@@ -79,6 +107,11 @@ object Bench {
         System.err.println(s"[bench] FAILED ${q.name}: ${e.getClass.getName}: " +
           String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300))
       }
+      System.err.println(f"[bench-rep] q=${q.name} wall=$dt%.2fs " +
+        f"gc=${(gcMillis - gc0) / 1000.0}%.2fs " +
+        f"spill_mem=${(repSpillMem.get() - sm0) / 1048576}%dMB " +
+        f"spill_disk=${(repSpillDisk.get() - sd0) / 1048576}%dMB " +
+        f"shuffle_write=${(repShufWrite.get() - sw0) / 1048576}%dMB")
       // Isolate queries AND bound accumulated state: clearCache drops
       // SQL-cached plans, but localCheckpoint/persist blocks survive it
       // and pile up across ~200 queries until late queries pay eviction
