@@ -29,6 +29,21 @@ object GraftSession {
       // + explicit-repartition fixes hadn't already bought.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // Start every shuffle WIDE and let AQE coalesce down, instead of
+      // starting at parallelism and letting big partitions outgrow
+      // memory: with a static 32, 10× the rows makes every shuffle
+      // partition 10× larger, and the sort-heavy plans go superlinear
+      // once a partition outgrows cache (q_dedup_jaccard_prefix
+      // measured 15.3× wall for 10× rows at sf10). A/B'd via
+      // tools/ProfilePartitions at both scales before changing the
+      // default: at sf10, 8× initial partitions cut the worst query
+      // ~2× (105-175 s → 71-81 s) and minhash LSH ~20%; at sf0.1
+      // (driver gate scale) every probe was neutral-to-faster —
+      // parallelismFirst coalescing absorbs the small-stage overhead.
+      // Same principle a cluster deployment uses: initialPartitionNum
+      // ≈ 4-8× total cores, AQE owns the runtime shrink.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
