@@ -122,6 +122,38 @@ object VectorKernels {
     ExpressionUtils.column(PlaneDots(
       ExpressionUtils.expression(vec), planes.map(_.toArray).toArray))
 
+  /** Static dot-product kernel over float arrays (ascending-index
+    * double accumulation — the same fold order as [[cosineF]]'s dot
+    * term, so a prefix dot here plus a tail dot equals the full dot
+    * up to ordinary double rounding). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** Static L2 norm of v[from, min(until, len)) for a float array —
+    * `from = 0, until = MaxValue` is the full norm; `from = p` is the
+    * tail norm the Cauchy-Schwarz rerank bound needs. */
+  def normRangeF(v: ArrayData, from: Int, until: Int): Double = {
+    val n = math.min(v.numElements(), until)
+    var s = 0.0
+    var i = math.max(from, 0)
+    while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Column API: dot product of two float-array columns. */
+  def dotCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductF(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API: L2 norm of a float-array column over [from, until). */
+  def normRangeCol(v: Column, from: Int, until: Int): Column =
+    ExpressionUtils.column(NormRangeF(ExpressionUtils.expression(v), from, until))
+
   /** Static distinct word-n-gram kernel over a token array
     * (first-occurrence order, space-joined). */
   def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
@@ -249,6 +281,58 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cosine_sim"
+}
+
+/** Codegen'd float-array dot product — the prefix-dot term of the
+  * Cauchy-Schwarz rerank bound, evaluated once per candidate pair at
+  * scale (same per-pair-at-100TB argument as [[CosineSim]]). */
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_f needs two float arrays, got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f"
+}
+
+/** Codegen'd ranged L2 norm of a float-array column (full norm at
+  * from=0, tail norm at from=p — both per-ROW precomputes, so the
+  * per-pair bound below touches only 3 doubles per side). */
+case class NormRangeF(child: Expression, from: Int, until: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"norm_range needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.normRangeF(v.asInstanceOf[ArrayData], from, until)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.normRangeF($v, $from, $until)")
+
+  override protected def withNewChildInternal(c: Expression): NormRangeF = copy(child = c)
+  override def prettyName: String = "norm_range"
 }
 
 /** Codegen'd sign-bit LSH bucket of an `array<float>` column against a

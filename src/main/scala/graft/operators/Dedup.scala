@@ -788,29 +788,62 @@ object Dedup {
     * `maxBucket` caps degenerate buckets. Recall depends on how close
     * the duplicate cosine is to 1 (sign-bit collision probability is
     * (1 - θ/π)^nBits) — intended for true near-duplicates (τ ≳ 0.9),
-    * recall-pinned in DedupSpec. */
+    * recall-pinned in DedupSpec.
+    *
+    * `prefixPrune` (0 = off) inserts a LOSSLESS Cauchy-Schwarz filter
+    * between the candidate join and the exact rerank: per ROW the
+    * engine precomputes the first-p prefix, the full norm and the
+    * tail norm; per candidate PAIR, cosine ≤ (prefixDot + ‖a_tail‖·
+    * ‖b_tail‖) / (‖a‖·‖b‖), so any pair whose bound falls below the
+    * threshold (minus a 1e-9 double-rounding slack, ~10⁵ × the worst
+    * 64-dim accumulation error) provably cannot pass the exact test
+    * and is dropped AT THE SELF-JOIN, before the candidate `distinct`
+    * (a ~487M-row shuffle at sf10) and the full-width rerank ever see
+    * it. Survivors are re-scored from the raw vectors by the identical
+    * kernel, so the output is bit-for-bit unchanged (spec-pinned). The
+    * metadata rides through the join sides (p floats + 2 doubles per
+    * (id, bucket) row), never joined against the pair set. */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 10, dim: Int = 64, nProbe: Int = 2,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, prefixPrune: Int = 16): DataFrame = {
+    import graft.functions.VectorKernels
     val planes = SimilaritySearch.randomPlanes(nBits, dim)
     val masks = array(planes.indices.map(j => lit(1L << j)): _*)
-    val base = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+    val pruneOn = prefixPrune > 0 && prefixPrune < dim
+    // The prune metadata rides THROUGH the bucket self-join (computed
+    // per row here, exploded with the probes): attaching it to the
+    // join sides costs p floats + 2 doubles per (id, bucket) row, and
+    // lets the bound filter run on the raw join output — BEFORE the
+    // candidate `distinct`, which at sf10 is a ~487M-row shuffle. The
+    // v1 design (prune as joins against the distinct pair set) added
+    // two 487M-row shuffles instead of removing any and measured
+    // SLOWER with 13 GB of spill; this shape prunes where the rows
+    // are born and distincts only survivors.
+    val metaCols =
+      if (!pruneOn) Seq.empty
+      else Seq(
+        slice(col(vecCol), 1, prefixPrune).as("_pref"),
+        VectorKernels.normRangeCol(col(vecCol), 0, Int.MaxValue).as("_norm"),
+        VectorKernels.normRangeCol(col(vecCol), prefixPrune, Int.MaxValue).as("_tnorm"))
+    val base = emb.select(Seq(col(idCol).as("_id"),
       SimilaritySearch.lshBucket(col(vecCol), planes).as("_b0"),
-      SimilaritySearch.planeDots(col(vecCol), planes).as("_dots"))
+      SimilaritySearch.planeDots(col(vecCol), planes).as("_dots")) ++ metaCols: _*)
+    val carry = Seq(col("_id")) ++ (if (pruneOn)
+      Seq(col("_pref"), col("_norm"), col("_tnorm")) else Seq.empty)
     val probed =
-      if (nProbe <= 1) base.select(col("_id"), col("_b0").as("_bucket"))
+      if (nProbe <= 1) base.select(carry :+ col("_b0").as("_bucket"): _*)
       else {
         val flips = transform(
           slice(sort_array(zip_with(col("_dots"), sequence(lit(0), lit(nBits - 1)),
             (d, i) => struct(abs(d).as("m"), i.as("i")))), 1, nProbe - 1),
           s => s("i").cast("int"))
-        base.select(col("_id"),
+        base.select(carry :+
           explode(concat(array(col("_b0")),
             transform(flips, i => col("_b0").bitwiseXOR(element_at(masks, i + 1)))))
-            .as("_bucket"))
+            .as("_bucket"): _*)
       }
-    // (bucket, id) is tiny but feeds four scans (size agg, cap join,
-    // self-join x/y) — lazy checkpoint so the probe fan-out runs once
+    // (bucket, id, meta) is small but feeds four scans (size agg, cap
+    // join, self-join x/y) — lazy checkpoint so the probe fan-out runs once
     val probedM = probed.localCheckpoint(false)
     val capped =
       if (maxBucket <= 0) probedM
@@ -819,8 +852,15 @@ object Dedup {
           .agg(count(lit(1)).as("_bsz")), maxBucket, "embedding_lsh")
         probedM.join(sizes, Seq("_bucket")).drop("_bsz")
       }
-    val cands = capped.as("x").join(capped.as("y"),
-        col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
+    val joined = capped.as("x").join(capped.as("y"),
+      col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
+    val kept =
+      if (!pruneOn) joined
+      else joined.filter(
+        VectorKernels.dotCol(col("x._pref"), col("y._pref")) +
+          col("x._tnorm") * col("y._tnorm") >=
+          col("x._norm") * col("y._norm") * lit(threshold) - lit(1e-9))
+    val cands = kept
       .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
       .distinct()
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))

@@ -457,6 +457,60 @@ class DedupSpec extends SparkSpec {
       s"recall ${(lsh intersect exact).size.toDouble / exact.size}")
   }
 
+  test("embedding LSH prefix prune is lossless: pruned == unpruned bit-for-bit") {
+    // mixed-cosine corpus: clusters of correlated vectors plus noise,
+    // so candidates span well-below / near / above the threshold and
+    // the Cauchy-Schwarz bound gets exercised on both sides of it
+    val rnd = new scala.util.Random(11L)
+    val vecs = (0 until 8).flatMap { g =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 6).map { m =>
+        val v = base.zipWithIndex.map { case (x, j) =>
+          x + (rnd.nextGaussian() * 0.25 * (m % 3 + 1)).toFloat + (if (j == m) 0.1f else 0f) }
+        (g * 10L + m, v)
+      }
+    }.toDF("vec_id", "embedding")
+    def run(prune: Int) =
+      Dedup.embeddingNearDupsLsh(vecs, "vec_id", "embedding", 0.6,
+          nBits = 4, dim = 16, nProbe = 3, prefixPrune = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unpruned = run(0)
+    assert(unpruned.nonEmpty) // a vacuous comparison proves nothing
+    assert(run(8) == unpruned)   // prune active (8 < dim)
+    assert(run(16) == unpruned)  // prune degenerate (p >= dim) = off
+  }
+
+  test("dotF/normRangeF kernels agree with the cosine kernel's arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5L)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
+    val rows = a.join(b, col("id_a") < col("id_b"))
+      .select(
+        graft.operators.SimilaritySearch.cosine(col("_va"), col("_vb")).as("cos"),
+        (graft.functions.VectorKernels.dotCol(col("_va"), col("_vb")) /
+          (graft.functions.VectorKernels.normRangeCol(col("_va"), 0, Int.MaxValue) *
+            graft.functions.VectorKernels.normRangeCol(col("_vb"), 0, Int.MaxValue)))
+          .as("recomposed"),
+        // the bound at p=8 must dominate the true cosine (Cauchy-Schwarz)
+        ((graft.functions.VectorKernels.dotCol(
+            org.apache.spark.sql.functions.slice(col("_va"), 1, 8),
+            org.apache.spark.sql.functions.slice(col("_vb"), 1, 8)) +
+          graft.functions.VectorKernels.normRangeCol(col("_va"), 8, Int.MaxValue) *
+            graft.functions.VectorKernels.normRangeCol(col("_vb"), 8, Int.MaxValue)) /
+          (graft.functions.VectorKernels.normRangeCol(col("_va"), 0, Int.MaxValue) *
+            graft.functions.VectorKernels.normRangeCol(col("_vb"), 0, Int.MaxValue)))
+          .as("bound"))
+      .collect()
+    rows.foreach { r =>
+      val (cos, rec, bound) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(cos - rec) < 1e-12, s"cos=$cos recomposed=$rec")
+      assert(bound >= cos - 1e-12, s"bound=$bound below cos=$cos")
+    }
+  }
+
   test("SQ8: full-range codes, bounded reconstruction, exact-agreeing top-1") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.1f)),
