@@ -510,9 +510,22 @@ object Dedup {
     * all-identical corpus, or an adversarial band) would make the
     * self-join quadratic on that key; buckets above the cap are dropped
     * wholesale (candidates they would have produced are overwhelmingly
-    * duplicates of pairs surfaced by other, selective bands). 0 = off. */
+    * duplicates of pairs surfaced by other, selective bands). 0 = off.
+    *
+    * `sizeFilter` (the LOSSLESS set-similarity length filter, same
+    * bound PPJoin uses): J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,
+    * |B|), so when `signatures` carries a `_n` distinct-shingle-count
+    * column and a threshold is given, any banded collision whose size
+    * ratio falls below the threshold (minus a 1e-9 rounding slack) is
+    * dropped AT the self-join — before the candidate `distinct` and
+    * before [[verifyPairs]] expands the pair by its left side's
+    * shingles. Verification is exact either way, so the filter only
+    * removes pairs the verifier would reject; emitted pairs are
+    * bit-for-bit unchanged (spec-pinned). */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
+      maxBucket: Int = 256, mode: HashMode = Fast,
+      sizeThreshold: Double = 0.0): DataFrame = {
+    val sizeFilter = sizeThreshold > 0.0 && signatures.columns.contains("_n")
     // band key: Fast re-hashes the band slice to one 64-bit value;
     // Portable joins the slice into a CSV string (exact, and trivially
     // reproducible in SQL via string_agg ORDER BY hash index)
@@ -529,9 +542,10 @@ object Dedup {
     // FOUR scans below (bucket-size agg, cap join, self-join x and y).
     // Lazy checkpoint: the first scan materializes it inside its own
     // job (no separate checkpoint job), the other three reuse the blocks.
-    val banded = signatures.select(col("_id"),
+    val carry = Seq(col("_id")) ++ (if (sizeFilter) Seq(col("_n")) else Seq.empty)
+    val banded = signatures.select(carry :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey(_)))
-        .as(Seq("band_idx", "band_hash")))
+        .as(Seq("band_idx", "band_hash")): _*)
       .localCheckpoint(false)
     val capped =
       if (maxBucket <= 0) banded
@@ -542,10 +556,17 @@ object Dedup {
           .agg(count(lit(1)).as("_bsz")), maxBucket, "minhash")
         banded.join(sizes, Seq("band_idx", "band_hash")).drop("_bsz")
       }
-    capped.as("x").join(capped.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x._id") < col("y._id"))
+    val joined = capped.as("x").join(capped.as("y"),
+      col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x._id") < col("y._id"))
+    val kept =
+      if (!sizeFilter) joined
+      else joined.filter(
+        least(col("x._n"), col("y._n")).cast("double") >=
+          greatest(col("x._n"), col("y._n")).cast("double") * lit(sizeThreshold) -
+          lit(1e-9))
+    kept
       .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
       .distinct()
   }
@@ -615,8 +636,13 @@ object Dedup {
         // the first consuming stage, no separate count job
         raw.localCheckpoint(false)
     }
+    // _n (distinct shingle count per doc) enables the lossless length
+    // filter inside the candidate join: J >= t forces t*max <= min, so
+    // size-incompatible band collisions die before distinct+verify
     val sig = signatureFromShingles(sh, numHashes, mode)
-    val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket, mode)
+      .join(sh.groupBy("_id").agg(count(lit(1)).as("_n")), "_id")
+    val cands = minhashCandidates(sig, bands, numHashes / bands, maxBucket, mode,
+      sizeThreshold = threshold)
     verifyAgainstShingles(sh, cands, threshold)
   }
 

@@ -437,6 +437,41 @@ class DedupSpec extends SparkSpec {
     assert(mhStored == mh)
   }
 
+  test("minhash length filter is lossless: filtered == unfiltered verified pairs") {
+    // docs spanning 1x-20x lengths: band collisions across size classes
+    // exist (shared base sentence), and J >= 0.5 forces size ratio
+    // >= 0.5 — so the filter must FIRE (fewer candidates) while the
+    // VERIFIED pair set stays identical (it only removes candidates
+    // exact verification would reject anyway)
+    import org.apache.spark.sql.functions.{count, lit}
+    // per short doc: a near-identical twin (J >= 0.5, must survive) and
+    // a long CONTAINING doc (size ratio ~0.2 < 0.5, must be pruned);
+    // 1-row bands make cross-size band collisions near-certain
+    // (collision probability per band = J, 16 bands), so the filter
+    // has real work to do
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val skew = (0L until 8L).flatMap { i =>
+      val s = base + " s" + i
+      val twin = base + " t" + i
+      val long = s + " " + (0 until 30).map(k => s"fill${i}x$k").mkString(" ")
+      Seq((i * 3, s), (i * 3 + 1, twin), (i * 3 + 2, long))
+    }.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(skew, "doc_id", "text", 3, 16, Dedup.Fast)
+    val sigN = sig.join(
+      Dedup.shingles(skew, "doc_id", "text", 3)
+        .groupBy("_id").agg(count(lit(1)).as("_n")), "_id")
+    val unfiltered = Dedup.minhashCandidates(sig, 16, 1)
+    val filtered = Dedup.minhashCandidates(sigN, 16, 1, sizeThreshold = 0.5)
+    assert(filtered.count() < unfiltered.count(),
+      "length filter never fired — the corpus no longer exercises it")
+    def verified(c: org.apache.spark.sql.DataFrame) =
+      Dedup.verifyPairs(skew, c, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v = verified(unfiltered)
+    assert(v.nonEmpty)
+    assert(verified(filtered) == v)
+  }
+
   test("embedding near-dup: LSH-bucketed variant recalls the exact pairs for true near-dups") {
     // 20 well-separated base directions, each with a slightly perturbed
     // twin (cosine ≈ 0.999) — the near-duplicate regime LSH targets
