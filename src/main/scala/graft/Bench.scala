@@ -45,6 +45,26 @@ object Bench {
     "q_identity_incremental", "q_dedup_jaccard_prefix",
     "q_dedup_decontam_incremental")
 
+  /** Drain the async listener bus before snapshotting task-metric
+    * counters: `onTaskEnd` events are delivered asynchronously, so
+    * without a drain the tail of rep N's events lands in rep N+1's
+    * deltas and the ledger misattributes exactly the stalls it exists
+    * to classify (ADVICE r13). `SparkContext.listenerBus` is
+    * `private[spark]`, which compiles to a public JVM method, so plain
+    * reflection reaches it; `waitUntilEmpty(timeout)` returns as soon
+    * as the bus is idle (usually <1 ms). Falls back to a short sleep
+    * if the internal shape ever changes or the drain times out. */
+  private[graft] def drainListeners(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val ms = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+      ms.find(_.getParameterCount == 1) match {
+        case Some(m) => m.invoke(bus, java.lang.Long.valueOf(3000L))
+        case None => ms.find(_.getParameterCount == 0).foreach(_.invoke(bus))
+      }
+    } catch { case _: Throwable => Thread.sleep(250) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -107,6 +127,9 @@ object Bench {
         System.err.println(s"[bench] FAILED ${q.name}: ${e.getClass.getName}: " +
           String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300))
       }
+      // late onTaskEnd events would otherwise land in the NEXT rep's
+      // deltas (the bus is async); drain costs <1 ms when idle
+      drainListeners(spark)
       System.err.println(f"[bench-rep] q=${q.name} wall=$dt%.2fs " +
         f"gc=${(gcMillis - gc0) / 1000.0}%.2fs " +
         f"spill_mem=${(repSpillMem.get() - sm0) / 1048576}%dMB " +
@@ -258,8 +281,13 @@ object Bench {
     val repCounts = samples.collect { case (_, v) if v.forall(_ >= 0) => v.length }
     val (repsMin, repsMax) =
       if (repCounts.isEmpty) (0, 0) else (repCounts.min, repCounts.max)
+    // "reps" is a LEGACY ALIAS of reps_max (the r12 artifacts carried a
+    // fixed "reps":5 key; r13 replaced it with the honest
+    // reps_min/reps_max/degraded_queries trio, which silently broke any
+    // consumer of the old key — ADVICE r13 asked to keep the alias for
+    // a transition round)
     println(jsonLine(headlineMedians, total,
-      s""","reps_min":$repsMin,"reps_max":$repsMax,"degraded_queries":$degraded""" +
+      s""","reps":$repsMax,"reps_min":$repsMin,"reps_max":$repsMax,"degraded_queries":$degraded""" +
         s""","warmup":1,"spread_max_rel":${f2(spreadMaxRel)}"""))
     spark.stop()
   }

@@ -40,6 +40,14 @@ object Dedup {
   case object Fast extends HashMode
   case object Portable extends HashMode
 
+  /** Edge-count ceiling below which [[collapseNearDuplicates]] solves
+    * components with a single driver-side union-find pass instead of
+    * the distributed min-label loop (4M edges ≈ 64 MB — the same order
+    * as a broadcast-join build side). Named so profiling tools that
+    * report which solve path a run took reference THIS value rather
+    * than duplicating the literal (ADVICE r13). */
+  val DefaultMaxLocalEdges: Long = 4000000L
+
   /** First 56 bits of md5 as a non-negative BIGINT (see [[Portable]]). */
   private def md5h56(c: Column): Column =
     conv(substr(md5(c), lit(1), lit(14)), 16, 10).cast("long")
@@ -321,7 +329,7 @@ object Dedup {
     * only the pair participants, never the corpus.
     */
   def collapseNearDuplicates(docs: DataFrame, pairs: DataFrame,
-      idCol: String, maxLocalEdges: Long = 4000000L): DataFrame = {
+      idCol: String, maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     val spark = docs.sparkSession
     val half = pairs.select(col("id_a").cast("long").as("_src"),
       col("id_b").cast("long").as("_dst"))
@@ -521,7 +529,17 @@ object Dedup {
     * before [[verifyPairs]] expands the pair by its left side's
     * shingles. Verification is exact either way, so the filter only
     * removes pairs the verifier would reject; emitted pairs are
-    * bit-for-bit unchanged (spec-pinned). */
+    * bit-for-bit unchanged (spec-pinned).
+    *
+    * NOTE (construction-time side effect): with `maxBucket > 0` the
+    * returned DataFrame's CONSTRUCTION runs a Spark job — the banding
+    * + bucket-size aggregation is eagerly localCheckpoint'ed inside
+    * [[capBuckets]] so the cap ledger counts each dropped bucket
+    * exactly once per invocation (the candidate self-join would
+    * otherwise re-execute the side-effecting filter per subtree).
+    * Plan-only inspection (`explain`) of the result therefore still
+    * pays that one job and pins its checkpoint blocks until the
+    * session GCs them; pass `maxBucket = 0` for a fully lazy plan. */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 256, mode: HashMode = Fast,
       sizeThreshold: Double = 0.0): DataFrame = {
@@ -828,7 +846,13 @@ object Dedup {
     * it. Survivors are re-scored from the raw vectors by the identical
     * kernel, so the output is bit-for-bit unchanged (spec-pinned). The
     * metadata rides through the join sides (p floats + 2 doubles per
-    * (id, bucket) row), never joined against the pair set. */
+    * (id, bucket) row), never joined against the pair set.
+    *
+    * NOTE (construction-time side effect): with `maxBucket > 0`,
+    * constructing the returned DataFrame runs one Spark job (the
+    * bucket-size aggregation is eagerly checkpointed inside
+    * [[capBuckets]] so the cap ledger counts exactly once per
+    * invocation); pass `maxBucket = 0` for a fully lazy plan. */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 10, dim: Int = 64, nProbe: Int = 2,
       maxBucket: Int = 4096, prefixPrune: Int = 16): DataFrame = {

@@ -179,19 +179,27 @@ object Multimodal {
               i += 2
             }
             val rate = fmt.getSampleRate.toInt
-            val ch = math.max(fmt.getChannels, 1)
-            val durMs = (n / ch).toLong * 1000L / rate
-            val base = Array(
-              ((sum.toDouble / n) / 32768.0).toFloat,
-              ((absSum.toDouble / n) / 32768.0).toFloat,
-              (mn / 32768.0).toFloat,
-              (mx / 32768.0).toFloat,
-              math.min(rate, 96000).toFloat / 96000 * 2 - 1,
-              math.min(ch, 8).toFloat / 8 * 2 - 1,
-              math.min(durMs, 60000).toFloat / 60000 * 2 - 1,
-              (zc.toDouble / math.max(n - 1, 1)).toFloat)
-            Some((rate, ch, durMs,
-              Array.tabulate(dim)(i => if (i < base.length) base(i) else 0f)))
+            val ch = fmt.getChannels
+            // header fields are UNTRUSTED: AudioSystem parses the
+            // container's little-endian rate/channel words verbatim, so
+            // a bit-flipped WAV header can surface here as a negative
+            // or absurd rate (fuzz-found: -16769216). A malformed
+            // header is a malformed payload — refuse, don't propagate.
+            if (rate <= 0 || rate > 8000000 || ch <= 0 || ch > 64) None
+            else {
+              val durMs = (n / ch).toLong * 1000L / rate
+              val base = Array(
+                ((sum.toDouble / n) / 32768.0).toFloat,
+                ((absSum.toDouble / n) / 32768.0).toFloat,
+                (mn / 32768.0).toFloat,
+                (mx / 32768.0).toFloat,
+                math.min(rate, 96000).toFloat / 96000 * 2 - 1,
+                math.min(ch, 8).toFloat / 8 * 2 - 1,
+                math.min(durMs, 60000).toFloat / 60000 * 2 - 1,
+                (zc.toDouble / math.max(n - 1, 1)).toFloat)
+              Some((rate, ch, durMs,
+                Array.tabulate(dim)(i => if (i < base.length) base(i) else 0f)))
+            }
           }
         }
       } finally in.close()

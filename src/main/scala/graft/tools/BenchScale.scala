@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Standing scale-tier benchmark (VERDICT r13 top-next item): the
+  * sf10 measurement as a REPEATABLE artifact instead of narrated
+  * prose. The r13 round measured sf1→sf10 with `Bench` +
+  * `SPARK_GRAFT_BENCH_ONLY`, but under the shared 1500 s budget the
+  * >10 s queries degraded to 1-2 reps exactly where variance is
+  * highest, and three published medians later re-measured ~40% lower
+  * in warm A/Bs. This tool gives the scale tier its OWN budget
+  * discipline: every query gets one warm-up plus a FIXED number of
+  * timed reps (default 3, never degraded), and the artifact embeds
+  * the full per-rep ledger (wall / GC / spill / shuffle-write per
+  * rep) so any host-noise stall is classifiable from the artifact
+  * alone — the same falsifiability posture `Bench` applies at gate
+  * scale.
+  *
+  * Pinned inputs, so future rounds diff the artifact like BENCH_r*:
+  *
+  *  - data recipe: `GenScale /root/testdata/sf0.1 /tmp/graft_sf1 10`
+  *    then `GenScale /tmp/graft_sf1 /tmp/graft_sf10 10` (GenScale is
+  *    seedless-deterministic, so the tiers regenerate bit-identically
+  *    from the driver's sf0.1 drop);
+  *  - query subset: [[subset]] below — headline + the full dedup /
+  *    merge-table / vector families + TPC-H-ish joins, excluding only
+  *    the labeled-quadratic all-pairs baselines and gate-bit LSH
+  *    configs (`q_dedup_embedding`, `q_dedup_embedding_lsh`): those
+  *    are exact-oracle tools whose contracts say O(n²), so at sf10
+  *    they measure the contract, not the engine.
+  *
+  * Usage: `runMain graft.tools.BenchScale [sfDir] [outFile]`
+  * (defaults `/tmp/graft_sf10`, `BENCH_sf10.json`). Reps via
+  * `SPARK_GRAFT_SCALE_REPS` (default 3).
+  */
+object BenchScale {
+
+  /** The pinned 47-query scale subset (see object scaladoc). Keep
+    * STABLE across rounds — the artifact's value is the diff. */
+  val subset: Seq[String] = Seq(
+    // identity + pipeline
+    "q_identity_resolve", "q_identity_evolution", "q_identity_incremental",
+    "q_pipeline_validate", "q_fuzzy_center_resolve", "q_upsert_merged",
+    "q_op_conflicts",
+    // dedup family (production configs)
+    "q_dedup_exact_groups", "q_dedup_first_wins", "q_dedup_ngram_jaccard",
+    "q_dedup_jaccard_prefix", "q_dedup_containment", "q_dedup_minhash_lsh",
+    "q_dedup_minhash_fast", "q_dedup_incremental", "q_dedup_simhash",
+    "q_dedup_semantic", "q_dedup_collapse", "q_dedup_contamination",
+    "q_dedup_decontam_incremental", "q_dedup_embedding_lsh_scale",
+    // text / training-data
+    "q_text_metrics", "q_text_langid", "q_text_winnow", "q_text_tfidf",
+    "q_text_bpe_learn", "q_sample_split", "q_retrieval_hybrid",
+    "q_graph_centrality",
+    // vectors
+    "q_vec_topk_cosine", "q_vec_ann_lsh", "q_vec_ann_ivf", "q_vec_pq_search",
+    // merge-table storage family
+    "q_merge_partitioned", "q_merge_keyed_lookup", "q_merge_compacted",
+    "q_merge_range_scan", "q_merge_changefeed", "q_merge_delete",
+    // joins / reporting / streaming-batch
+    "q_h3_shipping_priority", "q_h5_region_revenue", "q_h10_returned_items",
+    "q_asof_purchase", "q_range_join", "q_stream_windowed",
+    "q_agg_hist_sketch", "q_rep_corr_matrix")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf10"
+    val outFile = if (args.length > 1) args(1) else "BENCH_sf10.json"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.Tables.lineitem(spark, sfDir).count() // session warm-up
+
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+
+    case class Rep(wall: Double, gc: Double, spillMb: Long, shufMb: Long)
+    var nRun = 0
+    def runOnce(q: graft.queries.QueryDef): (Rep, Long) = {
+      val (g0, d0, w0) = (gcMillis, spillDisk.get(), shufWrite.get())
+      val t0 = System.nanoTime()
+      val rows = q.fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.Bench.drainListeners(spark) // async onTaskEnd events
+      val rep = Rep(wall, (gcMillis - g0) / 1000.0,
+        (spillDisk.get() - d0) / 1048576, (shufWrite.get() - w0) / 1048576)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      nRun += 1
+      if (nRun % 8 == 0) System.gc()
+      (rep, rows)
+    }
+
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val byName = graft.SparkEntry.allDefs.map(q => q.name -> q).toMap
+    val missing = subset.filterNot(byName.contains)
+    require(missing.isEmpty, s"subset names drifted from SparkEntry: $missing")
+
+    val results = subset.map { name =>
+      val q = byName(name)
+      val (warm, rows) = runOnce(q)
+      System.err.println(f"[bench-sf] $name warm=${warm.wall}%.2fs rows=$rows")
+      val timed = (1 to reps).map { i =>
+        val (r, _) = runOnce(q)
+        System.err.println(f"[bench-sf] $name rep=$i wall=${r.wall}%.2fs " +
+          f"gc=${r.gc}%.2fs spill_disk=${r.spillMb}MB shuffle_write=${r.shufMb}MB")
+        r
+      }
+      val med = timed.map(_.wall).sorted.apply(timed.length / 2)
+      name -> (med, timed, rows)
+    }
+
+    val total = results.map(_._2._1).sum
+    val qJson = results.map { case (name, (med, timed, rows)) =>
+      s""""$name":{"median":${f2(med)},"rows":$rows""" +
+        s""","wall":[${timed.map(r => f2(r.wall)).mkString(",")}]""" +
+        s""","gc":[${timed.map(r => f2(r.gc)).mkString(",")}]""" +
+        s""","spill_disk_mb":[${timed.map(_.spillMb).mkString(",")}]""" +
+        s""","shuffle_write_mb":[${timed.map(_.shufMb).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"bench_scale","value":${f2(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""recipe":"GenScale /root/testdata/sf0.1 /tmp/graft_sf1 10; GenScale /tmp/graft_sf1 /tmp/graft_sf10 10",""" +
+        s""""warmup":1,"reps":$reps,"degraded_queries":0,"cpus":$cpus,""" +
+        s""""queries":$qJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes("UTF-8"))
+    println(json.take(600))
+    println(s"[bench-sf] total_median=${f2(total)}s written to $outFile")
+    spark.stop()
+  }
+}

@@ -77,7 +77,7 @@ object ProfileWatchItems {
         val tCollapse = (System.nanoTime() - t1) / 1e9
         println(f"[watch] collapse rep=$i%d pairs_wall=$tPairs%5.2fs " +
           f"collapse_wall=$tCollapse%5.2fs edges=$nEdges%d rows=$n%d " +
-          s"path=${if (nEdges <= 4000000L) "union-find" else "cc-loop"}")
+          s"path=${if (nEdges <= graft.operators.Dedup.DefaultMaxLocalEdges) "union-find" else "cc-loop"}")
         cleanup()
       }
     }
