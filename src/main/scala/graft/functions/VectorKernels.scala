@@ -95,6 +95,29 @@ object VectorKernels {
     best
   }
 
+  /** Static min squared-L2 distance over centroids — [[nearestCentroid]]'s
+    * loop returning the VALUE instead of the index. Bit-identical to the
+    * HOF form `array_min(transform(cents, c -> aggregate(zip_with(v, c,
+    * (x, cc) -> (x-cc)²), 0.0, acc+x)))`: per-element accumulation in
+    * index order, min over centroids — but one codegen'd call against a
+    * task-shipped array instead of nClusters×dim literal plan nodes,
+    * which is what lets assignment scale to production cluster counts
+    * (SemDeDup's paper posture is 50k clusters). */
+  def minCentroidDist(v: ArrayData, cents: Array[Array[Double]]): Double = {
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val x = v.getFloat(i).toDouble - c(i); d += x * x; i += 1 }
+      if (d < bestD) bestD = d
+      j += 1
+    }
+    bestD
+  }
+
   /** Static per-plane dot products (multiprobe margins). */
   def planeDots(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
     val out = new Array[Double](planes.length)
@@ -243,6 +266,10 @@ object VectorKernels {
   def nearestCentroidCol(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(
       ExpressionUtils.expression(vec), centroids.map(_.toArray).toArray))
+
+  def minCentroidDistCol(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(MinCentroidDist(
+      ExpressionUtils.expression(vec), centroids.map(_.toArray).toArray))
 }
 
 /** Codegen'd cosine similarity of two `array<float>` (or
@@ -384,6 +411,32 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
     copy(child = c)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** Codegen'd min squared-L2 distance to a static centroid set — see
+  * [[VectorKernels.minCentroidDist]] for the bit-exactness contract
+  * with the HOF/literal formulation it replaces. */
+case class MinCentroidDist(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_centroid_dist needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.minCentroidDist(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.minCentroidDist($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinCentroidDist =
+    copy(child = c)
+  override def prettyName: String = "min_centroid_dist"
 }
 
 /** Codegen'd distinct word n-gram shingles from a token array — the

@@ -61,20 +61,20 @@ object SemanticDedup {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
 
-    // per-row assignment: codegen'd argmin against broadcast literals;
-    // the distance to the OWN centroid (= min distance) orders the
-    // within-cluster priority
-    val dists = transform(
-      array(cents.map(p => array(p.map(lit): _*)): _*),
-      c => aggregate(zip_with(col(vecCol), c, (x, cc) => {
-        val d = x.cast("double") - cc
-        d * d
-      }), lit(0.0), (acc, x) => acc + x))
+    // per-row assignment: codegen'd argmin + min-distance kernels
+    // against a task-shipped centroid array (addReferenceObj, not
+    // nClusters×dim literal plan nodes — the literal form capped
+    // assignment at a few hundred clusters; the kernel form carries
+    // the paper's 50k-cluster posture). The distance to the OWN
+    // centroid (= min distance) orders the within-cluster priority;
+    // minCentroidDist is bit-identical to the HOF formulation the
+    // oracle replays (index-order accumulation, min over centroids).
     val assigned = table.select(
       col(idCol).as("_id"), col(vecCol).as("_v"),
       graft.functions.VectorKernels.nearestCentroidCol(col(vecCol), cents)
         .as("cluster_id"),
-      array_min(dists).as("_cd"))
+      graft.functions.VectorKernels.minCentroidDistCol(col(vecCol), cents)
+        .as("_cd"))
 
     val rk = assigned.withColumn("centroid_rank",
       row_number().over(
