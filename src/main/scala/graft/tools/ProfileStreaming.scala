@@ -116,7 +116,10 @@ object ProfileStreaming {
         val et = p.eventTime
         ts(et.get("max")).foreach(m => maxEventMs = math.max(maxEventMs, m))
         ts(et.get("watermark")).foreach { w =>
-          if (maxEventMs != Long.MinValue)
+          // w == 0 is Spark's "not yet initialized" watermark (batch 0
+          // reports 1970-01-01) — diffing real event times against it
+          // would report ~54 years of bogus lag
+          if (maxEventMs != Long.MinValue && w > 0L)
             lagMax = math.max(lagMax, (maxEventMs - w) / 1000.0)
         }
         System.err.println(f"[stream-batch] op=$name batch=${p.batchId}%d " +
