@@ -529,7 +529,14 @@ object SimilaritySearch {
       .join(queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("_qv")), "query_id")
 
-    val codes = spark.read.parquet(s"$dir/codes")
+    // resolve through the manifest when the index has been
+    // incrementally maintained ([[applyIvfPqIndexChanges]]); a
+    // freshly-written plain layout reads identically (adoption
+    // fallback inside the merge reader). The probed-list filter still
+    // prunes statically: each manifest branch carries `_list` as a
+    // partition column, so non-probed branches fold to empty scans.
+    val codes = graft.sources.Sources
+      .readMergePartitioned(spark, s"$dir/codes", "_list")
       .filter(col("_list").isin(probed: _*))
     val adc = adcDist(cbs, col("_qv"), col("codes"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("_id"))
@@ -540,5 +547,98 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("_id").as("neighbor_id"),
         col("adc_dist"))
+  }
+
+  /** Outcome of one [[applyIvfPqIndexChanges]] application. */
+  final case class IvfPqMaintenance(removed: Long, added: Long)
+
+  /** Incremental maintenance of a persisted IVF-PQ index — apply a
+    * row-level change feed (the [[graft.sources.Sources.mergeRowChangesSince]]
+    * shape: `_change ∈ {new, updated, orphaned}`) WITHOUT rebuilding:
+    * at 100 TB the code table is the compressed corpus and a rebuild
+    * per ingest batch re-encodes a billion vectors to admit a few
+    * thousand.
+    *
+    * The quantizers are FROZEN: coarse centroids and PQ codebooks are
+    * read back from the index side tables and never retrained — the
+    * standard production posture (requantization is a periodic offline
+    * rebuild; the delta path only encodes). That is also what makes
+    * incremental ≡ rebuild provable: with fixed quantizers, the final
+    * code table is a pure per-row function of the final corpus, so
+    * applying a feed must produce bit-for-bit the table a fresh
+    * [[writeIvfPqIndex]] over the post-change corpus would
+    * (IncrementalIvfPqSpec pins this, and the DuckDB gate replays it).
+    *
+    * Mechanics — the codes table IS a merge table:
+    *  1. a plain [[writeIvfPqIndex]] layout is adopted into the
+    *     manifest/pointer discipline in place
+    *     ([[graft.sources.Sources.adoptMergePartitioned]] — no data
+    *     rewrite);
+    *  2. every changed id's CURRENT rows are located with the
+    *     bloom/bulk keyed read
+    *     ([[graft.sources.Sources.readMergePartitionedKeyedFrame]] —
+    *     a column-pruned `(_id, _list)` lookup that never collects
+    *     data-proportionally; run
+    *     [[graft.sources.Sources.indexBatchKeys]] on the codes dir to
+    *     give point lookups bloom-sidecar dir skipping);
+    *  3. they are retracted via a row-level DELETE publish — delete
+    *     FIRST, so an updated vector whose new embedding lands in a
+    *     different coarse list can never leave a stale code behind in
+    *     its old one;
+    *  4. `new`/`updated` payloads are encoded with the frozen
+    *     quantizers and merge-published into their lists.
+    * Each publish is an atomic pointer swap; a reader between the two
+    * swaps sees a valid index temporarily missing the in-flight
+    * vectors (the usual ANN freshness contract), never a torn
+    * partition. Untouched list partitions keep their files
+    * byte-identical; cost per batch is the touched lists' size, never
+    * the table. Re-applying the same feed is idempotent
+    * (remove-then-add by key). Readers get the maintained table
+    * transparently: [[searchIvfPqIndex]] resolves the manifest.
+    *
+    * `changes` must carry `idCol`, `vecCol`, `changeCol`; `orphaned`
+    * rows need only the id. Returns the removed/added row counts. */
+  def applyIvfPqIndexChanges(spark: org.apache.spark.sql.SparkSession,
+      dir: String, changes: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", changeCol: String = "_change"): IvfPqMaintenance = {
+    val codesDir = s"$dir/codes"
+    val cfg = graft.types.TableConfig("ivfpq_codes", Seq("_id"), Seq.empty)
+
+    val kinds = changes.select(changeCol).distinct().collect().map(_.getString(0)).toSet
+    val unknown = kinds -- Set("new", "updated", "orphaned")
+    require(unknown.isEmpty,
+      s"applyIvfPqIndexChanges: unknown $changeCol value(s) ${unknown.mkString(", ")} " +
+        "(expected new/updated/orphaned)")
+
+    graft.sources.Sources.adoptMergePartitioned(spark, codesDir, "_list"): Unit
+
+    // locate old rows of every changed id (new ids simply miss) —
+    // the retraction set, with the partition values the delete needs
+    val ids = changes.select(col(idCol).as("_id")).distinct()
+    val oldRows = graft.sources.Sources
+      .readMergePartitionedKeyedFrame(spark, codesDir, "_list", "_id", ids)
+      .select("_id", "_list")
+      .localCheckpoint(false) // pin: the delete publish swaps the manifest under it
+    val removed = graft.sources.Sources
+      .publishMergeDeletes(spark, codesDir, oldRows, cfg, "_list")
+
+    val adds = changes.filter(col(changeCol).isin("new", "updated"))
+    val nAdds = adds.count()
+    if (nAdds > 0) {
+      val cents = spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
+        .map(r => r.getAs[Int]("_list") -> r.getSeq[Double](1))
+        .sortBy(_._1).map(_._2.toSeq).toSeq
+      val cbRows = spark.read.parquet(s"$dir/codebooks").collect() // m*k tiny rows
+        .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"), r.getSeq[Double](2)))
+      val cbs = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+      val enc = pqEncode(adds, cbs, idCol, vecCol)
+        .select(col(idCol).as("_id"), col("codes"),
+          graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
+            .as("_list"))
+      graft.sources.Sources
+        .publishMergePartitioned(spark, codesDir, enc, cfg, "_list"): Unit
+    }
+    IvfPqMaintenance(removed, nAdds)
   }
 }

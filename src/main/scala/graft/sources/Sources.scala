@@ -186,6 +186,35 @@ object Sources {
     merged
   }
 
+  /** Adopt a plain `<col>=<val>` partitioned parquet layout into the
+    * manifest/pointer discipline WITHOUT rewriting any data: write a
+    * baseline manifest referencing the existing partition dirs and
+    * swap `_current` onto it. This is the adoption step
+    * [[publishMergePartitioned]] performs implicitly on its first
+    * publish, exposed for callers that need a manifest table BEFORE
+    * their first merge — e.g. [[publishMergeDeletes]] (which refuses
+    * pre-manifest tables) when the first delta against a bulk-written
+    * table is a retraction. Idempotent: returns false (no-op) when the
+    * table already has a live pointer or has no partition dirs to
+    * adopt. The adopted dirs are left byte-identical in place. */
+  def adoptMergePartitioned(spark: SparkSession, tableDir: String,
+      partitionCol: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_current"))) return false
+    val entries = manifestEntries(fs, root, partitionCol)
+    if (entries.isEmpty) return false
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val mfile0 = f"manifest-$next%012d-$uid"
+    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
+      entries.sorted.mkString("\n"))
+    swapPointerForward(fs, uri, conf, root, mfile0, s"$next-$uid-0")
+    true
+  }
+
   /** Row-level DELETE publish for a [[publishMergePartitioned]] table —
     * the retraction half MERGE alone can't express (GDPR erasure,
     * eval-set eviction, takedowns): rewrite the touched partitions

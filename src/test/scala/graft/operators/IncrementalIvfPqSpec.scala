@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental IVF-PQ index maintenance: with frozen quantizers the
+  * final code table is a pure per-row function of the final corpus,
+  * so applying a change feed must produce bit-for-bit the table a
+  * fresh rebuild over the post-change corpus would. These specs pin
+  * that, plus idempotency, stale-code removal across a coarse-list
+  * move, and the untouched-partition byte-identity the manifest
+  * discipline guarantees. */
+class IncrementalIvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 24 deterministic dim-8 vectors in two easily-separated lobes so
+  // coarse assignment is stable; ids 0..7 double as quantizer medoids
+  private def vec(id: Long): Seq[Float] = {
+    val lobe = if (id % 2 == 0) 0f else 100f
+    Seq.tabulate(8)(i => lobe + ((id * 7 + i * 3) % 13).toFloat)
+  }
+  private def corpus(ids: Seq[Long]): DataFrame =
+    ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+
+  private val baseIds  = (0L until 24L).filterNot(id => id >= 8 && id % 7 == 5)
+  private val newIds   = (8L until 24L).filter(_ % 7 == 5)
+  private val delIds   = (8L until 24L).filter(id => id % 7 != 5 && id % 11 == 2)
+  private val updIds   = (8L until 24L).filter(id => id % 7 != 5 && id % 11 != 2 && id % 13 == 4)
+  private val coarse   = 0L until 4L
+  private val pqSeeds  = 0L until 4L
+
+  private def changes: DataFrame = {
+    val nw = corpus(newIds).withColumn("_change", lit("new"))
+    val dl = corpus(delIds).withColumn("_change", lit("orphaned"))
+    val up = corpus(updIds)
+      .withColumn("embedding", reverse(col("embedding")))
+      .withColumn("_change", lit("updated"))
+    nw.unionByName(dl).unionByName(up)
+  }
+
+  private def finalCorpus: DataFrame = {
+    val survivors = (0L until 24L).filterNot(delIds.contains)
+    survivors.map { id =>
+      val v = vec(id)
+      (id, if (updIds.contains(id)) v.reverse else v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def codesOf(dir: String): Seq[(Long, Seq[Int], Int)] =
+    graft.sources.Sources.readMergePartitioned(spark, s"$dir/codes", "_list")
+      .select(col("_id").cast("long"), col("codes"), col("_list").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+
+  private def freshDir(): String = {
+    val p = Files.createTempDirectory("graft_incidx_spec")
+    p.toString
+  }
+
+  private def builtAndApplied(): String = {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes): Unit
+    dir
+  }
+
+  test("incremental apply equals a rebuild over the final corpus, bit for bit") {
+    val inc = builtAndApplied()
+    val reb = freshDir()
+    SimilaritySearch.writeIvfPqIndex(finalCorpus, reb, coarse, pqSeeds, m = 4)
+    assert(codesOf(inc) == codesOf(reb))
+    // and every changed id is accounted for: deletes gone, news present
+    val ids = codesOf(inc).map(_._1).toSet
+    delIds.foreach(id => assert(!ids.contains(id)))
+    (newIds ++ updIds).foreach(id => assert(ids.contains(id)))
+  }
+
+  test("re-applying the same feed is idempotent") {
+    val dir = builtAndApplied()
+    val once = codesOf(dir)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes): Unit
+    assert(codesOf(dir) == once)
+  }
+
+  test("an updated vector that moves coarse list leaves no stale code behind") {
+    val dir = builtAndApplied()
+    // the update reverses the vector; with per-id lobes the reversed
+    // vector can re-assign. Regardless of whether it moved, the id
+    // must appear EXACTLY once in the final index.
+    val counts = codesOf(dir).groupBy(_._1).view.mapValues(_.size)
+    counts.foreach { case (id, n) => assert(n == 1, s"id $id appears $n times") }
+  }
+
+  test("untouched list partitions keep their original files byte-identical") {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    // snapshot the pre-manifest partition files
+    val root = java.nio.file.Paths.get(dir, "codes")
+    def files(): Map[String, Seq[(String, Long)]] =
+      java.nio.file.Files.list(root).iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_list="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).iterator().asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString, java.nio.file.Files.size(f)))
+              .sortBy(_._1)
+        }.toMap
+    val before = files()
+    val delta = SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes)
+    assert(delta.removed == (delIds.size + updIds.size))
+    assert(delta.added == (newIds.size + updIds.size))
+    // every original partition dir still holds its exact files — the
+    // rewrite happened in NEW b-* batch dirs under the manifest
+    val after = files()
+    assert(after == before)
+  }
+
+  test("search over the maintained index equals search over the rebuild") {
+    val inc = builtAndApplied()
+    val reb = freshDir()
+    SimilaritySearch.writeIvfPqIndex(finalCorpus, reb, coarse, pqSeeds, m = 4)
+    val queries = corpus(Seq(0L, 1L, 2L))
+    def results(dir: String) =
+      SimilaritySearch.searchIvfPqIndex(spark, dir, queries, k = 3, nProbe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(results(inc) == results(reb))
+  }
+
+  test("unknown change kinds are refused loudly") {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    val bad = corpus(Seq(9L)).withColumn("_change", lit("upserted"))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.applyIvfPqIndexChanges(spark, dir, bad)
+    }
+    assert(e.getMessage.contains("unknown"))
+  }
+
+  private implicit class IterWrap[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}
