@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.types.TableConfig
+
+/** A PERSISTED BM25 inverted index, incrementally maintained by the
+  * row-level change feed — the lexical twin of
+  * [[SimilaritySearch.applyIvfPqIndexChanges]]. The reference
+  * recomputes retrieval statistics from the corpus per run (cf.
+  * ibdgc/idhub report generators re-deriving counts per request); at
+  * 100 TB the lexical index must be a table you maintain, not a scan
+  * you repeat: a query touches the postings of ITS terms, and an
+  * ingest batch touches the postings of ITS documents — never the
+  * corpus.
+  *
+  * Layout under `dir` (every table plain parquet + the engine's
+  * manifest/pointer discipline):
+  *  - `postings/` — (term, doc_id, tf, dl), hash-partitioned by
+  *    `_b = pmod(xxhash64(term), nBuckets)`: the inverted file. A
+  *    search reads only its query terms' buckets (static partition
+  *    pruning); `dl` rides denormalized so scoring needs no
+  *    doc-length join.
+  *  - `forward/` — (doc_id, term), hash-partitioned by doc id: the
+  *    transpose, which is what makes RETRACTION scale — an updated or
+  *    deleted document's old terms are found by a bloom/bulk keyed
+  *    read of its forward rows, never by scanning the inverted file.
+  *    (Lucene keeps the same pair: inverted index + per-doc term
+  *    vectors.)
+  *  - `doclen/` — (doc_id, dl), hash-partitioned by doc id: corpus
+  *    membership, including zero-token documents that have no
+  *    postings at all — so delete/update accounting can never miss
+  *    them.
+  *  - `stats/` — one snapshot-published row (n_docs, tot) maintained
+  *    by pure delta arithmetic; `meta/` — (n_buckets).
+  *
+  * Maintenance ([[applyBm25IndexChanges]]) is delete-first: the
+  * changed documents' old postings/forward/doclen rows are retracted
+  * via row-level DELETE publishes, then `new`/`updated` payloads are
+  * re-tokenized and merge-published. Each publish is an atomic
+  * pointer swap; re-applying a feed is idempotent. With a fixed
+  * tokenizer the index content is a pure per-document function of the
+  * corpus, so incremental ≡ rebuild bit-for-bit
+  * (IncrementalBm25Spec), and the DuckDB gate replays the search from
+  * the post-change corpus directly. */
+object LexicalIndex {
+
+  final case class Bm25Maintenance(
+      removedPostings: Long, addedPostings: Long, docsTouched: Long)
+
+  private val postingsCfg = TableConfig("bm25_postings", Seq("term", "doc_id"), Seq.empty)
+  private val forwardCfg  = TableConfig("bm25_forward", Seq("doc_id", "term"), Seq.empty)
+  private val doclenCfg   = TableConfig("bm25_doclen", Seq("doc_id"), Seq.empty)
+
+  private def termBucket(nBuckets: Int) =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+  private def docBucket(nBuckets: Int) =
+    pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int")
+
+  /** (doc_id, dl, term, tf) rows of a document frame — one row per
+    * distinct (doc, term); zero-token documents contribute none. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  private def doclenOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+
+  /** Build the index from a corpus. One tokenize pass feeds all three
+    * tables; stats is the same one-row aggregate [[TextAnalysis.bm25]]
+    * computes per run, persisted once instead. */
+  def writeBm25Index(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 32): Unit = {
+    require(nBuckets >= 1 && nBuckets <= Sources.MaxTouchedPartitions,
+      s"nBuckets must be in [1, ${Sources.MaxTouchedPartitions}]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = postingsOf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    post.withColumn("_b", termBucket(nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("_b").parquet(s"$dir/postings")
+    post.select("doc_id", "term").withColumn("_db", docBucket(nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("_db").parquet(s"$dir/forward")
+    post.unpersist(): Unit
+    doclenOf(docs, idCol, textCol).withColumn("_db", docBucket(nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("_db").parquet(s"$dir/doclen")
+    Sources.publishSnapshot(
+      docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+          .as("tot")),
+      s"$dir/stats")
+    Sources.publishSnapshot(
+      Seq(nBuckets).toDF("n_buckets").coalesce(1), s"$dir/meta")
+  }
+
+  private def readNBuckets(spark: SparkSession, dir: String): Int =
+    Sources.readSnapshot(spark, s"$dir/meta").first().getAs[Int]("n_buckets")
+
+  /** Apply a `new`/`updated`/`orphaned` change feed. `changes` must
+    * carry `idCol` and `changeCol`; `new`/`updated` rows also
+    * `textCol`. Cost is the changed documents' postings plus their
+    * term buckets' rewrite — never the corpus. Delete-first, so an
+    * updated document can never leave stale postings behind. */
+  def applyBm25IndexChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      changeCol: String = "_change"): Bm25Maintenance = {
+    val kinds = changes.select(changeCol).distinct().collect().map(_.getString(0)).toSet
+    val unknown = kinds -- Set("new", "updated", "orphaned")
+    require(unknown.isEmpty,
+      s"applyBm25IndexChanges: unknown $changeCol value(s) ${unknown.mkString(", ")} " +
+        "(expected new/updated/orphaned)")
+    val nBuckets = readNBuckets(spark, dir)
+    Sources.adoptMergePartitioned(spark, s"$dir/postings", "_b"): Unit
+    Sources.adoptMergePartitioned(spark, s"$dir/forward", "_db"): Unit
+    Sources.adoptMergePartitioned(spark, s"$dir/doclen", "_db"): Unit
+
+    val ids = changes.select(col(idCol).as("doc_id")).distinct()
+    // the transpose answers "which postings does this doc own" without
+    // touching the inverted file; doclen answers membership + length
+    // even for zero-token docs
+    val oldFwd = Sources.readMergePartitionedKeyedFrame(
+        spark, s"$dir/forward", "_db", "doc_id", ids)
+      .select("doc_id", "term")
+      .localCheckpoint(false) // pin: the publishes below swap manifests under it
+    val oldLen = Sources.readMergePartitionedKeyedFrame(
+        spark, s"$dir/doclen", "_db", "doc_id", ids)
+      .select("doc_id", "dl")
+      .localCheckpoint(false)
+    val (docsRemoved, dlRemoved) = {
+      val r = oldLen.agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dl")), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val removed = Sources.publishMergeDeletes(spark, s"$dir/postings",
+      oldFwd.withColumn("_b", termBucket(nBuckets)), postingsCfg, "_b")
+    Sources.publishMergeDeletes(spark, s"$dir/forward",
+      oldFwd.withColumn("_db", docBucket(nBuckets)), forwardCfg, "_db"): Unit
+    Sources.publishMergeDeletes(spark, s"$dir/doclen",
+      oldLen.withColumn("_db", docBucket(nBuckets)), doclenCfg, "_db"): Unit
+
+    val adds = changes.filter(col(changeCol).isin("new", "updated"))
+    val addLen = doclenOf(adds, idCol, textCol).localCheckpoint(false)
+    val (docsAdded, dlAdded) = {
+      val r = addLen.agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dl")), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var addedPostings = 0L
+    if (docsAdded > 0) {
+      val post = postingsOf(adds, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      addedPostings = post.count()
+      if (addedPostings > 0) {
+        Sources.publishMergePartitioned(spark, s"$dir/postings",
+          post.withColumn("_b", termBucket(nBuckets)), postingsCfg, "_b"): Unit
+        Sources.publishMergePartitioned(spark, s"$dir/forward",
+          post.select("doc_id", "term").withColumn("_db", docBucket(nBuckets)),
+          forwardCfg, "_db"): Unit
+      }
+      post.unpersist(): Unit
+      Sources.publishMergePartitioned(spark, s"$dir/doclen",
+        addLen.withColumn("_db", docBucket(nBuckets)), doclenCfg, "_db"): Unit
+    }
+    // stats by delta arithmetic — all terms are exact longs, so the
+    // maintained row always equals a doclen re-aggregation
+    // (IncrementalBm25Spec pins it)
+    val st = Sources.readSnapshot(spark, s"$dir/stats").first()
+    val stats = Seq((st.getLong(0) - docsRemoved + docsAdded,
+      st.getLong(1) - dlRemoved + dlAdded))
+    import spark.implicits._
+    Sources.publishSnapshot(stats.toDF("n_docs", "tot").coalesce(1), s"$dir/stats")
+    Bm25Maintenance(removed, addedPostings, docsRemoved.max(docsAdded))
+  }
+
+  /** BM25 top-k over the persisted index: the query terms' buckets
+    * are the ONLY postings partitions read (static pruning via the
+    * manifest branches), stats is one snapshot row — query cost is
+    * posting-list-shaped, corpus-size-independent. Ranking runs
+    * through the same [[TextAnalysis.bm25Rank]] core as the
+    * corpus-scan path, so the two are arithmetically identical. */
+  def searchBm25Index(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val nBuckets = readNBuckets(spark, dir)
+    import spark.implicits._
+    // bucket ids via the engine's own hash (a driver-side handful)
+    val buckets = queryTerms.toDF("term")
+      .select(termBucket(nBuckets)).distinct().collect().map(_.getInt(0)).toSeq
+    val tf = Sources.readMergePartitioned(spark, s"$dir/postings", "_b")
+      .filter(col("_b").isin(buckets: _*) && col("term").isin(queryTerms: _*))
+      .select("doc_id", "dl", "term", "tf")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = Sources.readSnapshot(spark, s"$dir/stats")
+    TextAnalysis.bm25Rank(tf, dfreq, stats, k, k1, b)
+  }
+}

@@ -514,6 +514,19 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(tokenCount(col(textCol)).cast("long")).as("tot"))
+    bm25Rank(tf, dfreq, stats, k, k1, b)
+  }
+
+  /** The BM25 ranking core over prepared frames — `tf(doc_id, dl,
+    * term, tf)`, `dfreq(term, df)`, `stats(n_docs, tot)` — shared by
+    * the corpus-scan path ([[bm25]]) and the persisted-index path
+    * ([[LexicalIndex.searchBm25Index]]) so the two can never diverge
+    * arithmetically: identical idf/saturation expressions, identical
+    * term-sorted left fold of the per-term scores. */
+  private[operators] def bm25Rank(tf: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      k: Int, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
     val avgdl = col("tot").cast("double") / col("n_docs")
     val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))

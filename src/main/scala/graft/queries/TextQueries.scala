@@ -17,6 +17,50 @@ object TextQueries {
   private val minhashFastPairs =
     new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]](null)
 
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // the dataset-state stamp mirrors VectorQueries.sourceStamp: a
+  // regenerated documents table mid-JVM must not be served a stale index
+  private def docStamp(datasetDir: String): String = {
+    val f = new java.io.File(s"$datasetDir/documents.parquet")
+    val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+    val listing = files.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+      .map(x => s"${x.getName}:${x.length()}:${x.lastModified()}")
+      .sorted.mkString("|")
+    java.util.UUID.nameUUIDFromBytes(listing.getBytes("UTF-8")).toString
+  }
+
+  /** The incrementally-MAINTAINED BM25 index for the gate: built over
+    * the base subset (doc_id % 7 == 3 withheld), then the
+    * new/orphaned/updated feed applied once per (dataset, state). */
+  private def cachedBm25Index(docs: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    bm25IndexCache.computeIfAbsent(s"$datasetDir@${docStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25idx")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val m7 = col("doc_id") % 7
+      val base = docs.filter(m7 =!= 3)
+      graft.operators.LexicalIndex.writeBm25Index(base, p.toString, nBuckets = 32)
+      val nw = docs.filter(m7 === 3).withColumn("_change", lit("new"))
+      val dl = docs.filter(m7 =!= 3 && col("doc_id") % 11 === 4)
+        .withColumn("_change", lit("orphaned"))
+      val up = docs.filter(m7 =!= 3 && col("doc_id") % 11 =!= 4 &&
+          col("doc_id") % 13 === 6)
+        .withColumn("text", concat(col("text"), lit(" spark")))
+        .withColumn("_change", lit("updated"))
+      graft.operators.LexicalIndex.applyBm25IndexChanges(docs.sparkSession,
+        p.toString, nw.unionByName(dl).unionByName(up)): Unit
+      p.toString
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -933,6 +977,56 @@ object TextQueries {
       TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
           seqTokens = 256, bucketWidth = 64)
         .orderBy("seq_id", "doc_id")
+    },
+
+    // The PERSISTED BM25 index, incrementally maintained, under the
+    // full hash gate: the index is built over a base subset of the
+    // corpus (doc_id % 7 == 3 withheld), then a change feed applied —
+    // the withheld docs as `new`, doc_id % 11 == 4 as `orphaned`,
+    // doc_id % 13 == 6 as `updated` with ' spark' appended (pure
+    // string concat, so both engines tokenize the updated text
+    // identically) — and the search runs over the MAINTAINED tables
+    // (postings buckets of the query terms + the delta-maintained
+    // stats row). The oracle knows nothing of the index: it scores the
+    // post-change corpus directly, so a stale posting, a lost delete,
+    // a missed zero-token doc in n_docs, or drifted stats break the
+    // hash.
+    QueryDef.sql(
+      "q_text_bm25_incremental",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
+         |         THEN text || ' spark' ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
+         |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
+         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM docs),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score,
+         |    CAST(COUNT(*) AS INT) AS n_terms
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, score, n_terms FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val dir = cachedBm25Index(Tables.documents(s, d), d)
+      graft.operators.LexicalIndex.searchBm25Index(s, dir,
+          Seq("merge", "spark", "vector"), k = 25)
+        .select("doc_id", "score", "n_terms")
     },
 
     // Okapi-BM25 lexical retrieval: top-25 docs for a 3-term query,
