@@ -81,14 +81,16 @@ object LexicalIndex {
       s"nBuckets must be in [1, ${Sources.MaxTouchedPartitions}]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val post = postingsOf(docs, idCol, textCol)
+    // `_seq = 0` is the LSM write-generation stamp (see LsmTombstones)
+    val post = postingsOf(docs, idCol, textCol).withColumn("_seq", lit(0L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     post.withColumn("_b", termBucket(nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("_b").parquet(s"$dir/postings")
-    post.select("doc_id", "term").withColumn("_db", docBucket(nBuckets))
+    post.select("doc_id", "term", "_seq").withColumn("_db", docBucket(nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("_db").parquet(s"$dir/forward")
     post.unpersist(): Unit
-    doclenOf(docs, idCol, textCol).withColumn("_db", docBucket(nBuckets))
+    doclenOf(docs, idCol, textCol).withColumn("_seq", lit(0L))
+      .withColumn("_db", docBucket(nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("_db").parquet(s"$dir/doclen")
     Sources.publishSnapshot(
       docs.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -104,12 +106,30 @@ object LexicalIndex {
 
   /** Apply a `new`/`updated`/`orphaned` change feed. `changes` must
     * carry `idCol` and `changeCol`; `new`/`updated` rows also
-    * `textCol`. Cost is the changed documents' postings plus their
-    * term buckets' rewrite — never the corpus. Delete-first, so an
-    * updated document can never leave stale postings behind. */
+    * `textCol`.
+    *
+    * Two modes, picked by delta shape (both measured — SCALING.md
+    * round 14):
+    *  - `"rewrite"` (default): delete-first retraction + upsert —
+    *    touched buckets are REWRITTEN and the tables are always
+    *    compact / bit-exact vs a rebuild. But a document batch's
+    *    terms hash into essentially EVERY bucket, so a rewrite apply
+    *    at full fanout costs a table rebuild (measured 0.95× rebuild
+    *    at sf1) — right only for low-fanout deltas.
+    *  - `"append"`: log-structured — changed doc ids are tombstoned
+    *    at the next write generation and the re-tokenized rows
+    *    APPENDED ([[graft.sources.Sources.publishMergeAppend]]); the
+    *    only read is the doc-bucket-pruned doclen lookup that feeds
+    *    the stats delta. Cost = the delta. Reads stay correct through
+    *    the broadcast tombstone kill; [[compactBm25Index]] folds the
+    *    log back to the bit-exact rebuild state. In this mode
+    *    `removedPostings` reports tombstoned doc ids (the retraction
+    *    intent), not located posting rows. */
   def applyBm25IndexChanges(spark: SparkSession, dir: String, changes: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      changeCol: String = "_change"): Bm25Maintenance = {
+      changeCol: String = "_change", mode: String = "rewrite"): Bm25Maintenance = {
+    require(mode == "rewrite" || mode == "append",
+      s"applyBm25IndexChanges: unknown mode '$mode' (rewrite|append)")
     val kinds = changes.select(changeCol).distinct().collect().map(_.getString(0)).toSet
     val unknown = kinds -- Set("new", "updated", "orphaned")
     require(unknown.isEmpty,
@@ -121,61 +141,128 @@ object LexicalIndex {
     Sources.adoptMergePartitioned(spark, s"$dir/doclen", "_db"): Unit
 
     val ids = changes.select(col(idCol).as("doc_id")).distinct()
-    // the transpose answers "which postings does this doc own" without
-    // touching the inverted file; doclen answers membership + length
-    // even for zero-token docs
-    val oldFwd = Sources.readMergePartitionedKeyedFrame(
-        spark, s"$dir/forward", "_db", "doc_id", ids)
-      .select("doc_id", "term")
-      .localCheckpoint(false) // pin: the publishes below swap manifests under it
-    val oldLen = Sources.readMergePartitionedKeyedFrame(
-        spark, s"$dir/doclen", "_db", "doc_id", ids)
-      .select("doc_id", "dl")
-      .localCheckpoint(false)
-    val (docsRemoved, dlRemoved) = {
-      val r = oldLen.agg(count(lit(1)).cast("long"),
-        coalesce(sum(col("dl")), lit(0L))).first()
-      (r.getLong(0), r.getLong(1))
-    }
-    val removed = Sources.publishMergeDeletes(spark, s"$dir/postings",
-      oldFwd.withColumn("_b", termBucket(nBuckets)), postingsCfg, "_b")
-    Sources.publishMergeDeletes(spark, s"$dir/forward",
-      oldFwd.withColumn("_db", docBucket(nBuckets)), forwardCfg, "_db"): Unit
-    Sources.publishMergeDeletes(spark, s"$dir/doclen",
-      oldLen.withColumn("_db", docBucket(nBuckets)), doclenCfg, "_db"): Unit
-
     val adds = changes.filter(col(changeCol).isin("new", "updated"))
-    val addLen = doclenOf(adds, idCol, textCol).localCheckpoint(false)
-    val (docsAdded, dlAdded) = {
+
+    def publishStats(docsRemoved: Long, dlRemoved: Long,
+        docsAdded: Long, dlAdded: Long): Unit = {
+      // delta arithmetic over exact longs — the maintained row always
+      // equals a doclen re-aggregation (IncrementalBm25Spec pins it)
+      val st = Sources.readSnapshot(spark, s"$dir/stats").first()
+      val stats = Seq((st.getLong(0) - docsRemoved + docsAdded,
+        st.getLong(1) - dlRemoved + dlAdded))
+      import spark.implicits._
+      Sources.publishSnapshot(stats.toDF("n_docs", "tot").coalesce(1), s"$dir/stats")
+    }
+
+    def addAgg(addLen: DataFrame): (Long, Long) = {
       val r = addLen.agg(count(lit(1)).cast("long"),
         coalesce(sum(col("dl")), lit(0L))).first()
       (r.getLong(0), r.getLong(1))
     }
-    var addedPostings = 0L
-    if (docsAdded > 0) {
-      val post = postingsOf(adds, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      addedPostings = post.count()
-      if (addedPostings > 0) {
-        Sources.publishMergePartitioned(spark, s"$dir/postings",
-          post.withColumn("_b", termBucket(nBuckets)), postingsCfg, "_b"): Unit
-        Sources.publishMergePartitioned(spark, s"$dir/forward",
-          post.select("doc_id", "term").withColumn("_db", docBucket(nBuckets)),
-          forwardCfg, "_db"): Unit
+
+    if (mode == "append") {
+      val n = LsmTombstones.nextSeq(spark, dir)
+      // the ONE read this mode keeps: live doclen rows of the changed
+      // ids (doc-bucket pruned point lookups) — the stats delta needs
+      // the outgoing lengths and membership, nothing else does
+      val oldLen = LsmTombstones.filterLive(spark, dir,
+          Sources.readMergePartitionedKeyedFrame(
+            spark, s"$dir/doclen", "_db", "doc_id", ids),
+          "doc_id")
+        .select("doc_id", "dl").localCheckpoint(false)
+      val (docsRemoved, dlRemoved) = addAgg(oldLen)
+      LsmTombstones.append(spark, dir, ids, "doc_id", n)
+      val addLen = doclenOf(adds, idCol, textCol).localCheckpoint(false)
+      val (docsAdded, dlAdded) = addAgg(addLen)
+      var addedPostings = 0L
+      if (docsAdded > 0) {
+        val post = postingsOf(adds, idCol, textCol).withColumn("_seq", lit(n))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        addedPostings = post.count()
+        if (addedPostings > 0) {
+          Sources.publishMergeAppend(spark, s"$dir/postings",
+            post.withColumn("_b", termBucket(nBuckets)), "_b")
+          Sources.publishMergeAppend(spark, s"$dir/forward",
+            post.select("doc_id", "term", "_seq").withColumn("_db", docBucket(nBuckets)),
+            "_db")
+        }
+        post.unpersist(): Unit
+        Sources.publishMergeAppend(spark, s"$dir/doclen",
+          addLen.withColumn("_seq", lit(n)).withColumn("_db", docBucket(nBuckets)),
+          "_db")
       }
-      post.unpersist(): Unit
-      Sources.publishMergePartitioned(spark, s"$dir/doclen",
-        addLen.withColumn("_db", docBucket(nBuckets)), doclenCfg, "_db"): Unit
+      publishStats(docsRemoved, dlRemoved, docsAdded, dlAdded)
+      val removed = ids.count()
+      Bm25Maintenance(removed, addedPostings, docsRemoved.max(docsAdded))
+    } else {
+      require(LsmTombstones.isEmpty(spark, dir),
+        "applyBm25IndexChanges(mode=rewrite): index has live tombstones from " +
+          "append-mode maintenance — run compactBm25Index first (a rewrite " +
+          "against raw appended content would resurrect dead rows)")
+      // the transpose answers "which postings does this doc own" without
+      // touching the inverted file; doclen answers membership + length
+      // even for zero-token docs
+      val oldFwd = Sources.readMergePartitionedKeyedFrame(
+          spark, s"$dir/forward", "_db", "doc_id", ids)
+        .select("doc_id", "term")
+        .localCheckpoint(false) // pin: the publishes below swap manifests under it
+      val oldLen = Sources.readMergePartitionedKeyedFrame(
+          spark, s"$dir/doclen", "_db", "doc_id", ids)
+        .select("doc_id", "dl")
+        .localCheckpoint(false)
+      val (docsRemoved, dlRemoved) = addAgg(oldLen)
+      val removed = Sources.publishMergeDeletes(spark, s"$dir/postings",
+        oldFwd.withColumn("_b", termBucket(nBuckets)), postingsCfg, "_b")
+      Sources.publishMergeDeletes(spark, s"$dir/forward",
+        oldFwd.withColumn("_db", docBucket(nBuckets)), forwardCfg, "_db"): Unit
+      Sources.publishMergeDeletes(spark, s"$dir/doclen",
+        oldLen.withColumn("_db", docBucket(nBuckets)), doclenCfg, "_db"): Unit
+
+      val addLen = doclenOf(adds, idCol, textCol).localCheckpoint(false)
+      val (docsAdded, dlAdded) = addAgg(addLen)
+      var addedPostings = 0L
+      if (docsAdded > 0) {
+        val post = postingsOf(adds, idCol, textCol).withColumn("_seq", lit(0L))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        addedPostings = post.count()
+        if (addedPostings > 0) {
+          Sources.publishMergePartitioned(spark, s"$dir/postings",
+            post.withColumn("_b", termBucket(nBuckets)), postingsCfg, "_b"): Unit
+          Sources.publishMergePartitioned(spark, s"$dir/forward",
+            post.select("doc_id", "term", "_seq").withColumn("_db", docBucket(nBuckets)),
+            forwardCfg, "_db"): Unit
+        }
+        post.unpersist(): Unit
+        Sources.publishMergePartitioned(spark, s"$dir/doclen",
+          addLen.withColumn("_seq", lit(0L)).withColumn("_db", docBucket(nBuckets)),
+          doclenCfg, "_db"): Unit
+      }
+      publishStats(docsRemoved, dlRemoved, docsAdded, dlAdded)
+      Bm25Maintenance(removed, addedPostings, docsRemoved.max(docsAdded))
     }
-    // stats by delta arithmetic — all terms are exact longs, so the
-    // maintained row always equals a doclen re-aggregation
-    // (IncrementalBm25Spec pins it)
-    val st = Sources.readSnapshot(spark, s"$dir/stats").first()
-    val stats = Seq((st.getLong(0) - docsRemoved + docsAdded,
-      st.getLong(1) - dlRemoved + dlAdded))
-    import spark.implicits._
-    Sources.publishSnapshot(stats.toDF("n_docs", "tot").coalesce(1), s"$dir/stats")
-    Bm25Maintenance(removed, addedPostings, docsRemoved.max(docsAdded))
+  }
+
+  /** Fold an append-maintained index back to the compact, bit-exact
+    * rebuild state: tombstone kills applied across postings, forward
+    * and doclen, every bucket one dir, `_seq` reset to 0, tombstones
+    * cleared (stats is already exact — it is delta-maintained). The
+    * amortized price of the delta-proportional applies. */
+  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
+    if (!LsmTombstones.exists(spark, dir)) return
+    def fold(table: String, partCol: String): Unit = {
+      val raw = Sources.readMergePartitioned(spark, s"$dir/$table", partCol)
+      val live = LsmTombstones.filterLive(spark, dir, raw, "doc_id")
+        .withColumn("_seq", lit(0L))
+        .localCheckpoint(false) // pin: the replace publish prunes dirs under it
+      val parts = raw.select(partCol).distinct().collect().map(_.get(0)).toSeq
+      require(live.limit(1).count() > 0,
+        s"compactBm25Index: every $table row is tombstoned — rebuild instead")
+      Sources.publishMergeReplace(spark, s"$dir/$table", live, partCol, parts)
+    }
+    fold("postings", "_b")
+    fold("forward", "_db")
+    fold("doclen", "_db")
+    LsmTombstones.clear(spark, dir)
   }
 
   /** BM25 top-k over the persisted index: the query terms' buckets
@@ -192,8 +279,13 @@ object LexicalIndex {
     // bucket ids via the engine's own hash (a driver-side handful)
     val buckets = queryTerms.toDF("term")
       .select(termBucket(nBuckets)).distinct().collect().map(_.getInt(0)).toSeq
-    val tf = Sources.readMergePartitioned(spark, s"$dir/postings", "_b")
-      .filter(col("_b").isin(buckets: _*) && col("term").isin(queryTerms: _*))
+    // append-maintained indexes carry live tombstones between
+    // compactions — the kill join is delta-scale and broadcasts; a
+    // clean index skips it entirely
+    val tf = LsmTombstones.filterLive(spark, dir,
+        Sources.readMergePartitioned(spark, s"$dir/postings", "_b")
+          .filter(col("_b").isin(buckets: _*) && col("term").isin(queryTerms: _*)),
+        "doc_id")
       .select("doc_id", "dl", "term", "tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = Sources.readSnapshot(spark, s"$dir/stats")

@@ -478,10 +478,14 @@ object SimilaritySearch {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cbs = pqCodebooks(table, pqIds, m, idCol, vecCol)
+    // `_seq = 0` is the LSM write-generation stamp: append-mode
+    // maintenance stamps later generations and tombstones kill
+    // strictly-older ones; compaction folds everything back to 0
     pqEncode(table, cbs, idCol, vecCol)
       .select(col(idCol).as("_id"), col("codes"),
         graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
           .as("_list"))
+      .withColumn("_seq", lit(0L))
       .write.mode("overwrite").partitionBy("_list").parquet(s"$dir/codes")
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("_list", "centroid")
@@ -535,8 +539,12 @@ object SimilaritySearch {
     // fallback inside the merge reader). The probed-list filter still
     // prunes statically: each manifest branch carries `_list` as a
     // partition column, so non-probed branches fold to empty scans.
-    val codes = graft.sources.Sources
-      .readMergePartitioned(spark, s"$dir/codes", "_list")
+    // append-maintained indexes carry live tombstones between
+    // compactions — the kill join is delta-scale and broadcasts; a
+    // clean (or legacy) index skips it entirely
+    val codes = LsmTombstones.filterLive(spark, dir,
+        graft.sources.Sources.readMergePartitioned(spark, s"$dir/codes", "_list"),
+        "_id")
       .filter(col("_list").isin(probed: _*))
     val adc = adcDist(cbs, col("_qv"), col("codes"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("_id"))
@@ -597,12 +605,32 @@ object SimilaritySearch {
     * transparently: [[searchIvfPqIndex]] resolves the manifest.
     *
     * `changes` must carry `idCol`, `vecCol`, `changeCol`; `orphaned`
-    * rows need only the id. Returns the removed/added row counts. */
+    * rows need only the id. Returns the removed/added row counts.
+    *
+    * Two maintenance modes, picked by delta shape (both measured —
+    * SCALING.md round 14):
+    *  - `"rewrite"` (default): retract-by-delete-publish + upsert —
+    *    touched list partitions are REWRITTEN, the table is always
+    *    compact, and the result is bit-for-bit the rebuild state.
+    *    Right for low-fanout deltas (point deletes, a few lists).
+    *  - `"append"`: log-structured — the changed ids are tombstoned
+    *    at the next write generation and the re-encoded rows APPENDED
+    *    in a new batch dir ([[graft.sources.Sources.publishMergeAppend]]);
+    *    NOTHING is read or rewritten, so a full-fanout delta costs
+    *    the delta, not the table. Reads stay correct through the
+    *    broadcast tombstone kill; [[compactIvfPqIndex]] folds the log
+    *    back to the bit-exact rebuild state. In this mode `removed`
+    *    reports the ids tombstoned (the retraction intent), not a
+    *    located row count — locating them is exactly the read this
+    *    mode exists to skip. */
   def applyIvfPqIndexChanges(spark: org.apache.spark.sql.SparkSession,
       dir: String, changes: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", changeCol: String = "_change"): IvfPqMaintenance = {
+      vecCol: String = "embedding", changeCol: String = "_change",
+      mode: String = "rewrite"): IvfPqMaintenance = {
     val codesDir = s"$dir/codes"
     val cfg = graft.types.TableConfig("ivfpq_codes", Seq("_id"), Seq.empty)
+    require(mode == "rewrite" || mode == "append",
+      s"applyIvfPqIndexChanges: unknown mode '$mode' (rewrite|append)")
 
     val kinds = changes.select(changeCol).distinct().collect().map(_.getString(0)).toSet
     val unknown = kinds -- Set("new", "updated", "orphaned")
@@ -612,19 +640,10 @@ object SimilaritySearch {
 
     graft.sources.Sources.adoptMergePartitioned(spark, codesDir, "_list"): Unit
 
-    // locate old rows of every changed id (new ids simply miss) —
-    // the retraction set, with the partition values the delete needs
     val ids = changes.select(col(idCol).as("_id")).distinct()
-    val oldRows = graft.sources.Sources
-      .readMergePartitionedKeyedFrame(spark, codesDir, "_list", "_id", ids)
-      .select("_id", "_list")
-      .localCheckpoint(false) // pin: the delete publish swaps the manifest under it
-    val removed = graft.sources.Sources
-      .publishMergeDeletes(spark, codesDir, oldRows, cfg, "_list")
-
     val adds = changes.filter(col(changeCol).isin("new", "updated"))
-    val nAdds = adds.count()
-    if (nAdds > 0) {
+
+    def encoded(seq: Long): DataFrame = {
       val cents = spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
         .map(r => r.getAs[Int]("_list") -> r.getSeq[Double](1))
         .sortBy(_._1).map(_._2.toSeq).toSeq
@@ -632,13 +651,60 @@ object SimilaritySearch {
         .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"), r.getSeq[Double](2)))
       val cbs = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
-      val enc = pqEncode(adds, cbs, idCol, vecCol)
+      pqEncode(adds, cbs, idCol, vecCol)
         .select(col(idCol).as("_id"), col("codes"),
           graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
             .as("_list"))
-      graft.sources.Sources
-        .publishMergePartitioned(spark, codesDir, enc, cfg, "_list"): Unit
+        .withColumn("_seq", lit(seq))
     }
-    IvfPqMaintenance(removed, nAdds)
+
+    if (mode == "append") {
+      val n = LsmTombstones.nextSeq(spark, dir)
+      val nAdds = adds.count()
+      LsmTombstones.append(spark, dir, ids, "_id", n)
+      if (nAdds > 0)
+        graft.sources.Sources.publishMergeAppend(spark, codesDir, encoded(n), "_list")
+      val removed = ids.count()
+      IvfPqMaintenance(removed, nAdds)
+    } else {
+      require(LsmTombstones.isEmpty(spark, dir),
+        "applyIvfPqIndexChanges(mode=rewrite): index has live tombstones from " +
+          "append-mode maintenance — run compactIvfPqIndex first (a rewrite " +
+          "against raw appended content would resurrect dead rows)")
+      // locate old rows of every changed id (new ids simply miss) —
+      // the retraction set, with the partition values the delete needs
+      val oldRows = graft.sources.Sources
+        .readMergePartitionedKeyedFrame(spark, codesDir, "_list", "_id", ids)
+        .select("_id", "_list")
+        .localCheckpoint(false) // pin: the delete publish swaps the manifest under it
+      val removed = graft.sources.Sources
+        .publishMergeDeletes(spark, codesDir, oldRows, cfg, "_list")
+      val nAdds = adds.count()
+      if (nAdds > 0)
+        graft.sources.Sources
+          .publishMergePartitioned(spark, codesDir, encoded(0L), cfg, "_list"): Unit
+      IvfPqMaintenance(removed, nAdds)
+    }
+  }
+
+  /** Fold an append-maintained index back to the compact, bit-exact
+    * rebuild state: tombstone kills applied, every partition one dir,
+    * `_seq` reset to 0, tombstones cleared. The full-pass cost is the
+    * amortized price of the delta-proportional applies (Lucene's
+    * segment merge, an LSM major compaction); production runs it on a
+    * segment-count/size trigger, per partition group if desired. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    if (LsmTombstones.isEmpty(spark, dir) &&
+        !LsmTombstones.exists(spark, dir)) return
+    val codesDir = s"$dir/codes"
+    val raw = graft.sources.Sources.readMergePartitioned(spark, codesDir, "_list")
+    val live = LsmTombstones.filterLive(spark, dir, raw, "_id")
+      .withColumn("_seq", lit(0L))
+      .localCheckpoint(false) // pin: the replace publish prunes dirs under it
+    require(live.limit(1).count() > 0,
+      "compactIvfPqIndex: every row is tombstoned — rebuild the index instead")
+    val parts = raw.select("_list").distinct().collect().map(_.get(0)).toSeq // ≤ nLists
+    graft.sources.Sources.publishMergeReplace(spark, codesDir, live, "_list", parts)
+    LsmTombstones.clear(spark, dir)
   }
 }

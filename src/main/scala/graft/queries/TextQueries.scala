@@ -46,18 +46,47 @@ object TextQueries {
           all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
         }
       }: Unit
-      val m7 = col("doc_id") % 7
-      val base = docs.filter(m7 =!= 3)
-      graft.operators.LexicalIndex.writeBm25Index(base, p.toString, nBuckets = 32)
-      val nw = docs.filter(m7 === 3).withColumn("_change", lit("new"))
-      val dl = docs.filter(m7 =!= 3 && col("doc_id") % 11 === 4)
-        .withColumn("_change", lit("orphaned"))
-      val up = docs.filter(m7 =!= 3 && col("doc_id") % 11 =!= 4 &&
-          col("doc_id") % 13 === 6)
-        .withColumn("text", concat(col("text"), lit(" spark")))
-        .withColumn("_change", lit("updated"))
+      graft.operators.LexicalIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 7 =!= 3), p.toString, nBuckets = 32)
       graft.operators.LexicalIndex.applyBm25IndexChanges(docs.sparkSession,
-        p.toString, nw.unionByName(dl).unionByName(up)): Unit
+        p.toString, bm25Feed(docs)): Unit
+      p.toString
+    })
+
+  private def bm25Feed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m7 = col("doc_id") % 7
+    val nw = docs.filter(m7 === 3).withColumn("_change", lit("new"))
+    val dl = docs.filter(m7 =!= 3 && col("doc_id") % 11 === 4)
+      .withColumn("_change", lit("orphaned"))
+    val up = docs.filter(m7 =!= 3 && col("doc_id") % 11 =!= 4 &&
+        col("doc_id") % 13 === 6)
+      .withColumn("text", concat(col("text"), lit(" spark")))
+      .withColumn("_change", lit("updated"))
+    nw.unionByName(dl).unionByName(up)
+  }
+
+  private val bm25LsmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Same base index and feed as [[cachedBm25Index]], but maintained
+    * in APPEND mode and left UNCOMPACTED — the gate search reads
+    * through live tombstones and the multi-dir append log. */
+  private def cachedBm25LsmIndex(docs: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    bm25LsmCache.computeIfAbsent(s"$datasetDir@${docStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25lsm")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      graft.operators.LexicalIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 7 =!= 3), p.toString, nBuckets = 32)
+      graft.operators.LexicalIndex.applyBm25IndexChanges(docs.sparkSession,
+        p.toString, bm25Feed(docs), mode = "append"): Unit
       p.toString
     })
 
@@ -1024,6 +1053,52 @@ object TextQueries {
          |SELECT doc_id, score, n_terms FROM agg
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
       val dir = cachedBm25Index(Tables.documents(s, d), d)
+      graft.operators.LexicalIndex.searchBm25Index(s, dir,
+          Seq("merge", "spark", "vector"), k = 25)
+        .select("doc_id", "score", "n_terms")
+    },
+
+    // The LOG-STRUCTURED maintenance path under the same oracle: the
+    // identical base index and feed, applied in append mode
+    // (doc-level tombstones + appended batch dirs, nothing rewritten,
+    // stats by delta arithmetic) and left uncompacted — the search
+    // reads through the live tombstone kill. Logical state is
+    // identical to q_text_bm25_incremental, so the oracle is too; a
+    // resurrected posting, a kill eating a same-apply re-insert, or a
+    // stats drift under append accounting all break the hash.
+    QueryDef.sql(
+      "q_text_bm25_lsm",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
+         |         THEN text || ' spark' ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
+         |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
+         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM docs),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score,
+         |    CAST(COUNT(*) AS INT) AS n_terms
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, score, n_terms FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val dir = cachedBm25LsmIndex(Tables.documents(s, d), d)
       graft.operators.LexicalIndex.searchBm25Index(s, dir,
           Seq("merge", "spark", "vector"), k = 25)
         .select("doc_id", "score", "n_terms")

@@ -77,17 +77,50 @@ object VectorQueries {
       val base = emb.filter(!high || col("vec_id") % 7 =!= 5)
       SimilaritySearch.writeIvfPqIndex(base, p.toString,
         coarseIds = 0L until 8L, pqIds = 0L until 4L, m = 4)
-      val nw = emb.filter(high && col("vec_id") % 7 === 5)
-        .withColumn("_change", lit("new"))
-      val dl = emb.filter(high && col("vec_id") % 7 =!= 5 &&
-          col("vec_id") % 11 === 2)
-        .withColumn("_change", lit("orphaned"))
-      val up = emb.filter(high && col("vec_id") % 7 =!= 5 &&
-          col("vec_id") % 11 =!= 2 && col("vec_id") % 13 === 4)
-        .withColumn("embedding", reverse(col("embedding")))
-        .withColumn("_change", lit("updated"))
       SimilaritySearch.applyIvfPqIndexChanges(emb.sparkSession, p.toString,
-        nw.unionByName(dl).unionByName(up)): Unit
+        incFeed(emb)): Unit
+      p.toString
+    })
+
+  private def incFeed(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val high = col("vec_id") >= 8
+    val nw = emb.filter(high && col("vec_id") % 7 === 5)
+      .withColumn("_change", lit("new"))
+    val dl = emb.filter(high && col("vec_id") % 7 =!= 5 &&
+        col("vec_id") % 11 === 2)
+      .withColumn("_change", lit("orphaned"))
+    val up = emb.filter(high && col("vec_id") % 7 =!= 5 &&
+        col("vec_id") % 11 =!= 2 && col("vec_id") % 13 === 4)
+      .withColumn("embedding", reverse(col("embedding")))
+      .withColumn("_change", lit("updated"))
+    nw.unionByName(dl).unionByName(up)
+  }
+
+  private val lsmIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The same base index and feed as [[cachedIncIndex]], but
+    * maintained in APPEND mode and deliberately left UNCOMPACTED —
+    * the gate search must read through live tombstones and the
+    * multi-dir append log. */
+  private def cachedLsmIndex(emb: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    lsmIndexCache.computeIfAbsent(s"$datasetDir@${sourceStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_lsmidx")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val high = col("vec_id") >= 8
+      val base = emb.filter(!high || col("vec_id") % 7 =!= 5)
+      SimilaritySearch.writeIvfPqIndex(base, p.toString,
+        coarseIds = 0L until 8L, pqIds = 0L until 4L, m = 4)
+      SimilaritySearch.applyIvfPqIndexChanges(emb.sparkSession, p.toString,
+        incFeed(emb), mode = "append"): Unit
       p.toString
     })
 
@@ -727,6 +760,83 @@ object VectorQueries {
         |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val dir = cachedIncIndex(emb, d)
+      SimilaritySearch.searchIvfPqIndex(s, dir,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // The LOG-STRUCTURED maintenance path under the same oracle: the
+    // identical base index and change feed, but applied in append
+    // mode (tombstones + appended batch dirs, nothing rewritten) and
+    // deliberately left uncompacted — the gate search reads through
+    // the live tombstone kill and the multi-dir append log. Same
+    // oracle as q_vec_ivfpq_incremental because the LOGICAL state is
+    // identical; a resurrected dead row, a kill eating a same-apply
+    // re-insert, or a missed append branch all break the hash.
+    QueryDef.sql(
+      "q_vec_ivfpq_lsm",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
+        |              AND vec_id % 13 = 4
+        |         THEN list_transform(range(1, len(embedding) + 1),
+        |                i -> embedding[len(embedding) + 1 - i])
+        |         ELSE embedding END AS v
+        |  FROM embeddings
+        |  WHERE NOT (vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 = 2)),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+        |       FROM e WHERE vec_id < 4),
+        |sub AS (SELECT e.vec_id, s.j, cb.ci,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
+        |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
+        |best AS (SELECT vec_id, j, ci FROM (
+        |           SELECT vec_id, j, ci,
+        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+        |           FROM sub) WHERE rn = 1),
+        |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+        |       FROM e WHERE vec_id < 8),
+        |ad AS (
+        |  SELECT e.vec_id, co.li,
+        |    list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+        |  FROM e, co),
+        |assign AS (SELECT vec_id, li FROM (
+        |             SELECT vec_id, li,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |             FROM ad)
+        |           WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, li FROM (
+        |            SELECT vec_id, li,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+        |            FROM ad WHERE vec_id < 5)
+        |          WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |         FROM probe p JOIN assign a USING (li)
+        |         WHERE a.vec_id <> p.query_id),
+        |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
+        |           * (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))))
+        |      AS d
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.query_id
+        |  JOIN best b ON b.vec_id = c.neighbor_id
+        |  JOIN cb ON cb.ci = b.ci),
+        |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
+        |        FROM dj GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+        |           AS "rank"
+        |       FROM adc)
+        |SELECT query_id, "rank", neighbor_id, adc_dist
+        |FROM rk WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedLsmIndex(emb, d)
       SimilaritySearch.searchIvfPqIndex(s, dir,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy("query_id", "rank")

@@ -215,6 +215,98 @@ object Sources {
     true
   }
 
+  /** APPEND-ONLY publish for a [[publishMergePartitioned]] table: the
+    * incoming rows land in a NEW batch dir and its partition segments
+    * are ADDED to the manifest alongside the existing entries for the
+    * same partitions — no current-content read, no partition rewrite.
+    * This is the log-structured half of the merge-table story: a
+    * high-fanout delta (e.g. one document batch touching every term
+    * bucket of an inverted index) costs the DELTA's write, not the
+    * touched partitions' rewrite — [[publishMergePartitioned]] would
+    * rewrite them all, which at full fanout is a table rebuild per
+    * batch (measured: SCALING.md round 14). The price is paid on READ
+    * (a partition's rows now span several listed dirs — the reader
+    * already unions multi-dir entries) and settled by periodic
+    * compaction ([[publishMergeReplace]] folding a partition back to
+    * one dir). APPEND has no keyed semantics: callers owning upsert
+    * or delete meaning must pair it with their own tombstone
+    * discipline (see `operators/LexicalIndex` / the IVF-PQ
+    * maintenance) — raw appends of an existing key produce duplicate
+    * rows by design, exactly like LSM segments before a merge. */
+  def publishMergeAppend(
+      spark: SparkSession,
+      tableDir: String,
+      incoming: DataFrame,
+      partitionCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    adoptMergePartitioned(spark, tableDir, partitionCol): Unit
+    val entries = manifestEntries(fs, root, partitionCol)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$next%012d-$uid"
+    incoming.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
+      .collect { case st if st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
+      .toSeq
+    val newEntries = entries ++ written.map(s => s"$bdir/$s")
+    val mfile = f"manifest-$next%012d-$uid"
+    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
+      newEntries.sorted.mkString("\n"))
+    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
+    pruneMergePartitioned(fs, root)
+  }
+
+  /** Whole-partition REPLACEMENT publish: `content` becomes the entire
+    * content of the named `partitions` — every live entry of those
+    * partitions is dropped from the manifest and the new batch dir's
+    * segments take their place (a partition with no rows in `content`
+    * simply disappears). This is the compaction primitive for
+    * append-maintained tables: fold a partition's multi-dir row set
+    * (minus tombstoned rows, applied by the CALLER) back to one dir.
+    * Unlike [[publishMergePartitioned]] there is NO merge with current
+    * content — the caller asserts `content` is the truth for those
+    * partitions. Same manifest/pointer/retention discipline. */
+  def publishMergeReplace(
+      spark: SparkSession,
+      tableDir: String,
+      content: DataFrame,
+      partitionCol: String,
+      partitions: Seq[Any]): Unit = {
+    require(partitions.nonEmpty, "publishMergeReplace: empty partition list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    adoptMergePartitioned(spark, tableDir, partitionCol): Unit
+    val entries = manifestEntries(fs, root, partitionCol)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$next%012d-$uid"
+    content.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
+      .collect { case st if st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
+      .toSeq
+    val replacedStr = partitions.map(String.valueOf).toSet
+    val valueOfSeg = (s: String) => s.split("=", 2).lift(1).getOrElse("")
+    val newEntries =
+      entries.filterNot(e => replacedStr.contains(valueOfSeg(segmentOf(e)))) ++
+        written.map(s => s"$bdir/$s")
+    require(newEntries.nonEmpty,
+      "publishMergeReplace would empty the table — republish it instead")
+    val mfile = f"manifest-$next%012d-$uid"
+    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
+      newEntries.sorted.mkString("\n"))
+    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
+    pruneMergePartitioned(fs, root)
+  }
+
   /** Row-level DELETE publish for a [[publishMergePartitioned]] table —
     * the retraction half MERGE alone can't express (GDPR erasure,
     * eval-set eviction, takedowns): rewrite the touched partitions

@@ -110,6 +110,59 @@ class IncrementalBm25Spec extends SparkSpec {
     assert(viaIndex == viaScan)
   }
 
+  test("append-mode apply: live content, stats and search equal the rebuild") {
+    val dir = freshDir()
+    LexicalIndex.writeBm25Index(baseDocs, dir, nBuckets = 8)
+    LexicalIndex.applyBm25IndexChanges(spark, dir, changes, mode = "append"): Unit
+    val reb = freshDir()
+    LexicalIndex.writeBm25Index(finalDocs, reb, nBuckets = 8)
+    def live(table: String, pc: String) =
+      LsmTombstones.filterLive(spark, dir,
+          graft.sources.Sources.readMergePartitioned(spark, s"$dir/$table", pc),
+          "doc_id")
+    assert(live("postings", "_b").select("term", "doc_id", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq == postings(reb))
+    assert(live("doclen", "_db").select("doc_id", "dl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == doclen(reb))
+    assert(stats(dir) == stats(reb))
+    val q = Seq("spark", "merge", "vector")
+    assert(LexicalIndex.searchBm25Index(spark, dir, q, k = 10).collect().map(_.toSeq).toSeq
+      == TextAnalysis.bm25(finalDocs, "doc_id", "text", q, k = 10).collect().map(_.toSeq).toSeq)
+    // logically idempotent under re-application (stats included)
+    LexicalIndex.applyBm25IndexChanges(spark, dir, changes, mode = "append"): Unit
+    assert(stats(dir) == stats(reb))
+    assert(live("doclen", "_db").select("doc_id", "dl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == doclen(reb))
+  }
+
+  test("compaction folds the append log back to the bit-exact rebuild state") {
+    val dir = freshDir()
+    LexicalIndex.writeBm25Index(baseDocs, dir, nBuckets = 8)
+    LexicalIndex.applyBm25IndexChanges(spark, dir, changes, mode = "append"): Unit
+    LexicalIndex.compactBm25Index(spark, dir)
+    val reb = freshDir()
+    LexicalIndex.writeBm25Index(finalDocs, reb, nBuckets = 8)
+    assert(postings(dir) == postings(reb)) // raw reads: no tombstones left
+    assert(doclen(dir) == doclen(reb))
+    assert(stats(dir) == stats(reb))
+    assert(LsmTombstones.isEmpty(spark, dir))
+    // rewrite-mode maintenance works again on the compacted index
+    LexicalIndex.applyBm25IndexChanges(spark, dir,
+      Seq((8L, "", "orphaned")).toDF("doc_id", "text", "_change")): Unit
+    assert(!doclen(dir).exists(_._1 == 8L))
+  }
+
+  test("rewrite-mode apply refuses an index with live tombstones") {
+    val dir = freshDir()
+    LexicalIndex.writeBm25Index(baseDocs, dir, nBuckets = 8)
+    LexicalIndex.applyBm25IndexChanges(spark, dir, changes, mode = "append"): Unit
+    val e = intercept[IllegalArgumentException] {
+      LexicalIndex.applyBm25IndexChanges(spark, dir, changes)
+    }
+    assert(e.getMessage.contains("compactBm25Index"))
+  }
+
   test("unknown change kinds are refused loudly") {
     val dir = freshDir()
     LexicalIndex.writeBm25Index(baseDocs, dir, nBuckets = 8)

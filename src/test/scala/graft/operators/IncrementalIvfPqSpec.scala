@@ -133,6 +133,62 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(results(inc) == results(reb))
   }
 
+  private def liveCodesOf(dir: String): Seq[(Long, Seq[Int], Int)] =
+    LsmTombstones.filterLive(spark, dir,
+        graft.sources.Sources.readMergePartitioned(spark, s"$dir/codes", "_list"),
+        "_id")
+      .select(col("_id").cast("long"), col("codes"), col("_list").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+
+  test("append-mode apply: tombstone-aware content and search equal the rebuild") {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes, mode = "append"): Unit
+    val reb = freshDir()
+    SimilaritySearch.writeIvfPqIndex(finalCorpus, reb, coarse, pqSeeds, m = 4)
+    assert(liveCodesOf(dir) == codesOf(reb))
+    val queries = corpus(Seq(0L, 1L, 2L))
+    def results(d: String) =
+      SimilaritySearch.searchIvfPqIndex(spark, d, queries, k = 3, nProbe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(results(dir) == results(reb))
+    // re-applying the same feed stays logically idempotent
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes, mode = "append"): Unit
+    assert(liveCodesOf(dir) == codesOf(reb))
+  }
+
+  test("compaction folds the append log back to the bit-exact rebuild state") {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes, mode = "append"): Unit
+    SimilaritySearch.compactIvfPqIndex(spark, dir)
+    val reb = freshDir()
+    SimilaritySearch.writeIvfPqIndex(finalCorpus, reb, coarse, pqSeeds, m = 4)
+    assert(codesOf(dir) == codesOf(reb)) // raw read: no tombstone filter needed
+    // every generation stamp is folded back to 0 and tombstones are gone
+    val seqs = graft.sources.Sources
+      .readMergePartitioned(spark, s"$dir/codes", "_list")
+      .select("_seq").distinct().collect().map(_.getLong(0)).toSeq
+    assert(seqs == Seq(0L))
+    assert(LsmTombstones.isEmpty(spark, dir))
+    // and the index is clean for rewrite-mode maintenance again
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir,
+      corpus(Seq(23L)).withColumn("_change", lit("orphaned"))): Unit
+    assert(!codesOf(dir).exists(_._1 == 23L))
+  }
+
+  test("rewrite-mode apply refuses an index with live tombstones") {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes, mode = "append"): Unit
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.applyIvfPqIndexChanges(spark, dir, changes)
+    }
+    assert(e.getMessage.contains("compactIvfPqIndex"))
+  }
+
   test("unknown change kinds are refused loudly") {
     val dir = freshDir()
     SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
