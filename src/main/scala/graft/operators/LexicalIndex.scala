@@ -50,6 +50,16 @@ object LexicalIndex {
   final case class Bm25Maintenance(
       removedPostings: Long, addedPostings: Long, docsTouched: Long)
 
+  // -Dgraft.lsm.profile=true → one stderr line per apply phase
+  private def lsmProfile = sys.props.get("graft.lsm.profile").contains("true")
+  private def phase[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    if (lsmProfile)
+      System.err.println(f"[lsm-phase] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    a
+  }
+
   private val postingsCfg = TableConfig("bm25_postings", Seq("term", "doc_id"), Seq.empty)
   private val forwardCfg  = TableConfig("bm25_forward", Seq("doc_id", "term"), Seq.empty)
   private val doclenCfg   = TableConfig("bm25_doclen", Seq("doc_id"), Seq.empty)
@@ -84,13 +94,17 @@ object LexicalIndex {
     // `_seq = 0` is the LSM write-generation stamp (see LsmTombstones)
     val post = postingsOf(docs, idCol, textCol).withColumn("_seq", lit(0L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    post.withColumn("_b", termBucket(nBuckets))
+    // one file per bucket: without the repartition every write task
+    // emits a sliver into every bucket dir and the serial job-commit
+    // rename of T×nBuckets tiny files dominates the build wall
+    post.withColumn("_b", termBucket(nBuckets)).repartition(col("_b"))
       .write.mode(SaveMode.Overwrite).partitionBy("_b").parquet(s"$dir/postings")
     post.select("doc_id", "term", "_seq").withColumn("_db", docBucket(nBuckets))
+      .repartition(col("_db"))
       .write.mode(SaveMode.Overwrite).partitionBy("_db").parquet(s"$dir/forward")
     post.unpersist(): Unit
     doclenOf(docs, idCol, textCol).withColumn("_seq", lit(0L))
-      .withColumn("_db", docBucket(nBuckets))
+      .withColumn("_db", docBucket(nBuckets)).repartition(col("_db"))
       .write.mode(SaveMode.Overwrite).partitionBy("_db").parquet(s"$dir/doclen")
     Sources.publishSnapshot(
       docs.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -165,33 +179,36 @@ object LexicalIndex {
       // the ONE read this mode keeps: live doclen rows of the changed
       // ids (doc-bucket pruned point lookups) — the stats delta needs
       // the outgoing lengths and membership, nothing else does
-      val oldLen = LsmTombstones.filterLive(spark, dir,
-          Sources.readMergePartitionedKeyedFrame(
-            spark, s"$dir/doclen", "_db", "doc_id", ids),
-          "doc_id")
-        .select("doc_id", "dl").localCheckpoint(false)
-      val (docsRemoved, dlRemoved) = addAgg(oldLen)
-      LsmTombstones.append(spark, dir, ids, "doc_id", n)
-      val addLen = doclenOf(adds, idCol, textCol).localCheckpoint(false)
+      val oldLen = phase("oldLen-read") {
+        LsmTombstones.filterLive(spark, dir,
+            Sources.readMergePartitionedKeyedFrame(
+              spark, s"$dir/doclen", "_db", "doc_id", ids),
+            "doc_id")
+          .select("doc_id", "dl").localCheckpoint(false)
+      }
+      val (docsRemoved, dlRemoved) = phase("oldLen-agg")(addAgg(oldLen))
+      phase("tombstone-publish")(LsmTombstones.append(spark, dir, ids, "doc_id", n))
+      val addLen = phase("addLen")(
+        doclenOf(adds, idCol, textCol).localCheckpoint(false))
       val (docsAdded, dlAdded) = addAgg(addLen)
       var addedPostings = 0L
       if (docsAdded > 0) {
         val post = postingsOf(adds, idCol, textCol).withColumn("_seq", lit(n))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        addedPostings = post.count()
+        addedPostings = phase("postings-compute")(post.count())
         if (addedPostings > 0) {
-          Sources.publishMergeAppend(spark, s"$dir/postings",
-            post.withColumn("_b", termBucket(nBuckets)), "_b")
-          Sources.publishMergeAppend(spark, s"$dir/forward",
+          phase("postings-append")(Sources.publishMergeAppend(spark, s"$dir/postings",
+            post.withColumn("_b", termBucket(nBuckets)), "_b"))
+          phase("forward-append")(Sources.publishMergeAppend(spark, s"$dir/forward",
             post.select("doc_id", "term", "_seq").withColumn("_db", docBucket(nBuckets)),
-            "_db")
+            "_db"))
         }
         post.unpersist(): Unit
-        Sources.publishMergeAppend(spark, s"$dir/doclen",
+        phase("doclen-append")(Sources.publishMergeAppend(spark, s"$dir/doclen",
           addLen.withColumn("_seq", lit(n)).withColumn("_db", docBucket(nBuckets)),
-          "_db")
+          "_db"))
       }
-      publishStats(docsRemoved, dlRemoved, docsAdded, dlAdded)
+      phase("stats-publish")(publishStats(docsRemoved, dlRemoved, docsAdded, dlAdded))
       val removed = ids.count()
       Bm25Maintenance(removed, addedPostings, docsRemoved.max(docsAdded))
     } else {

@@ -481,11 +481,14 @@ object SimilaritySearch {
     // `_seq = 0` is the LSM write-generation stamp: append-mode
     // maintenance stamps later generations and tombstones kill
     // strictly-older ones; compaction folds everything back to 0
+    // repartition → one file per list (see the small-file note in
+    // Sources.publishMergeAppend)
     pqEncode(table, cbs, idCol, vecCol)
       .select(col(idCol).as("_id"), col("codes"),
         graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
           .as("_list"))
       .withColumn("_seq", lit(0L))
+      .repartition(col("_list"))
       .write.mode("overwrite").partitionBy("_list").parquet(s"$dir/codes")
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("_list", "centroid")

@@ -238,6 +238,7 @@ object Sources {
       tableDir: String,
       incoming: DataFrame,
       partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
@@ -247,7 +248,11 @@ object Sources {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
     val bdir = f"b-$next%012d-$uid"
-    incoming.write.mode(SaveMode.Overwrite)
+    // one segment file per partition per publish: without the
+    // repartition, T tasks × P touched partitions emit T·P tiny files
+    // and the serial job-commit rename dominates the apply wall
+    // (measured 48 of 57 s at sf10 — the delta write itself is ~1 s)
+    incoming.repartition(col(partitionCol)).write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
       .collect { case st if st.isDirectory &&
@@ -277,6 +282,7 @@ object Sources {
       content: DataFrame,
       partitionCol: String,
       partitions: Seq[Any]): Unit = {
+    import org.apache.spark.sql.functions.col
     require(partitions.nonEmpty, "publishMergeReplace: empty partition list")
     val conf = spark.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableDir)
@@ -287,7 +293,9 @@ object Sources {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
     val bdir = f"b-$next%012d-$uid"
-    content.write.mode(SaveMode.Overwrite)
+    // compaction output: one folded file per partition (see the
+    // small-file note in publishMergeAppend)
+    content.repartition(col(partitionCol)).write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(root, bdir))
       .collect { case st if st.isDirectory &&

@@ -39,8 +39,11 @@ object ProfileIncrementalIndex {
     // ---------------- BM25 ----------------
     val docs = graft.Tables.documents(spark, sfDir).localCheckpoint(false)
     val nDocs = docs.count()
-    // ~1% feed: 1/300 new, 1/300 deleted, 1/300 updated
-    val m = col("doc_id") % 300
+    // constant ~500-doc feed at ANY tier (selector scales with the
+    // corpus), so tier-to-tier apply growth isolates the CORPUS term —
+    // a proportional feed would confound it with delta growth
+    val modBase = math.max(300L, nDocs / 167L)
+    val m = col("doc_id") % modBase
     val base = docs.filter(m =!= 7)
     val feed = docs.filter(m === 7).withColumn("_change", lit("new"))
       .unionByName(docs.filter(m === 13).withColumn("_change", lit("orphaned")))
