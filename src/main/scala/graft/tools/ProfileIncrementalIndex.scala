@@ -15,8 +15,11 @@ import graft.operators.{LexicalIndex, SimilaritySearch}
   * is a measured ratio instead of an argument.
   *
   * Usage: `runMain graft.tools.ProfileIncrementalIndex <sfDir> [scope]`
-  * — scope `all` (default) or `bm25lsm` (base build + rebuild +
-  * append-apply only, for the big-tier flatness measurement). */
+  * — scope `all` (default), `bm25lsm` (base build + rebuild +
+  * append-apply only, for the big-tier flatness measurement), or
+  * `readamp` (K successive append feeds: search wall per live
+  * segment generation, then compaction restoring it — the LSM
+  * read-amplification curve that sets the compaction trigger). */
 object ProfileIncrementalIndex {
 
   private def time[A](f: => A): (A, Double) = {
@@ -51,6 +54,33 @@ object ProfileIncrementalIndex {
         .withColumn("text", concat(col("text"), lit(" spark")))
         .withColumn("_change", lit("updated")))
     val nFeed = feed.count()
+
+    if (scope == "readamp") {
+      // K disjoint ~500-doc feeds applied in sequence: each apply adds
+      // one segment generation per table and one tombstone wave; the
+      // search must union more branches and kill more rows each step
+      val dir = tmp("graft_prof_bm25_amp")
+      val amBase = docs.filter(m >= 10)
+      val (_, b0) = time(LexicalIndex.writeBm25Index(amBase, dir, nBuckets = 64))
+      println(f"[inc-readamp] step=0 applies=0 build_s=$b0%.1f")
+      (1 to 8).foreach { k =>
+        val fk = docs.filter(m === (k - 1))
+          .withColumn("_change", lit(if (k % 2 == 0) "updated" else "new"))
+        val (_, aW) = time(LexicalIndex.applyBm25IndexChanges(
+          spark, dir, fk, mode = "append"))
+        val (r, sW) = time(LexicalIndex.searchBm25Index(
+          spark, dir, Seq("merge", "spark", "vector"), k = 25).collect())
+        println(f"[inc-readamp] step=$k%d applies=$k%d apply_s=$aW%.1f " +
+          f"search_s=$sW%.2f top=${r.length}%d")
+      }
+      val (_, cW) = time(LexicalIndex.compactBm25Index(spark, dir))
+      val (r2, s2) = time(LexicalIndex.searchBm25Index(
+        spark, dir, Seq("merge", "spark", "vector"), k = 25).collect())
+      println(f"[inc-readamp] compacted compact_s=$cW%.1f search_s=$s2%.2f " +
+        f"top=${r2.length}%d")
+      spark.stop(); return
+    }
+
     val rebDir = tmp("graft_prof_bm25_reb")
     val finalDocs = docs.filter(m =!= 13)
       .withColumn("text", when(m === 29, concat(col("text"), lit(" spark")))
