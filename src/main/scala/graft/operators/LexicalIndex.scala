@@ -280,6 +280,13 @@ object LexicalIndex {
     fold("forward", "_db")
     fold("doclen", "_db")
     LsmTombstones.clear(spark, dir)
+    // bloom sidecars on the freshly-folded batch dirs: the next
+    // apply's keyed reads (doclen membership, forward retraction)
+    // then dir-skip instead of scanning every bucket — the
+    // off-critical-path index-on-the-index, riding compaction's
+    // already-paid full pass
+    Sources.indexBatchKeys(spark, s"$dir/doclen", "doc_id"): Unit
+    Sources.indexBatchKeys(spark, s"$dir/forward", "doc_id"): Unit
   }
 
   /** BM25 top-k over the persisted index: the query terms' buckets

@@ -709,5 +709,8 @@ object SimilaritySearch {
     val parts = raw.select("_list").distinct().collect().map(_.get(0)).toSeq // ≤ nLists
     graft.sources.Sources.publishMergeReplace(spark, codesDir, live, "_list", parts)
     LsmTombstones.clear(spark, dir)
+    // bloom sidecars on the folded dirs: rewrite-mode discovery's
+    // keyed read then dir-skips (see Sources.indexBatchKeys)
+    graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id"): Unit
   }
 }
