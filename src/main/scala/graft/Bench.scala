@@ -53,7 +53,11 @@ object Bench {
     * `private[spark]`, which compiles to a public JVM method, so plain
     * reflection reaches it; `waitUntilEmpty(timeout)` returns as soon
     * as the bus is idle (usually <1 ms). Falls back to a short sleep
-    * if the internal shape ever changes or the drain times out. */
+    * if the internal shape ever changes or the drain times out —
+    * logging ONCE so a reflection regression is visible instead of
+    * silently degrading every rep to a sleep (ADVICE r14). Fatal
+    * errors propagate; an interrupt is re-flagged, not swallowed. */
+  @volatile private var drainFallbackLogged = false
   private[graft] def drainListeners(spark: SparkSession): Unit =
     try {
       val sc = spark.sparkContext
@@ -63,7 +67,16 @@ object Bench {
         case Some(m) => m.invoke(bus, java.lang.Long.valueOf(3000L))
         case None => ms.find(_.getParameterCount == 0).foreach(_.invoke(bus))
       }
-    } catch { case _: Throwable => Thread.sleep(250) }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(e) =>
+        if (!drainFallbackLogged) {
+          drainFallbackLogged = true
+          System.err.println(
+            s"[bench] listener-bus drain fell back to sleep(250): $e")
+        }
+        Thread.sleep(250)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,11 +96,17 @@ object VectorKernels {
   }
 
   /** Static min squared-L2 distance over centroids — [[nearestCentroid]]'s
-    * loop returning the VALUE instead of the index. Bit-identical to the
-    * HOF form `array_min(transform(cents, c -> aggregate(zip_with(v, c,
-    * (x, cc) -> (x-cc)²), 0.0, acc+x)))`: per-element accumulation in
-    * index order, min over centroids — but one codegen'd call against a
-    * task-shipped array instead of nClusters×dim literal plan nodes,
+    * loop returning the VALUE instead of the index. On WELL-FORMED input
+    * (vector dim == centroid dim, finite components) it is bit-identical
+    * to the HOF form `array_min(transform(cents, c -> aggregate(zip_with(v,
+    * c, (x, cc) -> (x-cc)²), 0.0, acc+x)))`: per-element accumulation in
+    * index order, min over centroids. On contract-violating input the two
+    * diverge by design: a dim mismatch is truncated to the shorter length
+    * (the HOF yields null), and all-NaN distances return Double.MaxValue
+    * (array_min returns NaN) — callers own dim agreement, which every
+    * in-repo call site gets from a single training pass. The win is one
+    * codegen'd call against a task-shipped array instead of
+    * nClusters×dim literal plan nodes,
     * which is what lets assignment scale to production cluster counts
     * (SemDeDup's paper posture is 50k clusters). */
   def minCentroidDist(v: ArrayData, cents: Array[Array[Double]]): Double = {

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Sources
+
+/** Operational hygiene for the append-maintained (LSM) indexes —
+  * VERDICT r14 #2: between compactions every append-apply adds one
+  * write generation per touched partition and one tombstone segment,
+  * and reads pay one more dir open per generation. The read-amp curve
+  * is measured shallow (SCALING.md round 14), but at 100 TB "run
+  * compaction sometimes" must be CODE, not a runbook: this module
+  * exposes the health numbers an operator would page on and a
+  * threshold trigger the appliers/schedulers call.
+  *
+  * The reference has nothing to mirror here (it keeps no indexes at
+  * all — every report re-derives from the corpus); the posture is the
+  * standard LSM one (RocksDB's compaction trigger on L0 file count,
+  * Lucene's TieredMergePolicy segment budget): a LISTING-ONLY probe
+  * cheap enough for every apply, and a fuller report (with the one
+  * delta-scale tombstone count job) for the maintenance decision. */
+object IndexMaintenance {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One data table of an index. `maxGenerations` = the most batch
+    * dirs any single partition stitches together (its scan opens that
+    * many parquet dirs); `batchDirs` = distinct live batch dirs
+    * table-wide. */
+  final case class TableHealth(
+      table: String, partitions: Int, maxGenerations: Int, batchDirs: Int)
+
+  /** Full health of one maintained index. `tombstoneRows` is the live
+    * kill-set size (delta-scale count job); everything else is
+    * listing-only. */
+  final case class IndexHealth(
+      indexDir: String,
+      tables: Seq[TableHealth],
+      tombstoneSegments: Int,
+      tombstoneRows: Long,
+      tombstoneBytes: Long) {
+    def maxGenerations: Int = (tables.map(_.maxGenerations) :+ 0).max
+
+    /** Human-readable threshold breaches, empty when healthy. */
+    def breaches(policy: MaintenancePolicy): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (maxGenerations > policy.maxGenerations)
+        b += s"maxGenerations $maxGenerations > ${policy.maxGenerations}"
+      if (tombstoneSegments > policy.maxTombstoneSegments)
+        b += s"tombstoneSegments $tombstoneSegments > ${policy.maxTombstoneSegments}"
+      if (tombstoneRows > policy.maxTombstoneRows)
+        b += s"tombstoneRows $tombstoneRows > ${policy.maxTombstoneRows}"
+      b.result()
+    }
+  }
+
+  /** Compaction thresholds. Defaults follow the measured round-14
+    * read-amp curve: searches stayed flat through 8 live generations,
+    * so 8 is the compact point — past it every partition scan opens
+    * >8 dirs and the forward/doclen keyed reads touch every one.
+    * `maxTombstoneRows` bounds the broadcast kill join every read
+    * pays (a 1M-key broadcast is ~tens of MB — well inside executor
+    * budget, loud before it isn't). */
+  final case class MaintenancePolicy(
+      maxGenerations: Int = 8,
+      maxTombstoneSegments: Int = 8,
+      maxTombstoneRows: Long = 1000000L)
+
+  /** Full health report. `tables` = (name, partitionCol) of each data
+    * table under `indexDir`. One tiny Spark job (the tombstone count);
+    * the rest is manifest/dir listings. */
+  def health(spark: SparkSession, indexDir: String,
+      tables: Seq[(String, String)]): IndexHealth = {
+    val th = tables.map { case (t, pc) =>
+      val gens = Sources.mergeGenerations(spark, s"$indexDir/$t", pc)
+      TableHealth(t, gens.size, (gens.values.toSeq :+ 0).max,
+        Sources.mergeBatchDirCount(spark, s"$indexDir/$t", pc))
+    }
+    val (segs, bytes) = LsmTombstones.segmentStats(spark, indexDir)
+    val rows = LsmTombstones.read(spark, indexDir).map(_.count()).getOrElse(0L)
+    IndexHealth(indexDir, th, segs, rows, bytes)
+  }
+
+  /** The threshold trigger: report health, compact via `compact` when
+    * any threshold is breached. Returns the pre-maintenance health and
+    * whether compaction ran — callers log/ship both. Below threshold
+    * it is a pure read (no publish, no state change). */
+  def maintainIfNeeded(spark: SparkSession, indexDir: String,
+      tables: Seq[(String, String)], policy: MaintenancePolicy)(
+      compact: => Unit): (IndexHealth, Boolean) = {
+    val h = health(spark, indexDir, tables)
+    val why = h.breaches(policy)
+    if (why.isEmpty) (h, false)
+    else {
+      log.info(s"index maintenance: compacting $indexDir (${why.mkString("; ")})")
+      compact
+      (h, true)
+    }
+  }
+
+  /** Listing-only degradation check appliers run on EVERY apply: WARN
+    * (once per breach, not per job) when the index is past 2× any
+    * listing-derivable threshold — the operator signal that the
+    * maintenance trigger is not being run. No Spark job. */
+  def warnIfDegraded(spark: SparkSession, indexDir: String,
+      tables: Seq[(String, String)], policy: MaintenancePolicy): Unit = {
+    val maxGens = tables.map { case (t, pc) =>
+      (Sources.mergeGenerations(spark, s"$indexDir/$t", pc).values.toSeq :+ 0).max
+    }.max
+    val (segs, _) = LsmTombstones.segmentStats(spark, indexDir)
+    val msgs = Seq.newBuilder[String]
+    if (maxGens > 2 * policy.maxGenerations)
+      msgs += s"$maxGens live generations (policy ${policy.maxGenerations})"
+    if (segs > 2 * policy.maxTombstoneSegments)
+      msgs += s"$segs tombstone segments (policy ${policy.maxTombstoneSegments})"
+    msgs.result().foreach(m => log.warn(
+      s"index $indexDir is past 2x its maintenance threshold: $m — " +
+        "run the compaction trigger (maintainIfNeeded)"))
+  }
+}

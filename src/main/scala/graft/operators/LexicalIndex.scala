@@ -60,6 +60,27 @@ object LexicalIndex {
     a
   }
 
+  /** (table, partitionCol) of the index's data tables — the shape the
+    * health/maintenance machinery works over. */
+  private val Bm25Tables =
+    Seq("postings" -> "_b", "forward" -> "_db", "doclen" -> "_db")
+
+  /** Health report for a maintained BM25 index — see
+    * [[IndexMaintenance.health]]. */
+  def bm25IndexHealth(spark: SparkSession,
+      dir: String): IndexMaintenance.IndexHealth =
+    IndexMaintenance.health(spark, dir, Bm25Tables)
+
+  /** The automated compaction trigger (VERDICT r14 #2): compact when
+    * the index is past `policy`'s generation/tombstone thresholds,
+    * no-op otherwise. Returns (pre-maintenance health, compacted?). */
+  def maintainBm25IfNeeded(spark: SparkSession, dir: String,
+      policy: IndexMaintenance.MaintenancePolicy =
+        IndexMaintenance.MaintenancePolicy()):
+      (IndexMaintenance.IndexHealth, Boolean) =
+    IndexMaintenance.maintainIfNeeded(spark, dir, Bm25Tables, policy)(
+      compactBm25Index(spark, dir))
+
   private val postingsCfg = TableConfig("bm25_postings", Seq("term", "doc_id"), Seq.empty)
   private val forwardCfg  = TableConfig("bm25_forward", Seq("doc_id", "term"), Seq.empty)
   private val doclenCfg   = TableConfig("bm25_doclen", Seq("doc_id"), Seq.empty)
@@ -207,8 +228,24 @@ object LexicalIndex {
         phase("doclen-append")(Sources.publishMergeAppend(spark, s"$dir/doclen",
           addLen.withColumn("_seq", lit(n)).withColumn("_db", docBucket(nBuckets)),
           "_db"))
+        // bloom sidecars on the JUST-APPENDED batch dirs (idempotent,
+        // only unindexed dirs are touched): the next apply's
+        // doc-bucket keyed reads (doclen membership here, forward
+        // retraction in rewrite mode) then DIR-SKIP the generations
+        // that can't hold the looked-up ids instead of scanning every
+        // live generation — the residual flat cost of an append-apply
+        // (VERDICT r14 #3). Off the read path entirely; compaction
+        // builds the same sidecars for folded dirs.
+        phase("bloom-sidecars") {
+          Sources.indexBatchKeys(spark, s"$dir/doclen", "doc_id"): Unit
+          Sources.indexBatchKeys(spark, s"$dir/forward", "doc_id"): Unit
+        }
       }
       phase("stats-publish")(publishStats(docsRemoved, dlRemoved, docsAdded, dlAdded))
+      // listing-only degradation check: loud when nobody is running
+      // the compaction trigger (see IndexMaintenance)
+      IndexMaintenance.warnIfDegraded(spark, dir, Bm25Tables,
+        IndexMaintenance.MaintenancePolicy())
       val removed = ids.count()
       Bm25Maintenance(removed, addedPostings, docsRemoved.max(docsAdded))
     } else {
@@ -261,15 +298,33 @@ object LexicalIndex {
 
   /** Fold an append-maintained index back to the compact, bit-exact
     * rebuild state: tombstone kills applied across postings, forward
-    * and doclen, every bucket one dir, `_seq` reset to 0, tombstones
-    * cleared (stats is already exact — it is delta-maintained). The
-    * amortized price of the delta-proportional applies. */
+    * and doclen, every bucket one dir, tombstones cleared (stats is
+    * already exact — it is delta-maintained). The amortized price of
+    * the delta-proportional applies.
+    *
+    * Compaction-visibility contract (ADVICE r14): folded rows are
+    * stamped `_seq = ` the max CONSUMED tombstone seq, not 0, so a
+    * concurrent reader between a fold publish and the tombstone clear
+    * keeps every compacted row live (`_seq >= _ts_max`) — stamping 0
+    * would have the still-live tombstones kill every compacted row of
+    * a key that was ever updated. The clear then records that seq as
+    * the floor, so future generations stay strictly above it. `_seq`
+    * is maintenance bookkeeping — only its ORDER against tombstone
+    * seqs matters, never its absolute value. Residual window, the
+    * mirror direction: a reader that resolved the PRE-fold manifest
+    * and lists tombstones only after the clear can transiently
+    * resurrect dead rows of that superseded state — the same
+    * one-publish freshness family as the apply window; readers
+    * resolve tombstones together with the manifest (as
+    * [[searchBm25Index]] does), and compaction requires exclusive
+    * maintenance (no concurrent appliers — see [[LsmTombstones]]). */
   def compactBm25Index(spark: SparkSession, dir: String): Unit = {
     if (!LsmTombstones.exists(spark, dir)) return
+    val foldSeq = LsmTombstones.maxLiveSeq(spark, dir)
     def fold(table: String, partCol: String): Unit = {
       val raw = Sources.readMergePartitioned(spark, s"$dir/$table", partCol)
       val live = LsmTombstones.filterLive(spark, dir, raw, "doc_id")
-        .withColumn("_seq", lit(0L))
+        .withColumn("_seq", lit(foldSeq))
         .localCheckpoint(false) // pin: the replace publish prunes dirs under it
       val parts = raw.select(partCol).distinct().collect().map(_.get(0)).toSeq
       require(live.limit(1).count() > 0,
@@ -279,7 +334,7 @@ object LexicalIndex {
     fold("postings", "_b")
     fold("forward", "_db")
     fold("doclen", "_db")
-    LsmTombstones.clear(spark, dir)
+    LsmTombstones.clear(spark, dir, foldSeq)
     // bloom sidecars on the freshly-folded batch dirs: the next
     // apply's keyed reads (doclen membership, forward retraction)
     // then dir-skip instead of scanning every bucket — the

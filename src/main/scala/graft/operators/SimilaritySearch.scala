@@ -563,6 +563,25 @@ object SimilaritySearch {
   /** Outcome of one [[applyIvfPqIndexChanges]] application. */
   final case class IvfPqMaintenance(removed: Long, added: Long)
 
+  private val IvfPqTables = Seq("codes" -> "_list")
+
+  /** Health report for a maintained IVF-PQ index — see
+    * [[IndexMaintenance.health]]. */
+  def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexMaintenance.IndexHealth =
+    IndexMaintenance.health(spark, dir, IvfPqTables)
+
+  /** The automated compaction trigger (VERDICT r14 #2): compact when
+    * the index is past `policy`'s generation/tombstone thresholds,
+    * no-op otherwise. Returns (pre-maintenance health, compacted?). */
+  def maintainIvfPqIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      policy: IndexMaintenance.MaintenancePolicy =
+        IndexMaintenance.MaintenancePolicy()):
+      (IndexMaintenance.IndexHealth, Boolean) =
+    IndexMaintenance.maintainIfNeeded(spark, dir, IvfPqTables, policy)(
+      compactIvfPqIndex(spark, dir))
+
   /** Incremental maintenance of a persisted IVF-PQ index — apply a
     * row-level change feed (the [[graft.sources.Sources.mergeRowChangesSince]]
     * shape: `_change ∈ {new, updated, orphaned}`) WITHOUT rebuilding:
@@ -665,8 +684,17 @@ object SimilaritySearch {
       val n = LsmTombstones.nextSeq(spark, dir)
       val nAdds = adds.count()
       LsmTombstones.append(spark, dir, ids, "_id", n)
-      if (nAdds > 0)
+      if (nAdds > 0) {
         graft.sources.Sources.publishMergeAppend(spark, codesDir, encoded(n), "_list")
+        // bloom sidecar on the just-appended batch dir (idempotent):
+        // the first rewrite-mode apply after the next compaction — and
+        // any keyed audit read meanwhile — dir-skips it (VERDICT r14 #3)
+        graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id"): Unit
+      }
+      // listing-only degradation check: loud when nobody is running
+      // the compaction trigger (see IndexMaintenance)
+      IndexMaintenance.warnIfDegraded(spark, dir, IvfPqTables,
+        IndexMaintenance.MaintenancePolicy())
       val removed = ids.count()
       IvfPqMaintenance(removed, nAdds)
     } else {
@@ -692,23 +720,27 @@ object SimilaritySearch {
 
   /** Fold an append-maintained index back to the compact, bit-exact
     * rebuild state: tombstone kills applied, every partition one dir,
-    * `_seq` reset to 0, tombstones cleared. The full-pass cost is the
-    * amortized price of the delta-proportional applies (Lucene's
-    * segment merge, an LSM major compaction); production runs it on a
-    * segment-count/size trigger, per partition group if desired. */
+    * tombstones cleared. The full-pass cost is the amortized price of
+    * the delta-proportional applies (Lucene's segment merge, an LSM
+    * major compaction); production runs it on a segment-count/size
+    * trigger, per partition group if desired. Folded rows are stamped
+    * `_seq = ` the max consumed tombstone seq (never 0) so a reader
+    * between the fold publish and the tombstone clear keeps every
+    * compacted row live — see [[LexicalIndex.compactBm25Index]] for
+    * the full compaction-visibility contract; it is identical here. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    if (LsmTombstones.isEmpty(spark, dir) &&
-        !LsmTombstones.exists(spark, dir)) return
+    if (!LsmTombstones.exists(spark, dir)) return
+    val foldSeq = LsmTombstones.maxLiveSeq(spark, dir)
     val codesDir = s"$dir/codes"
     val raw = graft.sources.Sources.readMergePartitioned(spark, codesDir, "_list")
     val live = LsmTombstones.filterLive(spark, dir, raw, "_id")
-      .withColumn("_seq", lit(0L))
+      .withColumn("_seq", lit(foldSeq))
       .localCheckpoint(false) // pin: the replace publish prunes dirs under it
     require(live.limit(1).count() > 0,
       "compactIvfPqIndex: every row is tombstoned — rebuild the index instead")
     val parts = raw.select("_list").distinct().collect().map(_.get(0)).toSeq // ≤ nLists
     graft.sources.Sources.publishMergeReplace(spark, codesDir, live, "_list", parts)
-    LsmTombstones.clear(spark, dir)
+    LsmTombstones.clear(spark, dir, foldSeq)
     // bloom sidecars on the folded dirs: rewrite-mode discovery's
     // keyed read then dir-skips (see Sources.indexBatchKeys)
     graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id"): Unit

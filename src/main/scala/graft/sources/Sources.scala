@@ -284,6 +284,30 @@ object Sources {
       partitions: Seq[Any]): Unit = {
     import org.apache.spark.sql.functions.col
     require(partitions.nonEmpty, "publishMergeReplace: empty partition list")
+    // Same guard as publishMergeDeletes: replaced partitions are matched
+    // against manifest dir segments by VALUE STRING, and Spark
+    // percent-encodes exotic partition values (and renders null/empty as
+    // the default-partition sentinel) on write — a value that does not
+    // round-trip escapePathName would silently match no live entry and
+    // RETAIN the stale rows beside the replacement batch (duplicates
+    // after compaction). Refuse loudly instead.
+    locally {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      partitions.foreach { v =>
+        require(v != null,
+          "publishMergeReplace: null partition value — republish the whole " +
+            "table instead")
+        val s = String.valueOf(v)
+        require(s.nonEmpty,
+          "publishMergeReplace: empty-string partition value — Spark writes " +
+            "it as the default-partition sentinel; republish the whole table " +
+            "instead")
+        require(ExternalCatalogUtils.escapePathName(s) == s,
+          s"publishMergeReplace: partition value '$s' does not round-trip " +
+            "Spark's partition-path encoding — replace by a path-safe " +
+            "partition value")
+      }
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
@@ -556,6 +580,48 @@ object Sources {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     assembleManifest(spark, tableDir, manifestEntries(fs, root, partitionCol))
       .getOrElse(spark.read.parquet(tableDir))
+  }
+
+  /** Per-partition live GENERATION counts of a merge table: partition
+    * dir segment (`col=value`) → number of distinct batch dirs the
+    * live manifest stitches together for it. This is the LSM
+    * read-amplification metric — every generation is one more parquet
+    * dir a scan of that partition opens — and the signal the
+    * index-maintenance trigger compacts on
+    * ([[graft.operators.IndexMaintenance]]). Listing-only: resolves
+    * the manifest pointer, no Spark job. */
+  def mergeGenerations(spark: SparkSession, tableDir: String,
+      partitionCol: String): Map[String, Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_current"))) {
+      // pre-adoption plain layout: one top-level dir per partition =
+      // one generation each
+      if (!fs.exists(root)) Map.empty
+      else fs.listStatus(root).toSeq.collect {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partitionCol=") =>
+          st.getPath.getName -> 1
+      }.toMap
+    }
+    else manifestEntries(fs, root, partitionCol)
+      .groupBy(segmentOf)
+      .view.mapValues(_.map(topSegmentOf).distinct.size).toMap
+  }
+
+  /** Distinct live top-level batch dirs of a merge table — the
+    * table-wide commit/bookkeeping cost companion to
+    * [[mergeGenerations]]. Listing-only. */
+  def mergeBatchDirCount(spark: SparkSession, tableDir: String,
+      partitionCol: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_current")))
+      // pre-adoption plain layout: the table root is the one batch
+      if (mergeGenerations(spark, tableDir, partitionCol).isEmpty) 0 else 1
+    else manifestEntries(fs, root, partitionCol).map(topSegmentOf).distinct.size
   }
 
   /** Retained manifest versions of a [[publishMergePartitioned]]
@@ -1511,7 +1577,7 @@ object Sources {
 
   /** Temp-write + atomic rename-over of a small control file (the
     * [[swapPointer]] mechanics, generalized to any name). */
-  private def atomicReplace(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def atomicReplace(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
       root: org.apache.hadoop.fs.Path, name: String, content: String,
       stamp: String): Unit = {

@@ -167,11 +167,16 @@ class IncrementalIvfPqSpec extends SparkSpec {
     val reb = freshDir()
     SimilaritySearch.writeIvfPqIndex(finalCorpus, reb, coarse, pqSeeds, m = 4)
     assert(codesOf(dir) == codesOf(reb)) // raw read: no tombstone filter needed
-    // every generation stamp is folded back to 0 and tombstones are gone
+    // every generation stamp is folded to ONE value = the max consumed
+    // tombstone seq (so a reader between the fold publish and the
+    // tombstone clear keeps every compacted row live: _seq >= _ts_max),
+    // and the floor guarantees future generations stay strictly above
     val seqs = graft.sources.Sources
       .readMergePartitioned(spark, s"$dir/codes", "_list")
       .select("_seq").distinct().collect().map(_.getLong(0)).toSeq
-    assert(seqs == Seq(0L))
+    assert(seqs.size == 1)
+    assert(seqs.head == LsmTombstones.floor(spark, dir))
+    assert(LsmTombstones.nextSeq(spark, dir) > seqs.head)
     assert(LsmTombstones.isEmpty(spark, dir))
     // and the index is clean for rewrite-mode maintenance again
     SimilaritySearch.applyIvfPqIndexChanges(spark, dir,

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The automated compaction trigger (VERDICT r14 #2): health reports
+  * the LSM read-amp signals (generations per partition, tombstone
+  * segments/rows/bytes), `maintainIfNeeded` compacts past thresholds
+  * and is a pure read below them, and the compacted index answers the
+  * same search as the corpus scan. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_idx_maint").toString
+
+  private def doc(i: Long) = (i, s"term$i spark merge vector doc$i")
+
+  test("BM25: health tracks generations and tombstones; trigger fires past threshold") {
+    val dir = freshDir()
+    LexicalIndex.writeBm25Index((1L to 40L).map(doc).toDF("doc_id", "text"),
+      dir, nBuckets = 4)
+    val h0 = LexicalIndex.bm25IndexHealth(spark, dir)
+    assert(h0.maxGenerations == 1 && h0.tombstoneSegments == 0 &&
+      h0.tombstoneRows == 0L)
+
+    // three append applies: each adds a write generation + a segment
+    for (r <- 1 to 3) {
+      val feed = Seq((40L + r, s"fresh doc number $r about spark", "new"),
+        (r.toLong, "", "orphaned")).toDF("doc_id", "text", "_change")
+      LexicalIndex.applyBm25IndexChanges(spark, dir, feed, mode = "append"): Unit
+    }
+    val h1 = LexicalIndex.bm25IndexHealth(spark, dir)
+    assert(h1.maxGenerations == 4) // base + 3 applies
+    assert(h1.tombstoneSegments == 3)
+    assert(h1.tombstoneRows == 6L) // 2 ids per apply
+    assert(h1.tombstoneBytes > 0L)
+
+    // below threshold (default policy allows 8): PURE no-op
+    val preVersions = graft.sources.Sources
+      .mergeVersions(spark, s"$dir/postings")
+    val (hc, ranDefault) = LexicalIndex.maintainBm25IfNeeded(spark, dir)
+    assert(!ranDefault)
+    assert(hc.maxGenerations == 4)
+    assert(graft.sources.Sources.mergeVersions(spark, s"$dir/postings")
+      == preVersions)
+    assert(LsmTombstones.exists(spark, dir))
+
+    // tight policy: the trigger fires and the index folds to one
+    // generation with the kill set cleared
+    val tight = IndexMaintenance.MaintenancePolicy(maxGenerations = 2)
+    val (h2, ran) = LexicalIndex.maintainBm25IfNeeded(spark, dir, tight)
+    assert(ran)
+    assert(h2.breaches(tight).nonEmpty) // reported pre-maintenance state
+    val h3 = LexicalIndex.bm25IndexHealth(spark, dir)
+    assert(h3.maxGenerations == 1 && h3.tombstoneSegments == 0 &&
+      h3.tombstoneRows == 0L)
+
+    // compacted index answers the corpus-scan search exactly
+    val finalDocs = ((4L to 40L) ++ (41L to 43L)).map { i =>
+      if (i <= 40L) doc(i) else (i, s"fresh doc number ${i - 40L} about spark")
+    }.toDF("doc_id", "text")
+    val q = Seq("spark", "term7")
+    assert(LexicalIndex.searchBm25Index(spark, dir, q, k = 5)
+      .collect().map(_.toSeq).toSeq ==
+      TextAnalysis.bm25(finalDocs, "doc_id", "text", q, k = 5)
+        .collect().map(_.toSeq).toSeq)
+
+    // and re-running the trigger on the healthy index is a no-op
+    val (_, again) = LexicalIndex.maintainBm25IfNeeded(spark, dir, tight)
+    assert(!again)
+  }
+
+  test("IVF-PQ: trigger compacts past tombstone-segment threshold") {
+    def vec(id: Long): Seq[Float] = {
+      val lobe = if (id % 2 == 0) 0f else 100f
+      Seq.tabulate(8)(i => lobe + ((id * 7 + i * 3) % 13).toFloat)
+    }
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(
+      (0L until 16L).map(id => (id, vec(id))).toDF("vec_id", "embedding"),
+      dir, 0L until 4L, 0L until 4L, m = 4)
+    for (r <- 16 to 18) {
+      val feed = Seq((r.toLong, vec(r.toLong)))
+        .toDF("vec_id", "embedding").withColumn("_change", lit("new"))
+      SimilaritySearch.applyIvfPqIndexChanges(spark, dir, feed,
+        mode = "append"): Unit
+    }
+    val h = SimilaritySearch.ivfPqIndexHealth(spark, dir)
+    assert(h.tombstoneSegments == 3)
+    val tight = IndexMaintenance.MaintenancePolicy(maxTombstoneSegments = 2)
+    val (_, ran) = SimilaritySearch.maintainIvfPqIfNeeded(spark, dir, tight)
+    assert(ran)
+    val h2 = SimilaritySearch.ivfPqIndexHealth(spark, dir)
+    assert(h2.maxGenerations == 1 && h2.tombstoneSegments == 0)
+    // content equals a rebuild over the post-change corpus
+    val reb = freshDir()
+    SimilaritySearch.writeIvfPqIndex(
+      (0L until 19L).map(id => (id, vec(id))).toDF("vec_id", "embedding"),
+      reb, 0L until 4L, 0L until 4L, m = 4)
+    def codes(d: String) = graft.sources.Sources
+      .readMergePartitioned(spark, s"$d/codes", "_list")
+      .select(col("_id").cast("long"), col("codes"), col("_list").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(codes(dir) == codes(reb))
+  }
+}

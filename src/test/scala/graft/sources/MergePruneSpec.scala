@@ -370,4 +370,38 @@ class MergePruneSpec extends SparkSpec {
     Sources.swapPointerForward(fs, uri, conf, root, f"manifest-${8}%012d-next", "t2")
     assert(Sources.currentPointer(fs, root).contains(f"manifest-${8}%012d-next"))
   }
+
+  test("replace guards: exotic/empty/null partition values refuse loudly (ADVICE r14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_replace_guard").toString + "/t"
+    val base = Seq(("k1", "a", 1), ("k2", "b", 2)).toDF("id", "p", "v")
+    Sources.publishMergePartitioned(spark, dir, base,
+      graft.types.TableConfig("t", Seq("id"), Seq.empty), "p")
+    // a value Spark would percent-encode on write silently matches no
+    // manifest segment — the stale entries would survive beside the
+    // replacement batch (duplicates after compaction). Refused instead.
+    val exotic = intercept[IllegalArgumentException] {
+      Sources.publishMergeReplace(spark, dir,
+        Seq(("k3", "a:b", 3)).toDF("id", "p", "v"), "p", Seq("a:b"))
+    }
+    assert(exotic.getMessage.contains("round-trip"))
+    val empty = intercept[IllegalArgumentException] {
+      Sources.publishMergeReplace(spark, dir, base, "p", Seq(""))
+    }
+    assert(empty.getMessage.contains("empty-string"))
+    val nul = intercept[IllegalArgumentException] {
+      Sources.publishMergeReplace(spark, dir, base, "p", Seq(null))
+    }
+    assert(nul.getMessage.contains("null"))
+    // path-safe replacement still works and drops every stale entry
+    Sources.publishMergeReplace(spark, dir,
+      Seq(("k9", "a", 9)).toDF("id", "p", "v"), "p", Seq("a"))
+    val rows = Sources.readMergePartitioned(spark, dir, "p")
+      .select("id", "p", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(("k9", "a", 9), ("k2", "b", 2)))
+    assert(Sources.readMergePartitioned(spark, dir, "p")
+      .filter(col("p") === "a").count() == 1)
+  }
 }
