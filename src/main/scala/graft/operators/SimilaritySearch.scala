@@ -25,6 +25,8 @@ import scala.util.Random
   */
 object SimilaritySearch {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Double-precision cosine similarity of two float-array columns —
     * a codegen'd Catalyst expression ([[graft.functions.VectorKernels]]).
     * Same ascending-index double fold as the interpreted HOF
@@ -497,6 +499,17 @@ object SimilaritySearch {
         cb.zipWithIndex.map { case (e, c) => (j, c, e) } }
       .toDF("subspace", "code", "entry")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // quantizer-drift baseline: the build corpus's mean own-centroid
+    // squared distance. Incremental applies compare their delta's mean
+    // against it — frozen quantizers keep incremental ≡ rebuild exact,
+    // but under a drifting feed recall decays SILENTLY (new vectors
+    // land ever farther from every coarse centroid); this one number
+    // is the tripwire (see applyIvfPqIndexChanges).
+    val base = table.agg(
+      avg(graft.functions.VectorKernels.minCentroidDistCol(col(vecCol), cents))
+        .as("mean_dist"),
+      count(lit(1)).cast("long").as("n"))
+    graft.sources.Sources.publishSnapshot(base.coalesce(1), s"$dir/drift")
   }
 
   /** Query a persisted IVF-PQ index. The query set is collected to the
@@ -560,8 +573,25 @@ object SimilaritySearch {
         col("adc_dist"))
   }
 
-  /** Outcome of one [[applyIvfPqIndexChanges]] application. */
-  final case class IvfPqMaintenance(removed: Long, added: Long)
+  /** Outcome of one [[applyIvfPqIndexChanges]] application.
+    * `driftRatio` is the quantizer-drift tripwire: the delta's mean
+    * own-centroid squared distance over the BUILD corpus's stored mean
+    * (None when the apply added nothing or the index predates the
+    * baseline). ~1 means the feed still looks like the training
+    * distribution; past [[DriftWarnRatio]] the apply WARNs — the
+    * frozen quantizers still encode exactly (incremental ≡ rebuild
+    * holds per quantizer generation), but recall against such vectors
+    * decays silently, and the remedy is the documented offline
+    * retrain-rebuild: [[writeIvfPqIndex]] over the current corpus with
+    * fresh centroids/codebooks, then resume incremental maintenance
+    * against the new generation. */
+  final case class IvfPqMaintenance(removed: Long, added: Long,
+      driftRatio: Option[Double] = None)
+
+  /** Drift ratio past which an apply logs a WARN (2× the build's mean
+    * own-centroid distance — far outside same-distribution noise for
+    * any corpus a coarse quantizer fits usefully). */
+  val DriftWarnRatio: Double = 2.0
 
   private val IvfPqTables = Seq("codes" -> "_list")
 
@@ -665,10 +695,12 @@ object SimilaritySearch {
     val ids = changes.select(col(idCol).as("_id")).distinct()
     val adds = changes.filter(col(changeCol).isin("new", "updated"))
 
-    def encoded(seq: Long): DataFrame = {
-      val cents = spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
+    lazy val cents: Seq[Seq[Double]] =
+      spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
         .map(r => r.getAs[Int]("_list") -> r.getSeq[Double](1))
         .sortBy(_._1).map(_._2.toSeq).toSeq
+
+    def encoded(seq: Long): DataFrame = {
       val cbRows = spark.read.parquet(s"$dir/codebooks").collect() // m*k tiny rows
         .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"), r.getSeq[Double](2)))
       val cbs = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
@@ -678,6 +710,30 @@ object SimilaritySearch {
           graft.functions.VectorKernels.nearestCentroidCol(col("_v"), cents)
             .as("_list"))
         .withColumn("_seq", lit(seq))
+    }
+
+    // quantizer-drift tripwire (see IvfPqMaintenance.driftRatio): the
+    // delta's mean own-centroid distance vs the stored build baseline.
+    // One tiny agg over the delta; skipped for delete-only feeds and
+    // indexes predating the baseline snapshot.
+    def driftOf(nAdds: Long): Option[Double] = {
+      if (nAdds == 0L ||
+          !graft.sources.Sources.snapshotExists(spark, s"$dir/drift"))
+        return None
+      val base = graft.sources.Sources.readSnapshot(spark, s"$dir/drift")
+        .first().getDouble(0)
+      if (!(base > 0.0)) return None // degenerate corpus: every vector a centroid
+      val m = adds.agg(
+        avg(graft.functions.VectorKernels.minCentroidDistCol(col(vecCol), cents)))
+        .first().getDouble(0)
+      val ratio = m / base
+      if (ratio > DriftWarnRatio) log.warn(
+        f"IVF-PQ index $dir: apply drift ratio $ratio%.2f exceeds " +
+          f"$DriftWarnRatio (delta mean own-centroid dist $m%.4g vs build " +
+          f"$base%.4g) — the frozen quantizers no longer fit the feed; " +
+          "schedule an offline retrain-rebuild (writeIvfPqIndex over the " +
+          "current corpus)")
+      Some(ratio)
     }
 
     if (mode == "append") {
@@ -696,7 +752,7 @@ object SimilaritySearch {
       IndexMaintenance.warnIfDegraded(spark, dir, IvfPqTables,
         IndexMaintenance.MaintenancePolicy())
       val removed = ids.count()
-      IvfPqMaintenance(removed, nAdds)
+      IvfPqMaintenance(removed, nAdds, driftOf(nAdds))
     } else {
       require(LsmTombstones.isEmpty(spark, dir),
         "applyIvfPqIndexChanges(mode=rewrite): index has live tombstones from " +
@@ -714,7 +770,7 @@ object SimilaritySearch {
       if (nAdds > 0)
         graft.sources.Sources
           .publishMergePartitioned(spark, codesDir, encoded(0L), cfg, "_list"): Unit
-      IvfPqMaintenance(removed, nAdds)
+      IvfPqMaintenance(removed, nAdds, driftOf(nAdds))
     }
   }
 

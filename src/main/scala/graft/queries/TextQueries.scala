@@ -68,6 +68,42 @@ object TextQueries {
   private val bm25LsmCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val bm25StreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Same base index as [[cachedBm25Index]], but the feed arrives as a
+    * REAL multi-micro-batch StreamingQuery (file source, one file per
+    * trigger) whose every batch runs an append-mode apply under a
+    * checkpoint ([[graft.operators.LexicalIndex.bm25IndexSink]]) —
+    * streaming maintenance and the LSM log meeting end-to-end. Left
+    * uncompacted: the gate search reads through the stream's
+    * tombstones. Feed ids are disjoint across batches, so the final
+    * logical state equals the one-shot apply in any schedule. */
+  private def cachedBm25StreamIndex(docs: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    bm25StreamCache.computeIfAbsent(s"$datasetDir@${docStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25stream")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val s = docs.sparkSession
+      graft.operators.LexicalIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 7 =!= 3), s"$p/index", nBuckets = 32)
+      val feed = bm25Feed(docs).select("doc_id", "text", "_change")
+      feed.repartition(3).write.mode("overwrite").parquet(s"$p/feed")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$p/feed")
+      val q = graft.operators.LexicalIndex.bm25IndexSink(
+        stream, s"$p/index", s"$p/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$p/index"
+    })
+
   /** Same base index and feed as [[cachedBm25Index]], but maintained
     * in APPEND mode and left UNCOMPACTED — the gate search reads
     * through live tombstones and the multi-dir append log. */
@@ -89,6 +125,44 @@ object TextQueries {
         p.toString, bm25Feed(docs), mode = "append"): Unit
       p.toString
     })
+
+  /** The post-change-corpus BM25 oracle shared by every maintained-
+    * index gate (incremental rewrite, LSM append, streaming): the
+    * oracle knows nothing of any index — it scores the corpus AFTER
+    * the change feed directly, so a stale posting, lost delete,
+    * missed zero-token doc in n_docs, or drifted stats break the
+    * hash regardless of which maintenance path built the state. */
+  private def bm25MaintainedOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
+       |         THEN text || ' spark' ELSE text END AS text
+       |  FROM documents
+       |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
+       |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
+       |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM docs),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+       |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+       |     (CAST(tf.tf AS DOUBLE) +
+       |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+       |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id,
+       |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
+       |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
+       |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score,
+       |    CAST(COUNT(*) AS INT) AS n_terms
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, score, n_terms FROM agg
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1022,36 +1096,7 @@ object TextQueries {
     // hash.
     QueryDef.sql(
       "q_text_bm25_incremental",
-      s"""WITH docs AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
-         |         THEN text || ' spark' ELSE text END AS text
-         |  FROM documents
-         |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
-         |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
-         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
-         |stats AS (SELECT COUNT(*) AS n_docs,
-         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM docs),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
-         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-         |     (CAST(tf.tf AS DOUBLE) +
-         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
-         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
-         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
-         |agg AS (
-         |  SELECT doc_id,
-         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
-         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
-         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score,
-         |    CAST(COUNT(*) AS INT) AS n_terms
-         |  FROM scored GROUP BY doc_id)
-         |SELECT doc_id, score, n_terms FROM agg
-         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      bm25MaintainedOracle) { (s, d) =>
       val dir = cachedBm25Index(Tables.documents(s, d), d)
       graft.operators.LexicalIndex.searchBm25Index(s, dir,
           Seq("merge", "spark", "vector"), k = 25)
@@ -1068,37 +1113,26 @@ object TextQueries {
     // stats drift under append accounting all break the hash.
     QueryDef.sql(
       "q_text_bm25_lsm",
-      s"""WITH docs AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
-         |         THEN text || ' spark' ELSE text END AS text
-         |  FROM documents
-         |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
-         |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
-         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
-         |stats AS (SELECT COUNT(*) AS n_docs,
-         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM docs),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
-         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-         |     (CAST(tf.tf AS DOUBLE) +
-         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
-         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
-         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
-         |agg AS (
-         |  SELECT doc_id,
-         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
-         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
-         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score,
-         |    CAST(COUNT(*) AS INT) AS n_terms
-         |  FROM scored GROUP BY doc_id)
-         |SELECT doc_id, score, n_terms FROM agg
-         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      bm25MaintainedOracle) { (s, d) =>
       val dir = cachedBm25LsmIndex(Tables.documents(s, d), d)
+      graft.operators.LexicalIndex.searchBm25Index(s, dir,
+          Seq("merge", "spark", "vector"), k = 25)
+        .select("doc_id", "score", "n_terms")
+    },
+
+    // §2.11 meets the LSM layer (round 15): the SAME feed arrives as a
+    // REAL checkpointed StreamingQuery (file source, one file per
+    // trigger → 3 micro-batches), each batch an append-mode index
+    // apply (LexicalIndex.bm25IndexSink). Feed ids are disjoint across
+    // batches, so the final logical state equals the one-shot apply in
+    // any trigger schedule — which is what lets the SAME
+    // post-change-corpus oracle hash-gate a streaming-maintained
+    // index. Left uncompacted: the search reads through the stream's
+    // own tombstone generations.
+    QueryDef.sql(
+      "q_text_bm25_stream",
+      bm25MaintainedOracle) { (s, d) =>
+      val dir = cachedBm25StreamIndex(Tables.documents(s, d), d)
       graft.operators.LexicalIndex.searchBm25Index(s, dir,
           Seq("merge", "spark", "vector"), k = 25)
         .select("doc_id", "score", "n_terms")

@@ -204,6 +204,30 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown"))
   }
 
+  test("quantizer drift watch: in-distribution feed stays quiet, drifted feed trips") {
+    val dir = freshDir()
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir, coarse, pqSeeds, m = 4)
+    // in-distribution: the same lobe family the quantizers trained on
+    val m1 = SimilaritySearch.applyIvfPqIndexChanges(spark, dir,
+      corpus(newIds).withColumn("_change", lit("new")), mode = "append")
+    assert(m1.driftRatio.isDefined)
+    assert(m1.driftRatio.get < SimilaritySearch.DriftWarnRatio,
+      s"in-distribution ratio ${m1.driftRatio.get}")
+    // drifted: vectors far off BOTH training lobes — the frozen
+    // quantizers still encode them exactly, but recall against them
+    // would decay silently; the ratio is the tripwire
+    val drifted = Seq((100L, Seq.fill(8)(5000f)), (101L, Seq.fill(8)(6000f)))
+      .toDF("vec_id", "embedding").withColumn("_change", lit("new"))
+    val m2 = SimilaritySearch.applyIvfPqIndexChanges(spark, dir, drifted,
+      mode = "append")
+    assert(m2.driftRatio.exists(_ > SimilaritySearch.DriftWarnRatio),
+      s"drifted ratio ${m2.driftRatio}")
+    // delete-only feeds carry no drift signal
+    val m3 = SimilaritySearch.applyIvfPqIndexChanges(spark, dir,
+      corpus(Seq(0L)).withColumn("_change", lit("orphaned")), mode = "append")
+    assert(m3.driftRatio.isEmpty)
+  }
+
   private implicit class IterWrap[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
