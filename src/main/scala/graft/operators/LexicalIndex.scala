@@ -228,17 +228,18 @@ object LexicalIndex {
         phase("doclen-append")(Sources.publishMergeAppend(spark, s"$dir/doclen",
           addLen.withColumn("_seq", lit(n)).withColumn("_db", docBucket(nBuckets)),
           "_db"))
-        // bloom sidecars on the JUST-APPENDED batch dirs (idempotent,
-        // only unindexed dirs are touched): the next apply's
-        // doc-bucket keyed reads (doclen membership here, forward
-        // retraction in rewrite mode) then DIR-SKIP the generations
-        // that can't hold the looked-up ids instead of scanning every
-        // live generation — the residual flat cost of an append-apply
-        // (VERDICT r14 #3). Off the read path entirely; compaction
-        // builds the same sidecars for folded dirs.
+        // bloom sidecars on doclen's unindexed dirs (idempotent): the
+        // next apply's oldLen keyed read then DIR-SKIPS the base and
+        // every generation that can't hold the looked-up ids
+        // (VERDICT r14 #3). Doclen ONLY: it is the one table an
+        // append apply keyed-reads, and it's 1 row/doc — the first
+        // apply's base-dir build is cheap. Forward sidecars are NOT
+        // built here: forward is postings-sized (a measured 20 s
+        // first-apply bill at sf10) and only rewrite mode keyed-reads
+        // it, which is forbidden until compaction — whose fold builds
+        // the forward sidecars itself. Off the read path entirely.
         phase("bloom-sidecars") {
-          Sources.indexBatchKeys(spark, s"$dir/doclen", "doc_id"): Unit
-          Sources.indexBatchKeys(spark, s"$dir/forward", "doc_id"): Unit
+          Sources.indexBatchKeys(spark, s"$dir/doclen", "doc_id", fpp = Sources.BatchLookupFpp): Unit
         }
       }
       phase("stats-publish")(publishStats(docsRemoved, dlRemoved, docsAdded, dlAdded))
@@ -372,8 +373,8 @@ object LexicalIndex {
     // then dir-skip instead of scanning every bucket — the
     // off-critical-path index-on-the-index, riding compaction's
     // already-paid full pass
-    Sources.indexBatchKeys(spark, s"$dir/doclen", "doc_id"): Unit
-    Sources.indexBatchKeys(spark, s"$dir/forward", "doc_id"): Unit
+    Sources.indexBatchKeys(spark, s"$dir/doclen", "doc_id", fpp = Sources.BatchLookupFpp): Unit
+    Sources.indexBatchKeys(spark, s"$dir/forward", "doc_id", fpp = Sources.BatchLookupFpp): Unit
   }
 
   /** BM25 top-k over the persisted index: the query terms' buckets

@@ -745,7 +745,7 @@ object SimilaritySearch {
         // bloom sidecar on the just-appended batch dir (idempotent):
         // the first rewrite-mode apply after the next compaction — and
         // any keyed audit read meanwhile — dir-skips it (VERDICT r14 #3)
-        graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id"): Unit
+        graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id", fpp = graft.sources.Sources.BatchLookupFpp): Unit
       }
       // listing-only degradation check: loud when nobody is running
       // the compaction trigger (see IndexMaintenance)
@@ -799,6 +799,6 @@ object SimilaritySearch {
     LsmTombstones.clear(spark, dir, foldSeq)
     // bloom sidecars on the folded dirs: rewrite-mode discovery's
     // keyed read then dir-skips (see Sources.indexBatchKeys)
-    graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id"): Unit
+    graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id", fpp = graft.sources.Sources.BatchLookupFpp): Unit
   }
 }

@@ -882,13 +882,15 @@ object Sources {
     Some(out)
   }
 
-  /** Build per-batch-dir Bloom key filters for a
-    * [[publishMergePartitioned]] table: every immutable batch dir
-    * (`b-*`) lacking one gets a `_keybloom-<keyCol>` sidecar built
+  /** Build per-dir Bloom key filters for a
+    * [[publishMergePartitioned]] table: every immutable top-level dir
+    * (`b-*` batch dirs AND adopted `col=val` partition dirs — round
+    * 15) lacking one gets a `_keybloom-<keyCol>` sidecar built
     * from a scan of ONLY the key column (column-pruned parquet read).
-    * Idempotent and safe to run any time — batch dirs never change
-    * after publish, so a sidecar is built once and stays valid for
-    * the dir's lifetime; the prune/vacuum deletes it with its dir.
+    * Idempotent and safe to run any time — referenced dirs never
+    * change after publish/adoption, so a sidecar is built once and
+    * stays valid for the dir's lifetime; the prune/vacuum deletes it
+    * with its dir.
     * Underscore-prefixed sidecars are invisible to Spark's file
     * listing, so normal reads are unaffected. Concurrent indexers
     * write identical bits (Bloom insertion is order-independent and
@@ -896,6 +898,16 @@ object Sources {
     * benign. At 100 TB this is the off-critical-path index build: the
     * publish stays lean, and a nightly indexer touches only the new
     * batch dirs' key columns. Returns the number of filters built. */
+  /** Sidecar fpp for BATCH-shaped keyed reads (an index apply's
+    * ~feed-sized id set): dir-skipping needs the whole KEY SET to
+    * miss, so the per-dir read probability is 1-(1-fpp)^keys — at the
+    * default 0.01 a 500-key lookup reads ~every dir (99.3%), at 1e-4
+    * it reads ~5% of non-matching dirs. Costs 2× the sidecar bytes
+    * (~19 vs ~10 bits/key — still KBs for doclen, tens of MB for a
+    * postings-sized table at sf10). The index maintenance layers
+    * build with this; single-key point lookups are fine either way. */
+  val BatchLookupFpp: Double = 1e-4
+
   def indexBatchKeys(spark: SparkSession, tableDir: String, keyCol: String,
       fpp: Double = 0.01): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract, when, lit}
@@ -966,9 +978,13 @@ object Sources {
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     if (!fs.exists(root)) return 0
+    val referenced: Option[Set[String]] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_current"))) None
+      else Some(manifestEntries(fs, root, "").map(topSegmentOf).toSet)
     var built = 0
     fs.listStatus(root).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith("b-")) {
+      if (st.isDirectory && indexableDir(st.getPath.getName) &&
+          referenced.forall(_.contains(st.getPath.getName))) {
         val sidecar = new org.apache.hadoop.fs.Path(st.getPath, s"_keybloom-$keyCol")
         if (!fs.exists(sidecar)) {
           val keyed = spark.read.parquet(st.getPath.toString).select(keyCol)
@@ -982,14 +998,35 @@ object Sources {
     built
   }
 
-  /** Un-indexed `b-*` batch dirs under `root` (no `sidecarName`). */
+  /** True for top-level dirs the key index covers: `b-*` batch dirs
+    * AND adopted plain partition dirs (`col=val`). Both are immutable
+    * under the manifest discipline — every mutation writes a NEW
+    * batch dir and at most drops entries; nothing rewrites a
+    * referenced dir in place — so a sidecar built once stays valid
+    * for the dir's lifetime. Covering the adopted dirs is what lets a
+    * keyed lookup of NEW keys skip the (usually dominant) base table
+    * entirely, not just the delta generations (round 15). */
+  private def indexableDir(name: String): Boolean =
+    name.startsWith("b-") || (name.contains("=") && !name.startsWith("."))
+
+  /** Un-indexed batch/adopted dirs under `root` (no `sidecarName`),
+    * restricted to dirs the LIVE manifest references when one exists —
+    * a replaced/retired dir awaiting prune is unreachable to readers,
+    * so a sidecar for it is a wasted full scan (a compaction that
+    * re-sidecared the just-dropped base measured 72 s vs 23 s). A
+    * pre-manifest plain layout indexes all its partition dirs. */
   private def unindexedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, sidecarName: String): Seq[String] =
+      root: org.apache.hadoop.fs.Path, sidecarName: String): Seq[String] = {
+    val referenced: Option[Set[String]] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_current"))) None
+      else Some(manifestEntries(fs, root, "").map(topSegmentOf).toSet)
     fs.listStatus(root).toSeq.collect {
-      case st if st.isDirectory && st.getPath.getName.startsWith("b-") &&
+      case st if st.isDirectory && indexableDir(st.getPath.getName) &&
+        referenced.forall(_.contains(st.getPath.getName)) &&
         !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, sidecarName)) =>
         st.getPath.getName
     }.sorted
+  }
 
   /** Exact row count (and EVERY file's parquet schema) of every
     * parquet file under `dir` (recursive, hidden/sidecar files
@@ -1034,8 +1071,14 @@ object Sources {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
           .convert(m))
     }.getOrElse(reader)
+    // tag = which of `dirs` the file lives under. An alternation of
+    // the QUOTED dir names (leftmost path match wins, so a b-dir's
+    // nested `col=val` subdir can never shadow its batch dir; the
+    // trailing '/' stops prefix-name shadowing) — works for both b-*
+    // batch dirs and adopted `col=val` partition dirs.
+    val dirAlt = dirs.map(java.util.regex.Pattern.quote).mkString("|")
     withSchema.parquet(dirs.map(d => s"$tableDir/$d"): _*)
-      .select(regexp_extract(input_file_name(), "/(b-[^/]+)/", 1).as("_bdir"),
+      .select(regexp_extract(input_file_name(), s"/($dirAlt)/", 1).as("_bdir"),
         col(wantedCol))
   }
 
@@ -1347,7 +1390,9 @@ object Sources {
       case (top, es) =>
         val sidecar = new org.apache.hadoop.fs.Path(root, s"$top/_keybloom-$keyCol")
         val mayContain =
-          if (!top.startsWith("b-") || !fs.exists(sidecar)) true // unindexed: read
+          // any indexed top dir (b-* batch or adopted partition dir)
+          // skip-tests; unindexed dirs always read
+          if (!fs.exists(sidecar)) true
           else {
             val in = fs.open(sidecar)
             val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   *    are exact-oracle tools whose contracts say O(n²), so at sf10
   *    they measure the contract, not the engine.
   *
+  * Round 15 adds the maintained-index pipeline as first-class ledger
+  * rows (`x_bm25_*` / `x_ivfpq_*`: build, append-apply, search under
+  * tombstones, compact, search compacted — fresh dirs per rep, the
+  * ProfileIncrementalIndex recipe), so the LSM walls are a diffable
+  * artifact instead of SCALING prose.
+  *
   * Usage: `runMain graft.tools.BenchScale [sfDir] [outFile]`
   * (defaults `/tmp/graft_sf10`, `BENCH_sf10.json`). Reps via
   * `SPARK_GRAFT_SCALE_REPS` (default 3).
@@ -92,10 +98,10 @@ object BenchScale {
 
     case class Rep(wall: Double, gc: Double, spillMb: Long, shufMb: Long)
     var nRun = 0
-    def runOnce(q: graft.queries.QueryDef): (Rep, Long) = {
+    def measure(f: => Long): (Rep, Long) = {
       val (g0, d0, w0) = (gcMillis, spillDisk.get(), shufWrite.get())
       val t0 = System.nanoTime()
-      val rows = q.fn(spark, sfDir).count()
+      val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
       graft.Bench.drainListeners(spark) // async onTaskEnd events
       val rep = Rep(wall, (gcMillis - g0) / 1000.0,
@@ -106,6 +112,8 @@ object BenchScale {
       if (nRun % 8 == 0) System.gc()
       (rep, rows)
     }
+    def runOnce(q: graft.queries.QueryDef): (Rep, Long) =
+      measure(q.fn(spark, sfDir).count())
 
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val byName = graft.SparkEntry.allDefs.map(q => q.name -> q).toMap
@@ -126,8 +134,95 @@ object BenchScale {
       name -> (med, timed, rows)
     }
 
-    val total = results.map(_._2._1).sum
-    val qJson = results.map { case (name, (med, timed, rows)) =>
+    // ---- maintained-index pipeline (r15: VERDICT r14 #5) ----
+    // Build → append-apply → search-through-tombstones → compact →
+    // search-compacted, each phase its own ledger row, FRESH dirs per
+    // rep (no warm-index reuse — the walls ARE the product here).
+    // Recipe pinned to ProfileIncrementalIndex's: constant ~500-doc /
+    // ~200-vec feed whatever the tier, nBuckets/nLists = 64.
+    import org.apache.spark.sql.functions.{col, lit, concat, reverse, when}
+    val docs = graft.Tables.documents(spark, sfDir).localCheckpoint(false)
+    val modBase = math.max(300L, docs.count() / 167L)
+    val dm = col("doc_id") % modBase
+    val bmBase = docs.filter(dm =!= 7)
+    val bmFeed = docs.filter(dm === 7).withColumn("_change", lit("new"))
+      .unionByName(docs.filter(dm === 13).withColumn("_change", lit("orphaned")))
+      .unionByName(docs.filter(dm === 29)
+        .withColumn("text", concat(col("text"), lit(" spark")))
+        .withColumn("_change", lit("updated")))
+      .localCheckpoint(false)
+    val emb = graft.Tables.embeddings(spark, sfDir).localCheckpoint(false)
+    val vm = col("vec_id") % 300
+    val vHigh = col("vec_id") >= 64
+    val vBase = emb.filter(!vHigh || vm =!= 7)
+    val vFeed = emb.filter(vHigh && vm === 7).withColumn("_change", lit("new"))
+      .unionByName(emb.filter(vHigh && vm === 13).withColumn("_change", lit("orphaned")))
+      .unionByName(emb.filter(vHigh && vm === 29)
+        .withColumn("embedding", reverse(col("embedding")))
+        .withColumn("_change", lit("updated")))
+      .localCheckpoint(false)
+    val phaseNames = Seq(
+      "x_bm25_build", "x_bm25_apply_append", "x_bm25_search_lsm",
+      "x_bm25_compact", "x_bm25_search_compacted",
+      "x_ivfpq_build", "x_ivfpq_apply_append", "x_ivfpq_search_lsm",
+      "x_ivfpq_compact", "x_ivfpq_search_compacted")
+    def indexPipelineRep(): Seq[(String, (Rep, Long))] = {
+      import graft.operators.{LexicalIndex, SimilaritySearch}
+      val bmDir = java.nio.file.Files.createTempDirectory("graft_bs_bm25").toString
+      val ivDir = java.nio.file.Files.createTempDirectory("graft_bs_ivfpq").toString
+      val out = Seq.newBuilder[(String, (Rep, Long))]
+      out += "x_bm25_build" -> measure {
+        LexicalIndex.writeBm25Index(bmBase, bmDir, nBuckets = 64); 1L }
+      out += "x_bm25_apply_append" -> measure {
+        LexicalIndex.applyBm25IndexChanges(spark, bmDir, bmFeed,
+          mode = "append").docsTouched }
+      def bmSearch() = LexicalIndex.searchBm25Index(
+        spark, bmDir, Seq("merge", "spark", "vector"), k = 25).count()
+      out += "x_bm25_search_lsm" -> measure(bmSearch())
+      out += "x_bm25_compact" -> measure {
+        LexicalIndex.compactBm25Index(spark, bmDir); 1L }
+      out += "x_bm25_search_compacted" -> measure(bmSearch())
+      out += "x_ivfpq_build" -> measure {
+        SimilaritySearch.writeIvfPqIndex(vBase, ivDir,
+          coarseIds = 0L until 64L, pqIds = 0L until 8L, m = 4); 1L }
+      out += "x_ivfpq_apply_append" -> measure {
+        SimilaritySearch.applyIvfPqIndexChanges(spark, ivDir, vFeed,
+          mode = "append").added }
+      def ivSearch() = SimilaritySearch.searchIvfPqIndex(
+        spark, ivDir, emb.filter(col("vec_id") < 5), k = 5, nProbe = 4).count()
+      out += "x_ivfpq_search_lsm" -> measure(ivSearch())
+      out += "x_ivfpq_compact" -> measure {
+        SimilaritySearch.compactIvfPqIndex(spark, ivDir); 1L }
+      out += "x_ivfpq_search_compacted" -> measure(ivSearch())
+      Seq(bmDir, ivDir).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      out.result()
+    }
+    val idxWarm = indexPipelineRep() // same warm-up discipline
+    idxWarm.foreach { case (n, (r, _)) =>
+      System.err.println(f"[bench-sf] $n warm=${r.wall}%.2fs") }
+    val idxReps = (1 to reps).map { i =>
+      val rep = indexPipelineRep()
+      rep.foreach { case (n, (r, _)) =>
+        System.err.println(f"[bench-sf] $n rep=$i wall=${r.wall}%.2fs " +
+          f"gc=${r.gc}%.2fs spill_disk=${r.spillMb}MB shuffle_write=${r.shufMb}MB") }
+      rep.toMap
+    }
+    val idxResults = phaseNames.map { n =>
+      val timed = idxReps.map(_(n)._1)
+      val med = timed.map(_.wall).sorted.apply(timed.length / 2)
+      n -> (med, timed, idxReps.head(n)._2)
+    }
+
+    val results2 = results ++ idxResults
+    val total = results2.map(_._2._1).sum
+    val qJson = results2.map { case (name, (med, timed, rows)) =>
       s""""$name":{"median":${f2(med)},"rows":$rows""" +
         s""","wall":[${timed.map(r => f2(r.wall)).mkString(",")}]""" +
         s""","gc":[${timed.map(r => f2(r.gc)).mkString(",")}]""" +

@@ -72,6 +72,13 @@ object ProfileIncrementalIndex {
           spark, dir, Seq("merge", "spark", "vector"), k = 25).collect())
         println(f"[inc-readamp] step=$k%d applies=$k%d apply_s=$aW%.1f " +
           f"search_s=$sW%.2f top=${r.length}%d")
+        // the automated trigger under the same workload: default
+        // policy (8 generations/segments) — a no-op mid-curve, fires
+        // once the log crosses the threshold (r15)
+        val ((h, ran), mW) = time(LexicalIndex.maintainBm25IfNeeded(spark, dir))
+        println(f"[inc-readamp] maintain step=$k%d gens=${h.maxGenerations}%d " +
+          f"ts_segs=${h.tombstoneSegments}%d ts_rows=${h.tombstoneRows}%d " +
+          f"fired=$ran%b wall_s=$mW%.1f")
       }
       val (_, cW) = time(LexicalIndex.compactBm25Index(spark, dir))
       val (r2, s2) = time(LexicalIndex.searchBm25Index(

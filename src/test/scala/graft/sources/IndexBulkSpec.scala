@@ -18,14 +18,18 @@ class IndexBulkSpec extends SparkSpec {
   private def mkTable(tag: String): String = {
     val dir = Files.createTempDirectory(s"graft_idx_$tag").toString + "/t"
     val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
-    def batch(lo: Long, hi: Long) =
+    // DISJOINT partitions per publish so the live manifest references
+    // all three b- dirs: the builders index only manifest-referenced
+    // dirs (r15 — a sidecar for a dir no reader can resolve is a
+    // wasted full scan)
+    def batch(lo: Long, hi: Long, pBase: Int) =
       (lo to hi).map(i => (i, s"name-$i", java.sql.Timestamp.valueOf(
         f"2024-01-${(i % 27) + 1}%02d 00:00:00"))).toDF("k", "name", "ts")
-        .withColumn("p", (org.apache.spark.sql.functions.col("k") % 2).cast("int"))
-    // three publishes -> three immutable b- dirs
-    Sources.publishMergePartitioned(spark, dir, batch(1, 40), cfg, "p")
-    Sources.publishMergePartitioned(spark, dir, batch(41, 80), cfg, "p")
-    Sources.publishMergePartitioned(spark, dir, batch(81, 120), cfg, "p")
+        .withColumn("p",
+          (org.apache.spark.sql.functions.col("k") % 2 + pBase).cast("int"))
+    Sources.publishMergePartitioned(spark, dir, batch(1, 40, 0), cfg, "p")
+    Sources.publishMergePartitioned(spark, dir, batch(41, 80, 2), cfg, "p")
+    Sources.publishMergePartitioned(spark, dir, batch(81, 120, 4), cfg, "p")
     dir
   }
 

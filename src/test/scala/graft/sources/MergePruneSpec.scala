@@ -284,6 +284,52 @@ class MergePruneSpec extends SparkSpec {
     assert(frameBulk == full, s"$frameBulk vs $full")
   }
 
+  test("bloom key index covers ADOPTED partition dirs: new-key lookups skip the base (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_kidx_adopt").toString + "/t"
+    val cfg = graft.types.TableConfig("t", Seq("k"), Seq.empty)
+    // plain partitioned layout adopted in place — no b-* dirs at all;
+    // this is every maintained index's base table between build and
+    // first compaction, usually the dominant read
+    (0L until 60L).map(k => (k, (k % 4).toInt, s"a$k")).toDF("k", "p", "v")
+      .repartition(col("p")).write.partitionBy("p").parquet(dir)
+    assert(Sources.adoptMergePartitioned(spark, dir, "p"))
+    assert(Sources.indexBatchKeys(spark, dir, "k") == 4) // the 4 adopted p= dirs
+    assert(Sources.indexBatchKeys(spark, dir, "k") == 0) // idempotent
+    // a key every adopted sidecar excludes: ZERO data dirs opened
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    def bloomOf(top: String) = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"$top/_keybloom-k"))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    }
+    val adoptedBlooms = (0 to 3).map(p => bloomOf(s"p=$p"))
+    val probe = (1000L until 2000L)
+      .find(k => adoptedBlooms.forall(!_.mightContainLong(k))).get
+    val none = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", Seq(probe))
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+    // mixed adopted + batch: a later publish lands in a b-dir; a key
+    // only it holds reads ONLY it — the adopted base is dir-skipped
+    Sources.publishMergePartitioned(spark, dir,
+      Seq((probe, 9, "fresh")).toDF("k", "p", "v"), cfg, "p")
+    assert(Sources.indexBatchKeys(spark, dir, "k") == 1) // just the new b-dir
+    val hit = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", Seq(probe))
+    assert(hit.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+      == Seq((probe, "fresh")))
+    val touched = hit.inputFiles.map(f =>
+      f.split("/").dropWhile(_ != "t").drop(1).head).toSet
+    assert(touched.forall(_.startsWith("b-")), s"read adopted dirs: $touched")
+    // result-identical to scan-then-filter across both dir kinds
+    val keys: Seq[Any] = Seq(10L, probe, 999999L)
+    val keyed = Sources.readMergePartitionedKeyed(spark, dir, "p", "k", keys)
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    val full = Sources.readMergePartitioned(spark, dir, "p")
+      .filter(col("k").isin(keys: _*))
+      .select("k", "p", "v").orderBy("k").collect().toSeq
+    assert(keyed == full && keyed.size == 2, s"$keyed vs $full")
+  }
+
   test("zone maps: range read skips disjoint batch dirs, handles string and date bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
