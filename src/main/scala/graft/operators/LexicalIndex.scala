@@ -317,15 +317,27 @@ object LexicalIndex {
     * [[LsmTombstones]]), which the checkpointed query naturally is. */
   def bm25IndexSink(changes: DataFrame, dir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      changeCol: String = "_change"):
+      changeCol: String = "_change",
+      maintain: Option[IndexMaintenance.MaintenancePolicy] =
+        Some(IndexMaintenance.MaintenancePolicy())):
       org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           applyBm25IndexChanges(batch.sparkSession, dir, batch,
             idCol, textCol, changeCol, mode = "append"): Unit
+          // the operational loop, closed: the stream that maintains
+          // the index also runs its compaction trigger (a listing
+          // probe per batch; a fold only past policy). Safe HERE
+          // because the checkpointed query is the index's single
+          // logical writer — the one caller who can compact without
+          // racing an applier. None = operator schedules compaction
+          // out of band.
+          maintain.foreach(p => maintainBm25IfNeeded(
+            batch.sparkSession, dir, p): Unit)
+        }
       }
       .start()
 

@@ -140,8 +140,13 @@ object BenchScale {
     // rep (no warm-index reuse — the walls ARE the product here).
     // Recipe pinned to ProfileIncrementalIndex's: constant ~500-doc /
     // ~200-vec feed whatever the tier, nBuckets/nLists = 64.
+    // plain (un-checkpointed) inputs: measure() unpersists every
+    // persistent RDD between phases, which would orphan
+    // localCheckpoint blocks mid-pipeline (CHECKPOINT_RDD_BLOCK_ID_
+    // NOT_FOUND) — the recompute is a cheap column-pruned scan and is
+    // part of what a real apply pays anyway
     import org.apache.spark.sql.functions.{col, lit, concat, reverse, when}
-    val docs = graft.Tables.documents(spark, sfDir).localCheckpoint(false)
+    val docs = graft.Tables.documents(spark, sfDir)
     val modBase = math.max(300L, docs.count() / 167L)
     val dm = col("doc_id") % modBase
     val bmBase = docs.filter(dm =!= 7)
@@ -150,8 +155,7 @@ object BenchScale {
       .unionByName(docs.filter(dm === 29)
         .withColumn("text", concat(col("text"), lit(" spark")))
         .withColumn("_change", lit("updated")))
-      .localCheckpoint(false)
-    val emb = graft.Tables.embeddings(spark, sfDir).localCheckpoint(false)
+    val emb = graft.Tables.embeddings(spark, sfDir)
     val vm = col("vec_id") % 300
     val vHigh = col("vec_id") >= 64
     val vBase = emb.filter(!vHigh || vm =!= 7)
@@ -160,7 +164,6 @@ object BenchScale {
       .unionByName(emb.filter(vHigh && vm === 29)
         .withColumn("embedding", reverse(col("embedding")))
         .withColumn("_change", lit("updated")))
-      .localCheckpoint(false)
     val phaseNames = Seq(
       "x_bm25_build", "x_bm25_apply_append", "x_bm25_search_lsm",
       "x_bm25_compact", "x_bm25_search_compacted",

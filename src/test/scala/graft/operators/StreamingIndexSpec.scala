@@ -109,4 +109,24 @@ class StreamingIndexSpec extends SparkSpec {
     assert(search(s"$root/index") == search(reb))
     assert(stats(s"$root/index") == stats(reb))
   }
+
+  test("sink auto-maintenance: a tight policy compacts mid-stream, state stays exact") {
+    val root = Files.createTempDirectory("graft_stream_idx_maint").toString
+    LexicalIndex.writeBm25Index(baseDocs, s"$root/index", nBuckets = 8)
+    changes.repartition(3).write.parquet(s"$root/feed")
+    val stream = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/feed")
+    // threshold 1 generation: EVERY micro-batch crosses it, so the
+    // sink's trigger compacts after each apply — the stream is the
+    // single writer, which is what makes in-loop compaction safe
+    val q = LexicalIndex.bm25IndexSink(stream, s"$root/index", s"$root/ckpt",
+      maintain = Some(IndexMaintenance.MaintenancePolicy(maxGenerations = 1)))
+    try q.processAllAvailable() finally q.stop()
+    val h = LexicalIndex.bm25IndexHealth(spark, s"$root/index")
+    assert(h.maxGenerations == 1 && h.tombstoneSegments == 0)
+    val oracle = TextAnalysis.bm25(finalDocs, "doc_id", "text",
+        Seq("spark", "merge", "vector"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(search(s"$root/index") == oracle)
+  }
 }
