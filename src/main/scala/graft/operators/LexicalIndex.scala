@@ -69,7 +69,8 @@ object LexicalIndex {
     * [[IndexMaintenance.health]]. */
   def bm25IndexHealth(spark: SparkSession,
       dir: String): IndexMaintenance.IndexHealth =
-    IndexMaintenance.health(spark, dir, Bm25Tables)
+    IndexMaintenance.health(spark,
+      IndexGenerations.resolve(spark, dir), Bm25Tables)
 
   /** The automated compaction trigger (VERDICT r14 #2): compact when
     * the index is past `policy`'s generation/tombstone thresholds,
@@ -77,9 +78,11 @@ object LexicalIndex {
   def maintainBm25IfNeeded(spark: SparkSession, dir: String,
       policy: IndexMaintenance.MaintenancePolicy =
         IndexMaintenance.MaintenancePolicy()):
-      (IndexMaintenance.IndexHealth, Boolean) =
-    IndexMaintenance.maintainIfNeeded(spark, dir, Bm25Tables, policy)(
-      compactBm25Index(spark, dir))
+      (IndexMaintenance.IndexHealth, Boolean) = {
+    val live = IndexGenerations.resolve(spark, dir)
+    IndexMaintenance.maintainIfNeeded(spark, live, Bm25Tables, policy)(
+      compactBm25Index(spark, live))
+  }
 
   private val postingsCfg = TableConfig("bm25_postings", Seq("term", "doc_id"), Seq.empty)
   private val forwardCfg  = TableConfig("bm25_forward", Seq("doc_id", "term"), Seq.empty)
@@ -160,9 +163,13 @@ object LexicalIndex {
     *    log back to the bit-exact rebuild state. In this mode
     *    `removedPostings` reports tombstoned doc ids (the retraction
     *    intent), not located posting rows. */
-  def applyBm25IndexChanges(spark: SparkSession, dir: String, changes: DataFrame,
+  def applyBm25IndexChanges(spark: SparkSession, indexDir: String, changes: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       changeCol: String = "_change", mode: String = "rewrite"): Bm25Maintenance = {
+    // resolve the live generation first: after a rebuild swap
+    // ([[rebuildBm25Index]]) maintenance continues against the NEW
+    // bucketing/tombstone log transparently
+    val dir = IndexGenerations.resolve(spark, indexDir)
     require(mode == "rewrite" || mode == "append",
       s"applyBm25IndexChanges: unknown mode '$mode' (rewrite|append)")
     val kinds = changes.select(changeCol).distinct().collect().map(_.getString(0)).toSet
@@ -363,7 +370,8 @@ object LexicalIndex {
     * resolve tombstones together with the manifest (as
     * [[searchBm25Index]] does), and compaction requires exclusive
     * maintenance (no concurrent appliers — see [[LsmTombstones]]). */
-  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
+  def compactBm25Index(spark: SparkSession, indexDir: String): Unit = {
+    val dir = IndexGenerations.resolve(spark, indexDir)
     if (!LsmTombstones.exists(spark, dir)) return
     val foldSeq = LsmTombstones.maxLiveSeq(spark, dir)
     def fold(table: String, partCol: String): Unit = {
@@ -395,9 +403,10 @@ object LexicalIndex {
     * posting-list-shaped, corpus-size-independent. Ranking runs
     * through the same [[TextAnalysis.bm25Rank]] core as the
     * corpus-scan path, so the two are arithmetically identical. */
-  def searchBm25Index(spark: SparkSession, dir: String, queryTerms: Seq[String],
+  def searchBm25Index(spark: SparkSession, indexDir: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
+    val dir = IndexGenerations.resolve(spark, indexDir)
     val nBuckets = readNBuckets(spark, dir)
     import spark.implicits._
     // bucket ids via the engine's own hash (a driver-side handful)
@@ -415,4 +424,34 @@ object LexicalIndex {
     val stats = Sources.readSnapshot(spark, s"$dir/stats")
     TextAnalysis.bm25Rank(tf, dfreq, stats, k, k1, b)
   }
+
+  /** Full rebuild as an atomic GENERATION swap — for the maintenance
+    * moves the delta path cannot express: re-bucketing (`nBuckets`
+    * sized for a grown corpus), analyzer changes, or a retention purge
+    * that must drop documents from every bucket (pass the purged
+    * corpus). The new index (all three tables + stats + an empty
+    * tombstone log) is built complete and cold in a generation dir,
+    * then the `_gen` pointer swaps onto it ([[IndexGenerations]]) —
+    * in-place overwrite would tear concurrent searches between old
+    * postings and new stats; the swap never does. Readers mid-search
+    * keep the old generation (on disk until [[vacuumBm25Generations]]);
+    * subsequent applies/searches/compactions resolve the new one
+    * transparently. Quiesce the incremental applier across the
+    * cutover — an in-flight delta survives only in the outgoing
+    * generation (the moving-corpus lost update; the checkpointed
+    * change-feed consumer is naturally quiet between micro-batches).
+    * Returns the new generation dir. */
+  def rebuildBm25Index(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 32): String = {
+    val gen = IndexGenerations.next(spark, dir)
+    writeBm25Index(docs, gen, idCol, textCol, nBuckets)
+    IndexGenerations.swap(spark, dir, gen)
+    gen
+  }
+
+  /** Delete index generations superseded by [[rebuildBm25Index]]
+    * swaps (grace-period contract — see [[IndexGenerations.vacuum]]). */
+  def vacuumBm25Generations(spark: SparkSession, dir: String): Int =
+    IndexGenerations.vacuum(spark, dir)
 }

@@ -517,10 +517,11 @@ object SimilaritySearch {
     * side is the index) to compute each query's `nProbe` nearest lists
     * and plant a STATIC `_list IN (...)` predicate, so the parquet
     * scan prunes to the probed partitions before any task launches. */
-  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
+    val dir = IndexGenerations.resolve(spark, indexDir)
     val cents = spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
       .map(r => r.getAs[Int]("_list") -> r.getSeq[Double](1))
       .sortBy(_._1).map(_._2.toSeq).toSeq
@@ -599,7 +600,8 @@ object SimilaritySearch {
     * [[IndexMaintenance.health]]. */
   def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
       dir: String): IndexMaintenance.IndexHealth =
-    IndexMaintenance.health(spark, dir, IvfPqTables)
+    IndexMaintenance.health(spark,
+      IndexGenerations.resolve(spark, dir), IvfPqTables)
 
   /** The automated compaction trigger (VERDICT r14 #2): compact when
     * the index is past `policy`'s generation/tombstone thresholds,
@@ -608,9 +610,11 @@ object SimilaritySearch {
       dir: String,
       policy: IndexMaintenance.MaintenancePolicy =
         IndexMaintenance.MaintenancePolicy()):
-      (IndexMaintenance.IndexHealth, Boolean) =
-    IndexMaintenance.maintainIfNeeded(spark, dir, IvfPqTables, policy)(
-      compactIvfPqIndex(spark, dir))
+      (IndexMaintenance.IndexHealth, Boolean) = {
+    val live = IndexGenerations.resolve(spark, dir)
+    IndexMaintenance.maintainIfNeeded(spark, live, IvfPqTables, policy)(
+      compactIvfPqIndex(spark, live))
+  }
 
   /** Incremental maintenance of a persisted IVF-PQ index — apply a
     * row-level change feed (the [[graft.sources.Sources.mergeRowChangesSince]]
@@ -676,9 +680,13 @@ object SimilaritySearch {
     *    located row count — locating them is exactly the read this
     *    mode exists to skip. */
   def applyIvfPqIndexChanges(spark: org.apache.spark.sql.SparkSession,
-      dir: String, changes: DataFrame, idCol: String = "vec_id",
+      indexDir: String, changes: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", changeCol: String = "_change",
       mode: String = "rewrite"): IvfPqMaintenance = {
+    // resolve the live generation first: after a retrain swap
+    // ([[retrainIvfPqIndex]]) maintenance continues against the NEW
+    // quantizers/tombstone log transparently
+    val dir = IndexGenerations.resolve(spark, indexDir)
     val codesDir = s"$dir/codes"
     val cfg = graft.types.TableConfig("ivfpq_codes", Seq("_id"), Seq.empty)
     require(mode == "rewrite" || mode == "append",
@@ -784,7 +792,9 @@ object SimilaritySearch {
     * between the fold publish and the tombstone clear keeps every
     * compacted row live — see [[LexicalIndex.compactBm25Index]] for
     * the full compaction-visibility contract; it is identical here. */
-  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val dir = IndexGenerations.resolve(spark, indexDir)
     if (!LsmTombstones.exists(spark, dir)) return
     val foldSeq = LsmTombstones.maxLiveSeq(spark, dir)
     val codesDir = s"$dir/codes"
@@ -801,4 +811,70 @@ object SimilaritySearch {
     // keyed read then dir-skips (see Sources.indexBatchKeys)
     graft.sources.Sources.indexBatchKeys(spark, codesDir, "_id", fpp = graft.sources.Sources.BatchLookupFpp): Unit
   }
+
+  /** Retrain the frozen quantizers — the remedy the drift tripwire
+    * ([[IvfPqMaintenance.driftRatio]]) prescribes, as code. Builds a
+    * complete NEW index (fresh coarse centroids + PQ codebooks trained
+    * on `corpus`, every vector re-encoded, a new drift baseline, an
+    * empty tombstone log) as a cold generation dir and atomically
+    * swaps the index's `_gen` pointer onto it
+    * ([[IndexGenerations]]) — readers are never torn between old codes
+    * and new codebooks, a reader mid-search keeps the old generation,
+    * and subsequent [[applyIvfPqIndexChanges]] / [[searchIvfPqIndex]] /
+    * [[compactIvfPqIndex]] calls resolve the new one transparently.
+    *
+    * `corpus` is the CURRENT corpus (the index is derived state; at
+    * 100 TB the corpus is the table of record) — quiesce the
+    * incremental applier across the cutover or its in-flight delta is
+    * lost to the rebuild input, the documented moving-corpus lost
+    * update. Cost is one full [[writeIvfPqIndex]] build; the old
+    * generation stays on disk for in-flight readers until
+    * [[vacuumIvfPqGenerations]]. Returns the new generation dir. */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, coarseIds: Seq[Long], pqIds: Seq[Long],
+      m: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): String = {
+    val gen = IndexGenerations.next(spark, dir)
+    writeIvfPqIndex(corpus, gen, coarseIds, pqIds, m, idCol, vecCol)
+    IndexGenerations.swap(spark, dir, gen)
+    gen
+  }
+
+  /** Delete index generations superseded by [[retrainIvfPqIndex]]
+    * swaps (grace-period contract — see [[IndexGenerations.vacuum]]). */
+  def vacuumIvfPqGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    IndexGenerations.vacuum(spark, dir)
+
+  /** Maintain the vector index FROM A STREAM — the IVF-PQ twin of
+    * [[LexicalIndex.bm25IndexSink]]: every micro-batch of the
+    * embedding change feed is one append-mode
+    * [[applyIvfPqIndexChanges]] under a real checkpointed
+    * StreamingQuery, with the compaction trigger run per batch. The
+    * exactly-once composition is identical: checkpoint makes batch
+    * REPLAY the failure mode, and an append-mode re-apply is logically
+    * idempotent through the tombstone discipline (same ids re-killed
+    * at the next generation, identical frozen-quantizer codes
+    * re-inserted). Generations resolve per micro-batch, so an offline
+    * [[retrainIvfPqIndex]] between batches is picked up transparently.
+    * The stream must be the index's single logical writer
+    * ([[LsmTombstones]]), which the checkpointed query naturally is. */
+  def ivfPqIndexSink(changes: DataFrame, dir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      changeCol: String = "_change",
+      maintain: Option[IndexMaintenance.MaintenancePolicy] =
+        Some(IndexMaintenance.MaintenancePolicy())):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          applyIvfPqIndexChanges(batch.sparkSession, dir, batch,
+            idCol, vecCol, changeCol, mode = "append"): Unit
+          maintain.foreach(p => maintainIvfPqIfNeeded(
+            batch.sparkSession, dir, p): Unit)
+        }
+      }
+      .start()
 }

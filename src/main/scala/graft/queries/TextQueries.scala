@@ -126,19 +126,75 @@ object TextQueries {
       p.toString
     })
 
+  /** The post-feed corpus — what [[bm25Feed]] leaves behind: orphans
+    * gone, updated docs carrying ' spark', the withheld third present.
+    * The corpus of record a rebuild rebuilds from. */
+  private def postFeedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(!(col("doc_id") % 7 =!= 3 && col("doc_id") % 11 === 4))
+      .withColumn("text",
+        when(col("doc_id") % 7 =!= 3 && col("doc_id") % 11 =!= 4 &&
+            col("doc_id") % 13 === 6, concat(col("text"), lit(" spark")))
+          .otherwise(col("text")))
+
+  private val bm25RebuildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The REBUILT index: base build + append feed (left uncompacted,
+    * live tombstones), then [[graft.operators.LexicalIndex.rebuildBm25Index]]
+    * over the post-feed corpus WITH a retention purge
+    * (doc_id % 23 == 11 dropped) and a re-bucketing (32 → 16) — an
+    * atomic generation swap — then one more updated feed
+    * (doc_id % 17 == 9 gains ' vector') applied to the NEW
+    * generation. The retention purge is what makes a skipped or torn
+    * rebuild detectable: purged docs linger in the old generation
+    * only. */
+  private def cachedBm25RebuildIndex(docs: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    bm25RebuildCache.computeIfAbsent(s"$datasetDir@${docStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25rebuild")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val s = docs.sparkSession
+      graft.operators.LexicalIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 7 =!= 3), p.toString, nBuckets = 32)
+      graft.operators.LexicalIndex.applyBm25IndexChanges(s,
+        p.toString, bm25Feed(docs), mode = "append"): Unit
+      val purged = postFeedDocs(docs).filter(col("doc_id") % 23 =!= 11)
+      graft.operators.LexicalIndex.rebuildBm25Index(s, p.toString, purged,
+        nBuckets = 16): Unit
+      val feed2 = purged.filter(col("doc_id") % 17 === 9)
+        .withColumn("text", concat(col("text"), lit(" vector")))
+        .withColumn("_change", lit("updated"))
+      graft.operators.LexicalIndex.applyBm25IndexChanges(s,
+        p.toString, feed2, mode = "append"): Unit
+      p.toString
+    })
+
   /** The post-change-corpus BM25 oracle shared by every maintained-
     * index gate (incremental rewrite, LSM append, streaming): the
     * oracle knows nothing of any index — it scores the corpus AFTER
     * the change feed directly, so a stale posting, lost delete,
     * missed zero-token doc in n_docs, or drifted stats break the
     * hash regardless of which maintenance path built the state. */
-  private def bm25MaintainedOracle: String =
+  private def bm25MaintainedOracle: String = bm25MaintainedOracle("", "")
+
+  /** `textCat` appends later-feed text edits to the post-feed text
+    * expression; `corpusAnd` narrows the corpus further (a retention
+    * purge at rebuild). The oracle still knows nothing of any index —
+    * it derives BM25 from the final corpus state alone. */
+  private def bm25MaintainedOracle(textCat: String, corpusAnd: String): String =
     s"""WITH docs AS (
        |  SELECT doc_id,
-       |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
-       |         THEN text || ' spark' ELSE text END AS text
+       |    (CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
+       |         THEN text || ' spark' ELSE text END)$textCat AS text
        |  FROM documents
-       |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
+       |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)$corpusAnd),
        |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
        |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
        |stats AS (SELECT COUNT(*) AS n_docs,
@@ -1133,6 +1189,29 @@ object TextQueries {
       "q_text_bm25_stream",
       bm25MaintainedOracle) { (s, d) =>
       val dir = cachedBm25StreamIndex(Tables.documents(s, d), d)
+      graft.operators.LexicalIndex.searchBm25Index(s, dir,
+          Seq("merge", "spark", "vector"), k = 25)
+        .select("doc_id", "score", "n_terms")
+    },
+
+    // REBUILT index under the hash gate: base build + append feed
+    // (live tombstones), then rebuildBm25Index over the post-feed
+    // corpus with a retention purge (doc_id % 23 == 11 dropped) and a
+    // 32 → 16 re-bucketing — an atomic generation swap — then one
+    // more updated feed (doc_id % 17 == 9 gains ' vector') applied to
+    // the NEW generation. The oracle derives BM25 from the final
+    // corpus alone: a skipped rebuild leaves purged docs scoring (and
+    // the corpus stats inflated), a torn one mixes bucketings, a
+    // post-rebuild delta applied to the dead generation loses the
+    // ' vector' edits — all break the hash.
+    QueryDef.sql(
+      "q_text_bm25_rebuild",
+      // NB the concat stays on one line: a continuation line starting
+      // with '||' would lose its first bar to stripMargin
+      bm25MaintainedOracle(
+        " || (CASE WHEN doc_id % 17 = 9 THEN ' vector' ELSE '' END)",
+        "\n    AND doc_id % 23 <> 11")) { (s, d) =>
+      val dir = cachedBm25RebuildIndex(Tables.documents(s, d), d)
       graft.operators.LexicalIndex.searchBm25Index(s, dir,
           Seq("merge", "spark", "vector"), k = 25)
         .select("doc_id", "score", "n_terms")

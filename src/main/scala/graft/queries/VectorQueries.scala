@@ -124,6 +124,166 @@ object VectorQueries {
       p.toString
     })
 
+  /** The post-feed corpus — what [[incFeed]] leaves behind: feed
+    * orphans gone, updated embeddings reversed, new ids present. This
+    * is the corpus of record a retrain trains on (and exactly the `e`
+    * CTE the maintained-index oracles derive). */
+  private def postFeedCorpus(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val high = col("vec_id") >= 8
+    emb.filter(!(high && col("vec_id") % 7 =!= 5 && col("vec_id") % 11 === 2))
+      .withColumn("embedding",
+        when(high && col("vec_id") % 7 =!= 5 && col("vec_id") % 11 =!= 2 &&
+            col("vec_id") % 13 === 4, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+  }
+
+  private val streamIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The same base index and feed as [[cachedIncIndex]], but
+    * maintained FROM A STREAM: a checkpointed StreamingQuery applies
+    * one append-mode delta per micro-batch
+    * ([[SimilaritySearch.ivfPqIndexSink]], with the per-batch
+    * compaction trigger). */
+  private def cachedStreamIndex(emb: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    streamIndexCache.computeIfAbsent(s"$datasetDir@${sourceStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfstream")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val s = emb.sparkSession
+      val high = col("vec_id") >= 8
+      val base = emb.filter(!high || col("vec_id") % 7 =!= 5)
+      SimilaritySearch.writeIvfPqIndex(base, s"$p/index",
+        coarseIds = 0L until 8L, pqIds = 0L until 4L, m = 4)
+      val feed = incFeed(emb).select("vec_id", "embedding", "_change")
+      feed.repartition(3).write.mode("overwrite").parquet(s"$p/feed")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$p/feed")
+      val q = SimilaritySearch.ivfPqIndexSink(stream, s"$p/index", s"$p/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$p/index"
+    })
+
+  private val retrainIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The RETRAINED index: base build + append-mode feed (left
+    * uncompacted, live tombstones), then
+    * [[SimilaritySearch.retrainIvfPqIndex]] over the post-feed corpus
+    * with DIFFERENT quantizer training ids (coarse 8-16, pq 17-20 —
+    * the swap is detectable: searching through the old quantizers
+    * breaks the hash), then one MORE append-mode feed (ids
+    * % 19 == 7 orphaned) applied to the NEW generation — retrain and
+    * continued maintenance, end to end. */
+  private def cachedRetrainIndex(emb: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    retrainIndexCache.computeIfAbsent(s"$datasetDir@${sourceStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_retrainidx")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val s = emb.sparkSession
+      val high = col("vec_id") >= 8
+      val base = emb.filter(!high || col("vec_id") % 7 =!= 5)
+      SimilaritySearch.writeIvfPqIndex(base, p.toString,
+        coarseIds = 0L until 8L, pqIds = 0L until 4L, m = 4)
+      SimilaritySearch.applyIvfPqIndexChanges(s, p.toString,
+        incFeed(emb), mode = "append"): Unit
+      val post1 = postFeedCorpus(emb)
+      SimilaritySearch.retrainIvfPqIndex(s, p.toString, post1,
+        coarseIds = Seq(8L, 9L, 10L, 11L, 12L, 14L, 15L, 16L),
+        pqIds = Seq(17L, 18L, 19L, 20L), m = 4): Unit
+      val feed2 = post1.filter(col("vec_id") % 19 === 7)
+        .withColumn("_change", lit("orphaned"))
+      SimilaritySearch.applyIvfPqIndexChanges(s, p.toString, feed2,
+        mode = "append"): Unit
+      p.toString
+    })
+
+  /** The maintained-index oracle, parameterized: derives the whole
+    * IVF-PQ search in SQL from the POST-CHANGE corpus — coarse
+    * assignment, PQ codes, 2-probe selection, ADC rerank — knowing
+    * nothing of any index, manifest, tombstone, or generation. A
+    * stale code, lost delete, resurrected row, or un-swapped
+    * quantizer all break the hash. `corpusAnd` narrows the corpus
+    * further (later feeds / retention); `cbWhere` / `coWhere` select
+    * the PQ / coarse training rows (post-retrain gates pass the NEW
+    * quantizer ids). */
+  private def ivfPqMaintainedOracle(corpusAnd: String, cbWhere: String,
+      coWhere: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
+       |              AND vec_id % 13 = 4
+       |         THEN list_transform(range(1, len(embedding) + 1),
+       |                i -> embedding[len(embedding) + 1 - i])
+       |         ELSE embedding END AS v
+       |  FROM embeddings
+       |  WHERE NOT (vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 = 2)$corpusAnd),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+       |       FROM e WHERE $cbWhere),
+       |sub AS (SELECT e.vec_id, s.j, cb.ci,
+       |    list_sum(list_transform(range(1, 17),
+       |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
+       |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
+       |      AS d
+       |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
+       |best AS (SELECT vec_id, j, ci FROM (
+       |           SELECT vec_id, j, ci,
+       |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+       |           FROM sub) WHERE rn = 1),
+       |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+       |       FROM e WHERE $coWhere),
+       |ad AS (
+       |  SELECT e.vec_id, co.li,
+       |    list_sum(list_transform(range(1, len(v) + 1),
+       |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+       |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+       |  FROM e, co),
+       |assign AS (SELECT vec_id, li FROM (
+       |             SELECT vec_id, li,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+       |             FROM ad)
+       |           WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, li FROM (
+       |            SELECT vec_id, li,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+       |            FROM ad WHERE vec_id < 5)
+       |          WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN assign a USING (li)
+       |         WHERE a.vec_id <> p.query_id),
+       |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
+       |    list_sum(list_transform(range(1, 17),
+       |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
+       |           * (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))))
+       |      AS d
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN best b ON b.vec_id = c.neighbor_id
+       |  JOIN cb ON cb.ci = b.ci),
+       |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
+       |        FROM dj GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc_dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+       |           AS "rank"
+       |       FROM adc)
+       |SELECT query_id, "rank", neighbor_id, adc_dist
+       |FROM rk WHERE "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -698,66 +858,7 @@ object VectorQueries {
     // double-insert, or a drifted quantizer all break the hash.
     QueryDef.sql(
       "q_vec_ivfpq_incremental",
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
-        |              AND vec_id % 13 = 4
-        |         THEN list_transform(range(1, len(embedding) + 1),
-        |                i -> embedding[len(embedding) + 1 - i])
-        |         ELSE embedding END AS v
-        |  FROM embeddings
-        |  WHERE NOT (vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 = 2)),
-        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
-        |       FROM e WHERE vec_id < 4),
-        |sub AS (SELECT e.vec_id, s.j, cb.ci,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
-        |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
-        |      AS d
-        |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
-        |best AS (SELECT vec_id, j, ci FROM (
-        |           SELECT vec_id, j, ci,
-        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
-        |           FROM sub) WHERE rn = 1),
-        |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
-        |       FROM e WHERE vec_id < 8),
-        |ad AS (
-        |  SELECT e.vec_id, co.li,
-        |    list_sum(list_transform(range(1, len(v) + 1),
-        |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
-        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
-        |  FROM e, co),
-        |assign AS (SELECT vec_id, li FROM (
-        |             SELECT vec_id, li,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
-        |             FROM ad)
-        |           WHERE rn = 1),
-        |probe AS (SELECT vec_id AS query_id, li FROM (
-        |            SELECT vec_id, li,
-        |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
-        |            FROM ad WHERE vec_id < 5)
-        |          WHERE rn <= 2),
-        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-        |         FROM probe p JOIN assign a USING (li)
-        |         WHERE a.vec_id <> p.query_id),
-        |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
-        |           * (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))))
-        |      AS d
-        |  FROM cand c
-        |  JOIN e q ON q.vec_id = c.query_id
-        |  JOIN best b ON b.vec_id = c.neighbor_id
-        |  JOIN cb ON cb.ci = b.ci),
-        |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
-        |        FROM dj GROUP BY 1, 2),
-        |rk AS (SELECT query_id, neighbor_id, adc_dist,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
-        |           AS "rank"
-        |       FROM adc)
-        |SELECT query_id, "rank", neighbor_id, adc_dist
-        |FROM rk WHERE "rank" <= 5
-        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val dir = cachedIncIndex(emb, d)
       SimilaritySearch.searchIvfPqIndex(s, dir,
@@ -775,68 +876,47 @@ object VectorQueries {
     // re-insert, or a missed append branch all break the hash.
     QueryDef.sql(
       "q_vec_ivfpq_lsm",
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
-        |              AND vec_id % 13 = 4
-        |         THEN list_transform(range(1, len(embedding) + 1),
-        |                i -> embedding[len(embedding) + 1 - i])
-        |         ELSE embedding END AS v
-        |  FROM embeddings
-        |  WHERE NOT (vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 = 2)),
-        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
-        |       FROM e WHERE vec_id < 4),
-        |sub AS (SELECT e.vec_id, s.j, cb.ci,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
-        |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
-        |      AS d
-        |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
-        |best AS (SELECT vec_id, j, ci FROM (
-        |           SELECT vec_id, j, ci,
-        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
-        |           FROM sub) WHERE rn = 1),
-        |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
-        |       FROM e WHERE vec_id < 8),
-        |ad AS (
-        |  SELECT e.vec_id, co.li,
-        |    list_sum(list_transform(range(1, len(v) + 1),
-        |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
-        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
-        |  FROM e, co),
-        |assign AS (SELECT vec_id, li FROM (
-        |             SELECT vec_id, li,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
-        |             FROM ad)
-        |           WHERE rn = 1),
-        |probe AS (SELECT vec_id AS query_id, li FROM (
-        |            SELECT vec_id, li,
-        |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
-        |            FROM ad WHERE vec_id < 5)
-        |          WHERE rn <= 2),
-        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-        |         FROM probe p JOIN assign a USING (li)
-        |         WHERE a.vec_id <> p.query_id),
-        |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
-        |           * (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))))
-        |      AS d
-        |  FROM cand c
-        |  JOIN e q ON q.vec_id = c.query_id
-        |  JOIN best b ON b.vec_id = c.neighbor_id
-        |  JOIN cb ON cb.ci = b.ci),
-        |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
-        |        FROM dj GROUP BY 1, 2),
-        |rk AS (SELECT query_id, neighbor_id, adc_dist,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
-        |           AS "rank"
-        |       FROM adc)
-        |SELECT query_id, "rank", neighbor_id, adc_dist
-        |FROM rk WHERE "rank" <= 5
-        |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val dir = cachedLsmIndex(emb, d)
+      SimilaritySearch.searchIvfPqIndex(s, dir,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // STREAM-maintained vector index (the IVF-PQ twin of
+    // q_text_bm25_stream): a checkpointed StreamingQuery applies the
+    // identical change feed one append-mode delta per micro-batch,
+    // with the compaction trigger run per batch. Same oracle as
+    // q_vec_ivfpq_incremental — the logical state must be identical
+    // regardless of which maintenance path (one-shot batch, LSM
+    // append, stream) built it.
+    QueryDef.sql(
+      "q_vec_ivfpq_stream",
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedStreamIndex(emb, d)
+      SimilaritySearch.searchIvfPqIndex(s, dir,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // RETRAINED quantizers under the hash gate: base build + append
+    // feed (live tombstones), then retrainIvfPqIndex over the
+    // post-feed corpus with NEW training ids (coarse 8-16, pq 17-20)
+    // — an atomic generation swap — then one more orphan feed applied
+    // to the new generation. The oracle derives everything from the
+    // post-change corpus THROUGH THE NEW QUANTIZERS: an un-swapped
+    // (or torn) retrain, a reader mixing old codes with new
+    // codebooks, or a post-retrain delta applied to the dead
+    // generation all break the hash.
+    QueryDef.sql(
+      "q_vec_ivfpq_retrain",
+      ivfPqMaintainedOracle("\n    AND vec_id % 19 <> 7",
+        "vec_id IN (17, 18, 19, 20)",
+        "vec_id IN (8, 9, 10, 11, 12, 14, 15, 16)")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedRetrainIndex(emb, d)
       SimilaritySearch.searchIvfPqIndex(s, dir,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy("query_id", "rank")

@@ -164,11 +164,19 @@ object BenchScale {
       .unionByName(emb.filter(vHigh && vm === 29)
         .withColumn("embedding", reverse(col("embedding")))
         .withColumn("_change", lit("updated")))
+    // post-feed corpora: what the indexes logically serve after the
+    // apply — the rebuild/retrain input (r15 generation-swap phases)
+    val bmPost = docs.filter(dm =!= 13).withColumn("text",
+      when(dm === 29, concat(col("text"), lit(" spark"))).otherwise(col("text")))
+    val vPost = emb.filter(!(vHigh && vm === 13)).withColumn("embedding",
+      when(vHigh && vm === 29, reverse(col("embedding"))).otherwise(col("embedding")))
     val phaseNames = Seq(
       "x_bm25_build", "x_bm25_apply_append", "x_bm25_search_lsm",
       "x_bm25_compact", "x_bm25_search_compacted",
+      "x_bm25_rebuild_swap", "x_bm25_search_rebuilt",
       "x_ivfpq_build", "x_ivfpq_apply_append", "x_ivfpq_search_lsm",
-      "x_ivfpq_compact", "x_ivfpq_search_compacted")
+      "x_ivfpq_compact", "x_ivfpq_search_compacted",
+      "x_ivfpq_retrain_swap", "x_ivfpq_search_retrained")
     def indexPipelineRep(): Seq[(String, (Rep, Long))] = {
       import graft.operators.{LexicalIndex, SimilaritySearch}
       val bmDir = java.nio.file.Files.createTempDirectory("graft_bs_bm25").toString
@@ -185,6 +193,11 @@ object BenchScale {
       out += "x_bm25_compact" -> measure {
         LexicalIndex.compactBm25Index(spark, bmDir); 1L }
       out += "x_bm25_search_compacted" -> measure(bmSearch())
+      // full rebuild as an atomic generation swap (r15): the
+      // re-bucketing/retention move — cost ≈ one build + pointer swap
+      out += "x_bm25_rebuild_swap" -> measure {
+        LexicalIndex.rebuildBm25Index(spark, bmDir, bmPost, nBuckets = 64); 1L }
+      out += "x_bm25_search_rebuilt" -> measure(bmSearch())
       out += "x_ivfpq_build" -> measure {
         SimilaritySearch.writeIvfPqIndex(vBase, ivDir,
           coarseIds = 0L until 64L, pqIds = 0L until 8L, m = 4); 1L }
@@ -197,6 +210,12 @@ object BenchScale {
       out += "x_ivfpq_compact" -> measure {
         SimilaritySearch.compactIvfPqIndex(spark, ivDir); 1L }
       out += "x_ivfpq_search_compacted" -> measure(ivSearch())
+      // quantizer retrain as an atomic generation swap (r15): the
+      // drift remedy — cost ≈ one build + pointer swap
+      out += "x_ivfpq_retrain_swap" -> measure {
+        SimilaritySearch.retrainIvfPqIndex(spark, ivDir, vPost,
+          coarseIds = 0L until 64L, pqIds = 0L until 8L, m = 4); 1L }
+      out += "x_ivfpq_search_retrained" -> measure(ivSearch())
       Seq(bmDir, ivDir).foreach { d =>
         import scala.jdk.CollectionConverters._
         val p = java.nio.file.Paths.get(d)

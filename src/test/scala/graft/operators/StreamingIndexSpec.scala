@@ -129,4 +129,59 @@ class StreamingIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(search(s"$root/index") == oracle)
   }
+
+  // ---- the IVF-PQ twin (SimilaritySearch.ivfPqIndexSink) ----
+
+  private def vec(id: Long): Seq[Float] = {
+    val lobe = if (id % 2 == 0) 0f else 100f
+    Seq.tabulate(8)(i => lobe + ((id * 7 + i * 3) % 13).toFloat)
+  }
+  private def vecs(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+  }
+
+  test("stream-maintained IVF-PQ index equals the batch-maintained one; redelivery is a no-op") {
+    val baseIds = 0L until 16L
+    val root = Files.createTempDirectory("graft_stream_ivf").toString
+    SimilaritySearch.writeIvfPqIndex(vecs(baseIds), s"$root/index",
+      coarseIds = 0L until 4L, pqIds = 0L until 4L, m = 4)
+
+    val feed = vecs(Seq(16L, 17L)).withColumn("_change", lit("new"))
+      .unionByName(vecs(Seq(5L, 9L)).withColumn("_change", lit("orphaned")))
+    feed.repartition(2).write.parquet(s"$root/feed")
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/feed")
+    val q = SimilaritySearch.ivfPqIndexSink(stream, s"$root/index", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // batch-maintained twin over the identical feed
+    val batchDir = Files.createTempDirectory("graft_stream_ivf_batch").toString
+    SimilaritySearch.writeIvfPqIndex(vecs(baseIds), batchDir,
+      coarseIds = 0L until 4L, pqIds = 0L until 4L, m = 4)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, batchDir, feed,
+      mode = "append"): Unit
+
+    def searchIvf(d: String): Seq[Seq[Any]] =
+      SimilaritySearch.searchIvfPqIndex(spark, d, vecs(Seq(0L, 1L)),
+          k = 4, nProbe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(searchIvf(s"$root/index") == searchIvf(batchDir))
+    assert(!searchIvf(s"$root/index").exists(_(2) == 5L)) // orphan killed
+
+    // crash-redelivery: one batch re-applied is a logical no-op
+    val before = searchIvf(s"$root/index")
+    val oneBatch = spark.read.parquet(s"$root/feed").limit(2)
+    SimilaritySearch.applyIvfPqIndexChanges(spark, s"$root/index",
+      oneBatch, mode = "append"): Unit
+    assert(searchIvf(s"$root/index") == before)
+
+    // compaction folds the stream's log to the bit-exact rebuild state
+    SimilaritySearch.compactIvfPqIndex(spark, s"$root/index")
+    val reb = Files.createTempDirectory("graft_stream_ivf_reb").toString
+    val finalIds = (baseIds ++ Seq(16L, 17L)).filterNot(Seq(5L, 9L).contains)
+    SimilaritySearch.writeIvfPqIndex(vecs(finalIds), reb,
+      coarseIds = 0L until 4L, pqIds = 0L until 4L, m = 4)
+    assert(searchIvf(s"$root/index") == searchIvf(reb))
+  }
 }
