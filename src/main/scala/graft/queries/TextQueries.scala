@@ -1323,6 +1323,129 @@ object TextQueries {
         .orderBy(col("rrf_score").desc, col("doc_id"))
     },
 
+    // The production retrieval stack END TO END: RRF fusion where BOTH
+    // shortlists come from MAINTAINED indexes — the BM25 shortlist from
+    // the incrementally-maintained inverted file (bucket-pruned search
+    // over the post-feed documents), the vector shortlist from the
+    // change-feed-maintained IVF-PQ index (2-probe ADC ranking over the
+    // post-feed embeddings). The oracle re-derives both rankings and
+    // the fusion from the two post-change corpora alone — a stale
+    // posting OR a stale code surfaces in the fused top-10 hash.
+    QueryDef.sql(
+      "q_retrieval_hybrid_indexed",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 4 AND doc_id % 13 = 6
+         |         THEN text || ' spark' ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 11 = 4)),
+         |dl AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS dl FROM docs),
+         |toks AS (SELECT doc_id, unnest($toksDuck) AS term FROM docs),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |            CAST(SUM(len($toksDuck)) AS BIGINT) AS tot FROM docs),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+         |                            (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS s_t
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    ((0.0 + coalesce(max(CASE WHEN term = 'merge' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'spark' THEN s_t END), 0.0))
+         |         + coalesce(max(CASE WHEN term = 'vector' THEN s_t END), 0.0) AS score
+         |  FROM scored GROUP BY doc_id),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |          AS rank_lex
+         |        FROM agg ORDER BY score DESC, doc_id LIMIT 20),
+         |e AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
+         |              AND vec_id % 13 = 4
+         |         THEN list_transform(range(1, len(embedding) + 1),
+         |                i -> embedding[len(embedding) + 1 - i])
+         |         ELSE embedding END AS v
+         |  FROM embeddings
+         |  WHERE NOT (vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 = 2)),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+         |       FROM e WHERE vec_id < 4),
+         |sub AS (SELECT e.vec_id, s.j, cb.ci,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))
+         |           * (CAST(v[j * 16 + i] AS DOUBLE) - CAST(cv[j * 16 + i] AS DOUBLE))))
+         |      AS d
+         |  FROM e CROSS JOIN cb CROSS JOIN UNNEST(range(0, 4)) AS s(j)),
+         |best AS (SELECT vec_id, j, ci FROM (
+         |           SELECT vec_id, j, ci,
+         |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+         |           FROM sub) WHERE rn = 1),
+         |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+         |       FROM e WHERE vec_id < 8),
+         |ad AS (
+         |  SELECT e.vec_id, co.li,
+         |    list_sum(list_transform(range(1, len(v) + 1),
+         |      i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+         |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+         |  FROM e, co),
+         |assign AS (SELECT vec_id, li FROM (
+         |             SELECT vec_id, li,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+         |             FROM ad)
+         |           WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, li FROM (
+         |            SELECT vec_id, li,
+         |              row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+         |            FROM ad WHERE vec_id = 0)
+         |          WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probe p JOIN assign a USING (li)
+         |         WHERE a.vec_id <> p.query_id),
+         |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
+         |           * (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))))
+         |      AS d
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN best b ON b.vec_id = c.neighbor_id
+         |  JOIN cb ON cb.ci = b.ci),
+         |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
+         |        FROM dj GROUP BY 1, 2),
+         |vec AS (SELECT neighbor_id AS doc_id,
+         |          CAST(row_number() OVER (ORDER BY adc_dist, neighbor_id) AS INT)
+         |            AS rank_vec
+         |        FROM adc ORDER BY adc_dist, neighbor_id LIMIT 20),
+         |fused AS (
+         |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |    coalesce(rank_lex, 0) AS rank_lex,
+         |    coalesce(rank_vec, 0) AS rank_vec,
+         |    coalesce(1.0 / (CAST(60 AS DOUBLE) + CAST(rank_lex AS DOUBLE)), 0.0)
+         |      + coalesce(1.0 / (CAST(60 AS DOUBLE) + CAST(rank_vec AS DOUBLE)), 0.0)
+         |      AS rrf_score
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+         |SELECT doc_id, rank_lex, rank_vec, rrf_score
+         |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bmDir = cachedBm25Index(Tables.documents(s, d), d)
+      val ivDir = VectorQueries.incIndexDir(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.operators.LexicalIndex.searchBm25Index(s, bmDir,
+          Seq("merge", "spark", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val vec = SimilaritySearch.searchIvfPqIndex(s, ivDir,
+          emb.filter(col("vec_id") === 0), k = 20, nProbe = 2)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    },
+
     // BPE merge application (Sennrich apply_bpe: char symbols, then
     // each merge as a rank-ordered global replace): per-doc BPE unit
     // counts under a fixed 8-merge list, plus the segmented form of

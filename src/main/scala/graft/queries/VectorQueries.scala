@@ -82,6 +82,13 @@ object VectorQueries {
       p.toString
     })
 
+  /** The maintained-index dir for cross-module composition gates
+    * (q_retrieval_hybrid_indexed fuses this index's shortlist with the
+    * maintained BM25 one). */
+  private[queries] def incIndexDir(s: org.apache.spark.sql.SparkSession,
+      datasetDir: String): String =
+    cachedIncIndex(graft.Tables.embeddings(s, datasetDir), datasetDir)
+
   private def incFeed(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val high = col("vec_id") >= 8
     val nw = emb.filter(high && col("vec_id") % 7 === 5)
