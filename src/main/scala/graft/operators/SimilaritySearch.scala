@@ -519,7 +519,8 @@ object SimilaritySearch {
     * scan prunes to the probed partitions before any task launches. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val dir = IndexGenerations.resolve(spark, indexDir)
     val cents = spark.read.parquet(s"$dir/centroids").collect() // nLists tiny rows
@@ -559,9 +560,25 @@ object SimilaritySearch {
     // append-maintained indexes carry live tombstones between
     // compactions — the kill join is delta-scale and broadcasts; a
     // clean (or legacy) index skips it entirely
-    val codes = LsmTombstones.filterLive(spark, dir,
+    // metadata-filtered search (the filtered-ANN problem): the allowed
+    // id set — produced by an arbitrary predicate over the corpus
+    // table — PRE-filters the probed candidates via a broadcast semi
+    // join, so the top-k ranks among allowed vectors only (exact
+    // within the probed lists; POST-filtering the top-k would
+    // silently return < k whenever the filter is selective). The set
+    // must be shortlist-shaped (it broadcasts); for percent-scale
+    // filters prefer partitioning the corpus on the filter column and
+    // maintaining one index per partition.
+    val allowFilter: DataFrame => DataFrame = allowedIds match {
+      case None => identity
+      case Some(ids) =>
+        val allow = broadcast(
+          ids.select(col(ids.columns.head).cast("long").as("_id")).distinct())
+        df => df.join(allow, "_id")
+    }
+    val codes = allowFilter(LsmTombstones.filterLive(spark, dir,
         graft.sources.Sources.readMergePartitioned(spark, s"$dir/codes", "_list"),
-        "_id")
+        "_id"))
       .filter(col("_list").isin(probed: _*))
     val adc = adcDist(cbs, col("_qv"), col("codes"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("_id"))

@@ -227,9 +227,10 @@ object VectorQueries {
     * quantizer all break the hash. `corpusAnd` narrows the corpus
     * further (later feeds / retention); `cbWhere` / `coWhere` select
     * the PQ / coarse training rows (post-retrain gates pass the NEW
-    * quantizer ids). */
+    * quantizer ids); `candAnd` narrows the candidate set (the
+    * metadata-filtered-ANN gate). */
   private def ivfPqMaintainedOracle(corpusAnd: String, cbWhere: String,
-      coWhere: String): String =
+      coWhere: String, candAnd: String = ""): String =
     s"""WITH e AS (
        |  SELECT vec_id,
        |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
@@ -271,7 +272,7 @@ object VectorQueries {
        |          WHERE rn <= 2),
        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |         FROM probe p JOIN assign a USING (li)
-       |         WHERE a.vec_id <> p.query_id),
+       |         WHERE a.vec_id <> p.query_id$candAnd),
        |dj AS (SELECT c.query_id, c.neighbor_id, b.j,
        |    list_sum(list_transform(range(1, 17),
        |      i -> (CAST(q.v[b.j * 16 + i] AS DOUBLE) - CAST(cb.cv[b.j * 16 + i] AS DOUBLE))
@@ -905,6 +906,26 @@ object VectorQueries {
       val dir = cachedStreamIndex(emb, d)
       SimilaritySearch.searchIvfPqIndex(s, dir,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // Metadata-FILTERED vector search over the maintained index (the
+    // filtered-ANN problem): an arbitrary predicate over the corpus
+    // (vec_id % 3 == 1) becomes the allowed-id set, PRE-filtering the
+    // probed candidates via a broadcast semi join so the top-k ranks
+    // among allowed vectors only — post-filtering the unfiltered
+    // top-k would return short lists under any selective predicate.
+    // Same maintained index as q_vec_ivfpq_incremental; the oracle
+    // narrows its candidate CTE with the same predicate.
+    QueryDef.sql(
+      "q_vec_ivfpq_filtered",
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8",
+        " AND a.vec_id % 3 = 1")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedIncIndex(emb, d)
+      SimilaritySearch.searchIvfPqIndex(s, dir,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
+          allowedIds = Some(emb.filter(col("vec_id") % 3 === 1).select("vec_id")))
         .orderBy("query_id", "rank")
     },
 

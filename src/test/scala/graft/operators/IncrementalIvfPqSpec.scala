@@ -228,6 +228,35 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(m3.driftRatio.isEmpty)
   }
 
+  test("metadata-filtered search ranks among allowed ids only, duplicate-proof") {
+    val dir = builtAndApplied()
+    val queries = corpus(Seq(0L, 1L))
+    val allowed = corpus((0L until 24L).filter(_ % 3 == 1)).select("vec_id")
+    def run(ids: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.searchIvfPqIndex(spark, dir, queries, k = 3, nProbe = 2,
+          allowedIds = Some(ids))
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val res = run(allowed)
+    assert(res.nonEmpty)
+    // every neighbor satisfies the predicate; ranks are 1..n per query
+    assert(res.forall(r => r(2).asInstanceOf[Long] % 3 == 1))
+    res.groupBy(_.head).foreach { case (_, rs) =>
+      assert(rs.map(_(1)) == (1 to rs.length).toSeq) }
+    // a duplicated allowed set must not duplicate candidates
+    assert(run(allowed.unionAll(allowed)) == res)
+    // the filtered ranking is the unfiltered candidate ranking with
+    // disallowed ids removed (pre-filter semantics, not post-trim)
+    val unfiltered = SimilaritySearch.searchIvfPqIndex(spark, dir, queries,
+        k = 1000, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    val expect = unfiltered.filter(r => r(2).asInstanceOf[Long] % 3 == 1)
+      .groupBy(_.head).view.mapValues(_.sortBy(_(1).asInstanceOf[Int]).take(3)
+        .map(r => (r.head, r(2), r(3)))).toMap
+    val got = res.groupBy(_.head).view
+      .mapValues(_.map(r => (r.head, r(2), r(3)))).toMap
+    assert(got == expect)
+  }
+
   private implicit class IterWrap[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
