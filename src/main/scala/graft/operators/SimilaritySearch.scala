@@ -591,6 +591,51 @@ object SimilaritySearch {
         col("adc_dist"))
   }
 
+  /** Two-stage search with EXACT re-ranking (the standard refinement
+    * step over a product-quantized index): stage 1 is
+    * [[searchIvfPqIndex]] at `kCoarse` (ADC over the compressed
+    * codes — cheap, approximate), stage 2 joins the shortlist back to
+    * the CORPUS table for the true vectors and re-ranks by exact
+    * squared L2, returning `k`. ADC error comes from quantization;
+    * re-ranking a modestly larger shortlist recovers most of the
+    * recall at the cost of reading kCoarse true vectors per query.
+    *
+    * Scale shape: the shortlist (queries × kCoarse rows) BROADCASTS
+    * against the corpus scan, which prunes to (id, vector) — the
+    * corpus is never shuffled; cost is one column-pruned scan + a
+    * per-query top-k. `corpus` is the table of record the index was
+    * built from (at 100 TB the vectors live there; the index stores
+    * only codes). Composes with `allowedIds` (the filter applies in
+    * stage 1, so the shortlist is already all-allowed). */
+  def searchIvfPqIndexRefined(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      kCoarse: Int, nProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      allowedIds: Option[DataFrame] = None): DataFrame = {
+    require(kCoarse >= k, s"kCoarse ($kCoarse) must be >= k ($k)")
+    val short = searchIvfPqIndex(spark, indexDir, queries, kCoarse, nProbe,
+        idCol, vecCol, allowedIds)
+      .select("query_id", "neighbor_id")
+    val nb = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("_nv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"))
+    // exact squared L2, left-to-right double fold (bit-deterministic,
+    // same order as the oracle's list_sum(list_transform(...)))
+    val exact = aggregate(
+      zip_with(col("_qv"), col("_nv"), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, z) => acc + z)
+    val w = Window.partitionBy("query_id").orderBy(col("exact_dist"), col("neighbor_id"))
+    nb.join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("exact_dist", exact)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("exact_dist"))
+  }
+
   /** Outcome of one [[applyIvfPqIndexChanges]] application.
     * `driftRatio` is the quantizer-drift tripwire: the delta's mean
     * own-centroid squared distance over the BUILD corpus's stored mean

@@ -231,6 +231,21 @@ object VectorQueries {
     * metadata-filtered-ANN gate). */
   private def ivfPqMaintainedOracle(corpusAnd: String, cbWhere: String,
       coWhere: String, candAnd: String = ""): String =
+    ivfPqCandidateCtes(corpusAnd, cbWhere, coWhere, candAnd) + "\n" +
+      s"""rk AS (SELECT query_id, neighbor_id, adc_dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+         |           AS "rank"
+         |       FROM adc)
+         |SELECT query_id, "rank", neighbor_id, adc_dist
+         |FROM rk WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+
+  /** The shared WITH-chain through the ADC candidate distances (CTE
+    * `adc`); tails compose the plain ranking
+    * ([[ivfPqMaintainedOracle]]) or the exact-vector rerank
+    * (q_vec_ivfpq_refined). Ends with a trailing comma. */
+  private def ivfPqCandidateCtes(corpusAnd: String, cbWhere: String,
+      coWhere: String, candAnd: String = ""): String =
     s"""WITH e AS (
        |  SELECT vec_id,
        |    CASE WHEN vec_id >= 8 AND vec_id % 7 <> 5 AND vec_id % 11 <> 2
@@ -283,14 +298,7 @@ object VectorQueries {
        |  JOIN best b ON b.vec_id = c.neighbor_id
        |  JOIN cb ON cb.ci = b.ci),
        |adc AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY j)) AS adc_dist
-       |        FROM dj GROUP BY 1, 2),
-       |rk AS (SELECT query_id, neighbor_id, adc_dist,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
-       |           AS "rank"
-       |       FROM adc)
-       |SELECT query_id, "rank", neighbor_id, adc_dist
-       |FROM rk WHERE "rank" <= 5
-       |ORDER BY query_id, "rank"""".stripMargin
+       |        FROM dj GROUP BY 1, 2),""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -926,6 +934,43 @@ object VectorQueries {
       SimilaritySearch.searchIvfPqIndex(s, dir,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
           allowedIds = Some(emb.filter(col("vec_id") % 3 === 1).select("vec_id")))
+        .orderBy("query_id", "rank")
+    },
+
+    // Two-stage search with EXACT re-ranking over the maintained
+    // index (FAISS's refine step): ADC top-20 shortlist from the
+    // codes, true vectors joined back from the corpus of record,
+    // exact squared-L2 top-5. The oracle replays both stages from the
+    // post-change corpus — a wrong shortlist, a stale corpus join, or
+    // a quantized distance leaking into the final ordering all break
+    // the hash.
+    QueryDef.sql(
+      "q_vec_ivfpq_refined",
+      ivfPqCandidateCtes("", "vec_id < 4", "vec_id < 8") + "\n" +
+        s"""rk0 AS (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+           |            AS crank
+           |        FROM adc),
+           |short AS (SELECT query_id, neighbor_id FROM rk0 WHERE crank <= 20),
+           |ex AS (SELECT s.query_id, s.neighbor_id,
+           |         list_sum(list_transform(range(1, len(q.v) + 1),
+           |           i -> (CAST(q.v[i] AS DOUBLE) - CAST(n.v[i] AS DOUBLE))
+           |                * (CAST(q.v[i] AS DOUBLE) - CAST(n.v[i] AS DOUBLE)))) AS exact_dist
+           |       FROM short s
+           |       JOIN e q ON q.vec_id = s.query_id
+           |       JOIN e n ON n.vec_id = s.neighbor_id),
+           |rk AS (SELECT query_id, neighbor_id, exact_dist,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY exact_dist, neighbor_id)
+           |           AS "rank"
+           |       FROM ex)
+           |SELECT query_id, "rank", neighbor_id, exact_dist
+           |FROM rk WHERE "rank" <= 5
+           |ORDER BY query_id, "rank"""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedIncIndex(emb, d)
+      SimilaritySearch.searchIvfPqIndexRefined(s, dir,
+          corpus = postFeedCorpus(emb), queries = emb.filter(col("vec_id") < 5),
+          k = 5, kCoarse = 20, nProbe = 2)
         .orderBy("query_id", "rank")
     },
 

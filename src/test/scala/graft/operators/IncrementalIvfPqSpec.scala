@@ -257,6 +257,32 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("refined search = exact-L2 rerank of the ADC shortlist") {
+    val dir = builtAndApplied()
+    val queries = corpus(Seq(0L, 1L))
+    val short = SimilaritySearch.searchIvfPqIndex(spark, dir, queries,
+        k = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val vecs = finalCorpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val expect = short.groupBy(_._1).toSeq.flatMap { case (qid, ns) =>
+      ns.map { case (_, nid) => (qid, nid, l2(vecs(qid), vecs(nid))) }
+        .sortBy(x => (x._3, x._2)).take(3).zipWithIndex
+        .map { case ((q, n, dist), i) => (q, i + 1, n, dist) }
+    }.sortBy(x => (x._1, x._2))
+    val got = SimilaritySearch.searchIvfPqIndexRefined(spark, dir,
+        corpus = finalCorpus, queries = queries, k = 3, kCoarse = 8, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.searchIvfPqIndexRefined(spark, dir, finalCorpus,
+        queries, k = 9, kCoarse = 8)
+    }
+  }
+
   private implicit class IterWrap[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
