@@ -134,7 +134,7 @@ object Bench {
       // query as -1 in the map (a silent catch turns a red query into
       // a fast-looking number)
       val err = try { q.fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e) }
+                catch { case scala.util.control.NonFatal(e) => Some(e) }
       val dt = (System.nanoTime() - t0) / 1e9
       err.foreach { e =>
         System.err.println(s"[bench] FAILED ${q.name}: ${e.getClass.getName}: " +
@@ -260,7 +260,7 @@ object Bench {
               flagged.sorted.mkString(", "))
           s"""{"metric":"ratio_vs_prev","prev":"${f.getName}","flagged_gt_1_5x":${flagged.size},"queries":${jmap(ratios.sortBy(_._1))}}"""
       }
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] ratio table failed: ${e.getMessage}")
       """{"metric":"ratio_vs_prev","prev":null,"queries":{}}"""
     }
@@ -273,7 +273,7 @@ object Bench {
         val p = java.nio.file.Paths.get(s"target/$name")
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p, text.getBytes("UTF-8"))
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // final line = compact headline subset (median values), guaranteed

@@ -241,28 +241,71 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
     val allSh = shingles(df, idCol, textCol, n).localCheckpoint(false)
-    val sizes = allSh.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val prefix = prefixShingles(allSh, sizes, threshold)
+    val dfreq = allSh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // Per-doc shingle ARRAY in the global (df asc, shingle asc) total
+    // order — built once, serving both stages (r16, VERDICT r15 #2):
+    // candidate generation slices the prefix WITH POSITIONS off it,
+    // and verification intersects two arrays per surviving pair in a
+    // pipelined projection. The pre-r16 verify re-joined the full
+    // posting lists per candidate (expand to |A| rows per pair, a
+    // second (id, shingle) shuffle, a count groupBy) — 12.2 GB of
+    // spill per rep at sf10, the suite's heaviest query.
+    val docArr = allSh.join(dfreq, "shingle")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle"))))
+        .as("_sarr"))
+      .withColumn("_n", size(col("_sarr")).cast("long"))
+      .withColumn("_plen",
+        (col("_n") -
+          ceil(lit(threshold) * col("_n").cast("double") - lit(1e-6)) + 1)
+          .cast("int"))
+      .localCheckpoint(false) // feeds candidate gen + both verify joins
+    val pref = docArr.select(col("_id"), col("_n"),
+        posexplode(slice(col("_sarr"), lit(1), col("_plen"))))
+      .select(col("_id"), col("_n"), col("pos").as("_pos"),
+        col("col").getField("shingle").as("shingle"))
     // PPJoin LENGTH FILTER: J(A,B) ≥ t forces t·max(|A|,|B|) ≤
-    // min(|A|,|B|) (intersection ≤ min, union ≥ max), so size-
-    // incompatible candidates die BEFORE the distinct — the sizes
-    // ride the prefix rows, zero extra joins; slack rounds toward
-    // keeping so no true pair is ever cut
-    val cand = prefix.select(col("_id").as("id_a"), col("shingle"),
-        col("_n").as("_na"))
-      .join(prefix.select(col("_id").as("id_b"), col("shingle"),
-        col("_n").as("_nb")), Seq("shingle"))
+    // min(|A|,|B|) (intersection ≤ min, union ≥ max) — size-
+    // incompatible candidates die pre-aggregation; slack rounds
+    // toward keeping so no true pair is ever cut.
+    // PPJoin+ POSITIONAL FILTER (Xiao et al. WWW'08): positions in
+    // the global order are order-consistent across docs, so every
+    // common token ≤ the LAST prefix match is itself a prefix match
+    // (counted in _c) and every one > it lies strictly after
+    // (max _pa, max _pb) in both docs — overlap ≤ _c +
+    // min(n_a−1−max_pa, n_b−1−max_pb). Pairs whose bound misses the
+    // J ≥ t overlap floor α = ⌈t/(1+t)·(n_a+n_b)⌉ never reach the
+    // verify join; α takes the downward slack so a float boundary
+    // only ever KEEPS a pair.
+    val alpha =
+      ceil(lit(threshold / (1.0 + threshold)) *
+        (col("_na") + col("_nb")).cast("double") - lit(1e-6))
+    val cand = pref.select(col("_id").as("id_a"), col("shingle"),
+        col("_n").as("_na"), col("_pos").as("_pa"))
+      .join(pref.select(col("_id").as("id_b"), col("shingle"),
+        col("_n").as("_nb"), col("_pos").as("_pb")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("_na"), col("_nb")).cast("double") >=
         lit(threshold) * greatest(col("_na"), col("_nb")).cast("double") - lit(1e-6))
-      .select("id_a", "id_b").distinct()
-    val common = allSh.select(col("_id").as("id_a"), col("shingle"))
-      .join(cand, Seq("id_a"))
-      .join(allSh.select(col("_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")), "id_b")
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(count(lit(1)).as("_c"), max(col("_pa")).as("_mpa"),
+        max(col("_pb")).as("_mpb"))
+      .filter((col("_c") +
+        least(col("_na") - 1 - col("_mpa"), col("_nb") - 1 - col("_mpb")))
+        .cast("double") >= alpha)
+      .select("id_a", "id_b")
+    // verify: exact intersection of the two full (distinct) shingle
+    // arrays — one array-bearing shuffle per candidate pair, no
+    // posting-list re-expansion
+    cand
+      .join(docArr.select(col("_id").as("id_a"), col("_sarr").as("_arrA"),
+        col("_n").as("n_a")), "id_a")
+      .join(docArr.select(col("_id").as("id_b"), col("_sarr").as("_arrB"),
+        col("_n").as("n_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(
+          transform(col("_arrA"), x => x.getField("shingle")),
+          transform(col("_arrB"), x => x.getField("shingle")))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

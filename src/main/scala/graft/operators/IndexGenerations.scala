@@ -49,24 +49,37 @@ private[graft] object IndexGenerations {
 
   /** The live generation dir: `<dir>/<pointee>` when the `_gen`
     * pointer exists, else `dir` itself (plain / pre-generation
-    * layout). */
+    * layout). Resolution is RECURSIVE: if a caller mistakenly rebuilt
+    * against a generation dir instead of the logical root (creating a
+    * nested `_gen` inside a `gen-*` dir), readers addressing the root
+    * still converge
+    * on the newest data instead of silently serving the stale middle
+    * generation. Bounded so a pointer cycle (hand-edited control
+    * files) fails loudly instead of spinning. */
   def resolve(spark: SparkSession, dir: String): String = {
     val fs = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir, PointerName)
-    if (!fs.exists(p)) dir
-    else {
+    var cur = dir
+    var hops = 0
+    while (hops < 16) {
+      val p = new org.apache.hadoop.fs.Path(cur, PointerName)
+      if (!fs.exists(p)) return cur
       val in = fs.open(p)
       val name =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
         s"index generation pointer $p names an invalid generation '$name'")
-      val gen = new org.apache.hadoop.fs.Path(dir, name)
+      val gen = new org.apache.hadoop.fs.Path(cur, name)
       require(fs.exists(gen),
         s"index generation pointer $p names $name, which does not exist — " +
           "vacuumed too eagerly?")
-      gen.toString
+      cur = gen.toString
+      hops += 1
     }
+    throw new IllegalStateException(
+      s"index generation pointers under $dir nest deeper than 16 levels — " +
+        "pointer cycle or rebuilds addressed at generation dirs; " +
+        "address the logical index root instead")
   }
 
   /** Path for the next generation build (monotonic over live gen dirs;
@@ -75,6 +88,10 @@ private[graft] object IndexGenerations {
   def next(spark: SparkSession, dir: String): String = {
     val fs = fsOf(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir)
+    require(!root.getName.startsWith(GenPrefix),
+      s"$dir is itself a generation dir — rebuild/retrain against the " +
+        "logical index root (the dir holding the _gen pointer), not the " +
+        "generation it currently resolves to")
     val n =
       if (!fs.exists(root)) 1L
       else fs.listStatus(root).toSeq.collect {
@@ -103,21 +120,59 @@ private[graft] object IndexGenerations {
       root, PointerName, gen.getName, stamp)
   }
 
-  /** Delete superseded generation dirs (anything `gen-*` the pointer
-    * does not name). No-op on a plain layout. Returns dirs deleted.
-    * Requires no in-flight readers of the superseded generations —
-    * run after a grace period, like the merge tables' vacuum. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  /** Root-level table dirs a plain (pre-generation) index layout may
+    * hold — the union of the IVF-PQ and BM25 layouts plus the
+    * tombstone log. Once a `_gen` pointer exists these are by
+    * definition superseded (the first swap replaced the whole
+    * layout), so [[vacuum]] may reclaim them; before r16 they leaked
+    * forever after the first rebuild of a plain index. */
+  private val PlainLayoutDirs = Set(
+    "codes", "centroids", "codebooks", "drift", // IVF-PQ
+    "postings", "forward", "doclen", "stats", "meta", // BM25
+    "tombstones")
+
+  /** Delete superseded index state: `gen-*` dirs the pointer does not
+    * name, the plain-layout table dirs the first swap superseded, and
+    * stale `_gen.tmp-*` files a crashed swap left behind. No-op on a
+    * plain layout (no pointer → nothing is superseded). Returns dirs
+    * deleted (tmp files not counted).
+    *
+    * `graceMs` is the reader grace period: nothing is deleted until
+    * the LAST swap (the `_gen` pointer's mtime — every superseded
+    * state is at least that old as a candidate) is `graceMs` in the
+    * past, so any reader that resolved before the swap has had
+    * `graceMs` to finish its scan. `0` keeps the legacy eager
+    * behavior (caller asserts no in-flight readers). */
+  def vacuum(spark: SparkSession, dir: String, graceMs: Long = 0L): Int = {
     val fs = fsOf(spark, dir)
     val ptr = new org.apache.hadoop.fs.Path(dir, PointerName)
     if (!fs.exists(ptr)) return 0
-    val live = new org.apache.hadoop.fs.Path(resolve(spark, dir)).getName
+    val now = System.currentTimeMillis()
+    val swapAge = now - fs.getFileStatus(ptr).getModificationTime
     val root = new org.apache.hadoop.fs.Path(dir)
-    val dead = fs.listStatus(root).toSeq.collect {
-      case st if st.isDirectory && st.getPath.getName.startsWith(GenPrefix) &&
-          st.getPath.getName != live => st.getPath
+    // resolve ONE level here, not recursively: a nested generation's
+    // children belong to that generation's own vacuum pass.
+    val in0 = fs.open(ptr)
+    val live =
+      try scala.io.Source.fromInputStream(in0, "UTF-8").mkString.trim
+      finally in0.close()
+    var deleted = 0
+    fs.listStatus(root).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      val age = now - st.getModificationTime
+      if (st.isDirectory && name.startsWith(GenPrefix) && name != live &&
+          swapAge >= graceMs) {
+        fs.delete(st.getPath, true); deleted += 1
+      } else if (st.isDirectory && PlainLayoutDirs.contains(name) &&
+          swapAge >= graceMs) {
+        fs.delete(st.getPath, true); deleted += 1
+      } else if (st.isFile && name.startsWith(s"$PointerName.tmp-") &&
+          age >= graceMs) {
+        // a completed swap renames its tmp away within milliseconds;
+        // one still here past the grace period is a crashed swap's
+        fs.delete(st.getPath, false): Unit
+      }
     }
-    dead.foreach(p => fs.delete(p, true): Unit)
-    dead.size
+    deleted
   }
 }

@@ -80,8 +80,12 @@ object LexicalIndex {
         IndexMaintenance.MaintenancePolicy()):
       (IndexMaintenance.IndexHealth, Boolean) = {
     val live = IndexGenerations.resolve(spark, dir)
-    IndexMaintenance.maintainIfNeeded(spark, live, Bm25Tables, policy)(
+    val r = IndexMaintenance.maintainIfNeeded(spark, live, Bm25Tables, policy)(
       compactBm25Index(spark, live))
+    // same loop, other axis: reclaim generations an old rebuild
+    // superseded once they are past the reader grace period
+    IndexMaintenance.vacuumSupersededGenerations(spark, dir, policy): Unit
+    r
   }
 
   private val postingsCfg = TableConfig("bm25_postings", Seq("term", "doc_id"), Seq.empty)
@@ -332,19 +336,19 @@ object LexicalIndex {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           applyBm25IndexChanges(batch.sparkSession, dir, batch,
             idCol, textCol, changeCol, mode = "append"): Unit
-          // the operational loop, closed: the stream that maintains
-          // the index also runs its compaction trigger (a listing
-          // probe per batch; a fold only past policy). Safe HERE
-          // because the checkpointed query is the index's single
-          // logical writer — the one caller who can compact without
-          // racing an applier. None = operator schedules compaction
-          // out of band.
-          maintain.foreach(p => maintainBm25IfNeeded(
-            batch.sparkSession, dir, p): Unit)
-        }
+        // the operational loop, closed: the stream that maintains
+        // the index also runs its compaction trigger (a listing
+        // probe per batch; a fold only past policy). Safe HERE
+        // because the checkpointed query is the index's single
+        // logical writer — the one caller who can compact without
+        // racing an applier. None = operator schedules compaction
+        // out of band. Outside the empty guard: a quiet stream must
+        // still compact an index left over threshold.
+        maintain.foreach(p => maintainBm25IfNeeded(
+          batch.sparkSession, dir, p): Unit)
       }
       .start()
 
@@ -452,6 +456,7 @@ object LexicalIndex {
 
   /** Delete index generations superseded by [[rebuildBm25Index]]
     * swaps (grace-period contract — see [[IndexGenerations.vacuum]]). */
-  def vacuumBm25Generations(spark: SparkSession, dir: String): Int =
-    IndexGenerations.vacuum(spark, dir)
+  def vacuumBm25Generations(spark: SparkSession, dir: String,
+      graceMs: Long = 0L): Int =
+    IndexGenerations.vacuum(spark, dir, graceMs)
 }

@@ -111,9 +111,16 @@ object Sources {
     * in-place dynamic-partition-overwrite left open. Retention is
     * anchored to the live pointer (see [[pruneMergePartitioned]]):
     * the two manifests below the swapped-live one keep their dirs, so
-    * a reader lagging up to two publishes keeps its files; concurrent
-    * publishers degrade to a whole lost update (newest-number swap
-    * wins), never corruption.
+    * a reader lagging up to two publishes keeps its files.
+    *
+    * Concurrent publishers serialize through the optimistic commit
+    * protocol ([[commitMergeManifest]], round 16): each publish claims
+    * its manifest number with an atomic put-if-absent marker; a loser
+    * REBASES when the winner's partitions are disjoint from the ones
+    * it read, and REFUSES with `ConcurrentModificationException` when
+    * they overlap (its merged content derives from a stale read) — a
+    * batch is never silently lost (the pre-r16 contract degraded
+    * overlapping publishers to exactly that whole lost update).
     *
     * A pre-manifest table (plain `tableDir/<col>=<val>` dirs) is
     * adopted as the baseline manifest on first publish; its untouched
@@ -132,30 +139,19 @@ object Sources {
     val uri = new java.net.URI(tableDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableDir)
-    val entries = manifestEntries(fs, root, partitionCol)
     // Pre-manifest adoption must be DURABLE before the first rewrite:
     // materialize the legacy layout as its own baseline manifest, so
     // the legacy partition dirs are referenced by a retained manifest
     // and inherit the same two-publish retention slack as any other
     // version (otherwise the first publish would prune a dir a
     // concurrent reader of the pre-manifest layout is still scanning).
-    val ptrPath = new org.apache.hadoop.fs.Path(root, "_current")
-    val hadManifest = fs.exists(ptrPath)
+    adoptMergePartitioned(spark, tableDir, partitionCol): Unit
+    val (_, entries) = latestCommitted(fs, root, partitionCol)
     // batch dirs and manifest files carry a per-publisher unique
     // suffix: two concurrent publishers that read the same max number
     // then write DISTINCT files instead of clobbering each other's
-    // batch dir / manifest mid-write (last pointer swap wins; the
-    // loser's batch becomes an orphaned dir, a lost update — never a
-    // manifest that references deleted data)
+    // batch dir / manifest mid-write
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    var next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
-    if (!hadManifest && entries.nonEmpty) {
-      val mfile0 = f"manifest-$next%012d-$uid"
-      writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
-        entries.sorted.mkString("\n"))
-      swapPointerForward(fs, uri, conf, root, mfile0, s"$next-$uid-0")
-      next += 1
-    }
     // touched partitions: bounded by the incoming batch, never by the
     // table — a driver-side collect of partition VALUES only
     val touched = incoming.select(partitionCol).distinct().collect().map(_.get(0))
@@ -166,7 +162,9 @@ object Sources {
       .getOrElse(incoming.limit(0))
     val merged = graft.operators.UpsertWriter.merge(current, incoming, cfg).merged
 
-    val bdir = f"b-$next%012d-$uid"
+    val bnum = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) ++
+      commitNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$bnum%012d-$uid"
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
     // the segments Spark just wrote ARE the touched partitions, in its
@@ -175,14 +173,14 @@ object Sources {
       .collect { case st if st.isDirectory &&
         st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
       .toSeq
-    val newEntries =
-      entries.filterNot(e => written.contains(segmentOf(e))) ++
+    // OCC commit: merged content was derived from `entries`' touched
+    // partitions, so a rival commit to any of them refuses (stale
+    // snapshot); disjoint rival commits rebase and retry.
+    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
+      entries, written.toSet, rebaseOnOverlap = false, uid) { es =>
+      es.filterNot(e => written.contains(segmentOf(e))) ++
         written.map(s => s"$bdir/$s")
-    val mfile = f"manifest-$next%012d-$uid"
-    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
-      newEntries.sorted.mkString("\n"))
-    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
-    pruneMergePartitioned(fs, root)
+    }
     merged
   }
 
@@ -203,16 +201,32 @@ object Sources {
     val uri = new java.net.URI(tableDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableDir)
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_current"))) return false
-    val entries = manifestEntries(fs, root, partitionCol)
-    if (entries.isEmpty) return false
-    val uid = java.util.UUID.randomUUID().toString.take(8)
-    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
-    val mfile0 = f"manifest-$next%012d-$uid"
-    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
-      entries.sorted.mkString("\n"))
-    swapPointerForward(fs, uri, conf, root, mfile0, s"$next-$uid-0")
-    true
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "_current"))) return false
+      // a claimed-but-unswapped commit exists: the table IS adopted
+      // (the first committed manifest embeds the baseline entries) —
+      // the rival's swap just hasn't landed yet
+      if (commitNames(fs, root).nonEmpty) return false
+      val entries = manifestEntries(fs, root, partitionCol)
+      if (entries.isEmpty) return false
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) ++
+        commitNumbers(fs, root) :+ 0L).max + 1
+      val mfile0 = f"manifest-$next%012d-$uid"
+      writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile0),
+        entries.sorted.mkString("\n"))
+      // adoption is a commit like any other (two racing adopters must
+      // not both swap baselines): claim the number, loser re-checks
+      if (createExclusive(fs, uri,
+          new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$next%012d"), mfile0)) {
+        swapPointerForward(fs, uri, conf, root, mfile0, s"$next-$uid-0")
+        return true
+      }
+    }
+    throw new IllegalStateException(
+      s"adoptMergePartitioned on $tableDir lost 20 consecutive claim races")
   }
 
   /** APPEND-ONLY publish for a [[publishMergePartitioned]] table: the
@@ -244,10 +258,11 @@ object Sources {
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     adoptMergePartitioned(spark, tableDir, partitionCol): Unit
-    val entries = manifestEntries(fs, root, partitionCol)
+    val (_, entries) = latestCommitted(fs, root, partitionCol)
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
-    val bdir = f"b-$next%012d-$uid"
+    val bnum = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) ++
+      commitNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$bnum%012d-$uid"
     // one segment file per partition per publish: without the
     // repartition, T tasks × P touched partitions emit T·P tiny files
     // and the serial job-commit rename dominates the apply wall
@@ -258,12 +273,14 @@ object Sources {
       .collect { case st if st.isDirectory &&
         st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
       .toSeq
-    val newEntries = entries ++ written.map(s => s"$bdir/$s")
-    val mfile = f"manifest-$next%012d-$uid"
-    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
-      newEntries.sorted.mkString("\n"))
-    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
-    pruneMergePartitioned(fs, root)
+    // OCC commit: an append never reads current content, so rival
+    // commits — even to the same partitions — are just more segments;
+    // always rebase, never refuse (rebaseOnOverlap). Both racing
+    // appends' rows land (OccMergeSpec races this).
+    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
+      entries, Set.empty, rebaseOnOverlap = true, uid) { es =>
+      es ++ written.map(s => s"$bdir/$s")
+    }
   }
 
   /** Whole-partition REPLACEMENT publish: `content` becomes the entire
@@ -276,12 +293,21 @@ object Sources {
     * Unlike [[publishMergePartitioned]] there is NO merge with current
     * content — the caller asserts `content` is the truth for those
     * partitions. Same manifest/pointer/retention discipline. */
+  /** `basisVersion`: the [[mergeCommittedVersion]] snapshotted BEFORE
+    * reading the content being folded. With it, a rival commit to the
+    * replaced partitions between that read and this commit REFUSES
+    * (`ConcurrentModificationException`) instead of being silently
+    * folded away — the transactional compaction contract. Without it
+    * the basis defaults to commit time (correct only under the
+    * single-logical-writer maintenance discipline, where no rival can
+    * write between read and publish). */
   def publishMergeReplace(
       spark: SparkSession,
       tableDir: String,
       content: DataFrame,
       partitionCol: String,
-      partitions: Seq[Any]): Unit = {
+      partitions: Seq[Any],
+      basisVersion: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.col
     require(partitions.nonEmpty, "publishMergeReplace: empty partition list")
     // Same guard as publishMergeDeletes: replaced partitions are matched
@@ -313,10 +339,11 @@ object Sources {
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     adoptMergePartitioned(spark, tableDir, partitionCol): Unit
-    val entries = manifestEntries(fs, root, partitionCol)
+    val (_, entries) = latestCommitted(fs, root, partitionCol)
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
-    val bdir = f"b-$next%012d-$uid"
+    val bnum = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) ++
+      commitNumbers(fs, root) :+ 0L).max + 1
+    val bdir = f"b-$bnum%012d-$uid"
     // compaction output: one folded file per partition (see the
     // small-file note in publishMergeAppend)
     content.repartition(col(partitionCol)).write.mode(SaveMode.Overwrite)
@@ -327,16 +354,31 @@ object Sources {
       .toSeq
     val replacedStr = partitions.map(String.valueOf).toSet
     val valueOfSeg = (s: String) => s.split("=", 2).lift(1).getOrElse("")
-    val newEntries =
-      entries.filterNot(e => replacedStr.contains(valueOfSeg(segmentOf(e)))) ++
-        written.map(s => s"$bdir/$s")
-    require(newEntries.nonEmpty,
-      "publishMergeReplace would empty the table — republish it instead")
-    val mfile = f"manifest-$next%012d-$uid"
-    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
-      newEntries.sorted.mkString("\n"))
-    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
-    pruneMergePartitioned(fs, root)
+    // OCC commit: `content` asserts the whole truth for the replaced
+    // partitions, derived from a read of their current content
+    // (compaction) — a rival commit touching any of them refuses.
+    // Touched = the replaced values' canonical segment names (values
+    // are guard-checked to round-trip Spark's path escaping above, so
+    // name == s"$partitionCol=$value") plus whatever was written.
+    val touchedSegs =
+      replacedStr.map(v => s"$partitionCol=$v") ++ written
+    val basisEntries = basisVersion match {
+      case None => entries
+      case Some(v) => committedEntriesAt(fs, root, v).getOrElse(
+        throw new java.util.ConcurrentModificationException(
+          s"publishMergeReplace on $tableDir: basis version $v is no longer " +
+            "retained — the content read is older than the retention window; " +
+            "re-read and retry"))
+    }
+    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
+      basisEntries, touchedSegs, rebaseOnOverlap = false, uid) { es =>
+      val newEntries =
+        es.filterNot(e => replacedStr.contains(valueOfSeg(segmentOf(e)))) ++
+          written.map(s => s"$bdir/$s")
+      require(newEntries.nonEmpty,
+        "publishMergeReplace would empty the table — republish it instead")
+      newEntries
+    }
   }
 
   /** Row-level DELETE publish for a [[publishMergePartitioned]] table —
@@ -380,7 +422,7 @@ object Sources {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "_current")),
       s"publishMergeDeletes: '$tableDir' is not a manifest-published table")
-    val entries = manifestEntries(fs, root, partitionCol)
+    val (_, entries) = latestCommitted(fs, root, partitionCol)
     if (entries.isEmpty) return 0L
     // Bounded metadata collect: touched-partition cardinality is the ONLY
     // thing collected, and even that is probed with a limit first so a
@@ -437,7 +479,8 @@ object Sources {
       return 0L
     }
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val next = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) :+ 0L).max + 1
+    val bnum = (manifestNumbers(fs, root) ++ batchNumbers(fs, root) ++
+      commitNumbers(fs, root) :+ 0L).max + 1
     val current = assembleManifest(spark, tableDir, entries).get
       .filter(col(partitionCol).isin(touched: _*))
       .withColumn(partitionCol,
@@ -447,7 +490,7 @@ object Sources {
       .localCheckpoint(false) // count + write off one materialization
     val nDeleted = current.count() - remaining.count()
     if (nDeleted == 0L) return 0L
-    val bdir = f"b-$next%012d-$uid"
+    val bdir = f"b-$bnum%012d-$uid"
     remaining.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(s"$tableDir/$bdir")
     val written =
@@ -456,17 +499,18 @@ object Sources {
         .collect { case st if st.isDirectory &&
           st.getPath.getName.startsWith(s"$partitionCol=") => st.getPath.getName }
         .toSeq
-    // drop EVERY old entry of a touched partition (including ones the
-    // rewrite emptied — merge publishes never empty a partition, so
-    // this is the one place entries vanish by value, not by name)
-    val newEntries =
-      entries.filterNot(e => dropSegs.contains(segmentOf(e))) ++
+    // OCC commit: the rewrite was derived from the touched partitions'
+    // current content — a rival commit to any of them refuses (a
+    // silent stale-snapshot commit would RESURRECT the rival's deleted
+    // rows or drop its merged ones). Disjoint rivals rebase.
+    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
+      entries, dropSegs ++ written, rebaseOnOverlap = false, uid) { es =>
+      // drop EVERY old entry of a touched partition (including ones the
+      // rewrite emptied — merge publishes never empty a partition, so
+      // this is the one place entries vanish by value, not by name)
+      es.filterNot(e => dropSegs.contains(segmentOf(e))) ++
         written.map(s => s"$bdir/$s")
-    val mfile = f"manifest-$next%012d-$uid"
-    writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
-      newEntries.sorted.mkString("\n"))
-    swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
-    pruneMergePartitioned(fs, root)
+    }
     nDeleted
   }
 
@@ -529,6 +573,14 @@ object Sources {
       deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, d), recursive = true))
     old.foreach(m =>
       deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, m), recursive = false))
+    // retire the OCC commit markers alongside the manifests they claimed
+    // (same retention floor; newer markers keep serving latestCommitted
+    // and the monotonic-number max). Only numbers of deleted manifests —
+    // a marker inside the protection window stays.
+    old.map(numberOf(_, "manifest-")).distinct.foreach(n =>
+      deleteQuiet(fs,
+        new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$n%012d"),
+        recursive = false))
   }
 
   /** delete() tolerating concurrent-pruner races: on a vanished path
@@ -565,6 +617,222 @@ object Sources {
       cur.startsWith(prefix) && content.startsWith(prefix) &&
         numberOf(cur, prefix) > numberOf(content, prefix))
     if (!newer) swapPointer(fs, uri, conf, root, content, stamp)
+  }
+
+  // ─────────────── optimistic-concurrency commit (round 16) ───────────────
+
+  private val CommitPrefix = "commit-"
+
+  private def commitNames(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.startsWith(CommitPrefix) =>
+        st.getPath.getName
+    }
+
+  private def commitNumbers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    commitNames(fs, root).map(numberOf(_, CommitPrefix))
+
+  /** Atomic create-EXCLUSIVE of a small control file — the put-if-absent
+    * the optimistic commit serializes on. True iff this caller created
+    * it; false when a rival already owns the name. On HDFS
+    * `create(overwrite = false)` is a single NameNode op;
+    * RawLocalFileSystem emulates it as exists-then-create (a TOCTOU
+    * window two racing publishers fall straight into), so file:// goes
+    * through POSIX O_CREAT|O_EXCL via NIO CREATE_NEW — the same
+    * scheme-dispatch as [[atomicReplace]], flushed out by the same
+    * publisher races. */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, path: org.apache.hadoop.fs.Path,
+      content: String): Boolean =
+    if (Option(uri.getScheme).forall(_ == "file"))
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path.toUri.getPath),
+          content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE): Unit
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try {
+        val out = fs.create(path, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(path) => false
+      }
+
+  /** The highest COMMITTED state of a merge table: the manifest named by
+    * the largest claimed commit marker, or by the pointer when that is
+    * newer (legacy publishes swapped without claiming). This is the
+    * publisher-side read — unlike the reader's pointer resolve it sees a
+    * commit whose pointer swap has not landed yet (or whose publisher
+    * crashed between claim and swap), so a rebase can never silently
+    * drop a durably-claimed rival batch. Pre-manifest tables return the
+    * adoption listing at number 0. */
+  private def latestCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      partitionCol: String): (Long, Seq[String]) = {
+    val markerManifest = commitNames(fs, root)
+      .sortBy(numberOf(_, CommitPrefix)).lastOption.flatMap { c =>
+        try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(root, c))
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+          if (s.startsWith("manifest-")) Some(s) else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
+    val ptrManifest = currentPointer(fs, root).filter(_.startsWith("manifest-"))
+    (markerManifest.toSeq ++ ptrManifest.toSeq)
+      .sortBy(numberOf(_, "manifest-")).lastOption match {
+      case Some(m) => readManifestOpt(fs, root, m) match {
+        case Some(es) => (numberOf(m, "manifest-"), es)
+        case None =>
+          // the named manifest vanished (pruned mid-read): the
+          // pointer-resolved read retries / fails loudly
+          (numberOf(m, "manifest-"), manifestEntries(fs, root, partitionCol))
+      }
+      case None => (0L, manifestEntries(fs, root, partitionCol))
+    }
+  }
+
+  /** Segment names (`col=value`) whose live dir-set differs between two
+    * manifest reference lists — the partitions rival commits changed
+    * between a publisher's read and its claim. */
+  private def changedSegments(a: Seq[String], b: Seq[String]): Set[String] = {
+    def bySeg(es: Seq[String]) =
+      es.groupBy(segmentOf).map { case (s, v) => s -> v.sorted }
+    val ma = bySeg(a); val mb = bySeg(b)
+    (ma.keySet ++ mb.keySet).filter(s => ma.get(s) != mb.get(s))
+  }
+
+  /** The committed version number of a merge table right now — the
+    * READ BASIS a transactional caller snapshots BEFORE deriving
+    * content it will publish with [[publishMergeReplace]]: passing it
+    * back as `basisVersion` makes the commit refuse if any rival
+    * committed to the same partitions after this moment (instead of
+    * silently folding the rival's rows away). */
+  def mergeCommittedVersion(spark: SparkSession, tableDir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    latestCommitted(fs, new org.apache.hadoop.fs.Path(tableDir), "")._1
+  }
+
+  /** Reference list of the commit CLAIMED at `version` (marker first —
+    * it names the one manifest that won the number; unclaimed legacy
+    * manifests fall back to a unique name match). None when the
+    * version is no longer resolvable (pruned past retention, or
+    * ambiguous rivals). */
+  private def committedEntriesAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, version: Long): Option[Seq[String]] = {
+    val viaMarker =
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root,
+          f"$CommitPrefix$version%012d"))
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        if (s.startsWith("manifest-")) Some(s) else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    val name = viaMarker.orElse {
+      manifestNames(fs, root).filter(numberOf(_, "manifest-") == version) match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+    name.flatMap(readManifestOpt(fs, root, _))
+  }
+
+  /** Optimistic-concurrency manifest commit — the engine's answer to the
+    * reference's per-load Postgres transaction
+    * (table-loader/services/loader.py:102 runs each load in one
+    * connection/txn; a filesystem table gets no such server, so the
+    * commit protocol has to build the serialization itself).
+    *
+    * Before r16 concurrent DATA publishers degraded to a silent whole
+    * lost update: both read manifest N, both wrote a rival N+1 (distinct
+    * uids), last pointer swap won and the loser's batch quietly fell out
+    * of the reference list. Now every publish CLAIMS its manifest number
+    * with [[createExclusive]] on `commit-<n>` (the Delta-on-HDFS
+    * put-if-absent protocol): exactly one publisher owns each number, so
+    * commits serialize. A publisher that loses its claim re-reads the
+    * winner's committed reference list ([[latestCommitted]]) and either
+    *
+    *  - REBASES — recomputes its entry edit against the winner's list
+    *    and retries at the next number — when the rival's changes are
+    *    disjoint from the partitions this publish consumed, or when the
+    *    caller's content never depended on current content at all
+    *    (`rebaseOnOverlap`, the pure-append LSM path, where
+    *    same-partition rival batches are semantically just more
+    *    segments); or
+    *  - REFUSES loudly (`ConcurrentModificationException`) when the
+    *    winner changed a partition whose CURRENT content this publish
+    *    read (merge / replace / delete derive their output from that
+    *    read — committing it after a rival rewrite would publish state
+    *    derived from a stale snapshot and silently drop the rival's
+    *    rows: Delta's write-conflict semantics, refuse-and-recompute).
+    *
+    * Either way a claimed batch is never silently lost — the pre-r16
+    * contract documented exactly that loss. A commit is durable at
+    * marker creation: a publisher crashing between claim and pointer
+    * swap is folded in by the next publisher's rebase (the marker names
+    * its manifest; readers see it at that publisher's swap).
+    *
+    * `touchedSegs` = partition segments whose current content the caller
+    * consumed or replaces (by Spark-escaped segment name). `mkEntries`
+    * re-derives the new reference list from any base — it runs once per
+    * attempt. */
+  private def commitMergeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path, tableDir: String, partitionCol: String,
+      basisEntries: Seq[String], touchedSegs: Set[String],
+      rebaseOnOverlap: Boolean, uid: String)(
+      mkEntries: Seq[String] => Seq[String]): Unit = {
+    // conflicts are ALWAYS judged against the caller's read basis (the
+    // reference list its content derives from), never a rebased view —
+    // a commit landing between the basis read and the first claim is
+    // exactly as stale-making as one landing mid-loop
+    def refuseIfConflicting(committed: Seq[String]): Unit = {
+      val conflict = changedSegments(basisEntries, committed) intersect touchedSegs
+      if (conflict.nonEmpty && !rebaseOnOverlap)
+        throw new java.util.ConcurrentModificationException(
+          s"merge commit on $tableDir: a concurrent publisher committed " +
+            s"changes to partition(s) ${conflict.take(5).mkString(", ")}" +
+            (if (conflict.size > 5) s" (+${conflict.size - 5} more)" else "") +
+            " after this publish read their current content — re-read and " +
+            "re-derive the publish (stale-snapshot write refused, not lost)")
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"merge commit on $tableDir lost ${attempts - 1} consecutive claim " +
+          "races — pathological publisher contention; back off and retry")
+      // DENSE claim numbers — the load-bearing detail. The claim must
+      // be exactly lastCommitted + 1: winning it PROVES no rival
+      // committed between this latestCommitted read and the claim (any
+      // rival would have had to take the same number first). A
+      // max-over-listings number (the first r16 cut) leaves gaps a
+      // rival can commit into without ever contesting our claim —
+      // validated-then-stale, the silent lost update in a new coat.
+      val (cNum, committed) = latestCommitted(fs, root, partitionCol)
+      refuseIfConflicting(committed)
+      val next = cNum + 1
+      val mfile = f"manifest-$next%012d-$uid"
+      writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
+        mkEntries(committed).sorted.mkString("\n"))
+      if (createExclusive(fs, uri,
+          new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$next%012d"), mfile)) {
+        swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
+        pruneMergePartitioned(fs, root)
+        return
+      }
+      log.info(s"merge commit on $tableDir: claim $next lost to a rival " +
+        s"publisher; rebasing (attempt $attempts)")
+    }
   }
 
   /** Read the live state of a [[publishMergePartitioned]] table:

@@ -111,12 +111,16 @@ class IndexGenerationsSpec extends SparkSpec {
     val h = SimilaritySearch.ivfPqIndexHealth(spark, dir)
     assert(h.tombstoneRows == 1L)
 
-    // a second retrain supersedes the first; vacuum deletes only dead gens
+    // a second retrain supersedes the first; vacuum deletes the dead
+    // gen AND (r16) the superseded plain-layout table dirs at the root
+    // (codes/centroids/codebooks/drift — pre-r16 they leaked forever)
     val gen2 = SimilaritySearch.retrainIvfPqIndex(spark, dir, finalCorpus,
       Seq(8L, 9L, 10L, 11L), Seq(14L, 15L, 16L, 17L), m = 4)
-    assert(SimilaritySearch.vacuumIvfPqGenerations(spark, dir) == 1)
+    assert(SimilaritySearch.vacuumIvfPqGenerations(spark, dir) == 5)
     assert(IndexGenerations.resolve(spark, dir) == gen2)
     assert(searchOf(dir).nonEmpty)
+    assert(!new java.io.File(dir, "codes").exists(),
+      "superseded plain-layout codes dir must be reclaimed")
   }
 
   test("retrain resets the drift baseline: a feed that tripped the old quantizers is quiet after") {
@@ -183,7 +187,9 @@ class IndexGenerationsSpec extends SparkSpec {
       Seq("spark", "merge"), k = 10).collect().map(_.toSeq).toSeq
     assert(search(dir) == after)
 
-    assert(LexicalIndex.vacuumBm25Generations(spark, dir) == 0) // one live gen only
+    // one live gen; the first vacuum reclaims the 6 superseded
+    // plain-layout dirs (postings/forward/doclen/stats/meta/tombstones)
+    assert(LexicalIndex.vacuumBm25Generations(spark, dir) == 6)
     val gen2 = LexicalIndex.rebuildBm25Index(spark, dir,
       purged.filter(col("doc_id") =!= 2L), nBuckets = 4)
     assert(LexicalIndex.vacuumBm25Generations(spark, dir) == 1)
@@ -212,5 +218,39 @@ class IndexGenerationsSpec extends SparkSpec {
     // vacuum without a pointer is a no-op
     val plain = Files.createTempDirectory("graft_gen_plain").toString
     assert(IndexGenerations.vacuum(spark, plain) == 0)
+  }
+
+  test("nested generations: root readers resolve recursively; gen-dir rebuilds are refused (ADVICE r15)") {
+    val dir = Files.createTempDirectory("graft_gen_nest").toString
+    val gen1 = IndexGenerations.next(spark, dir)
+    new java.io.File(gen1).mkdirs()
+    IndexGenerations.swap(spark, dir, gen1)
+    // the misuse next()/swap() now refuse: rebuilding "against the
+    // index" with the GENERATION dir a resolve returned
+    intercept[IllegalArgumentException] {
+      IndexGenerations.next(spark, gen1)
+    }
+    // ...but an already-nested layout (pre-guard data) still converges:
+    // hand-craft gen1/_gen -> gen1/gen-1-x and resolve from the root
+    val nested = new java.io.File(gen1, "gen-1-nested")
+    assert(nested.mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(gen1, "_gen"),
+      "gen-1-nested".getBytes("UTF-8")): Unit
+    assert(IndexGenerations.resolve(spark, dir) == nested.toString,
+      "root readers must converge on the innermost (newest) generation, " +
+        "not silently serve the stale middle one")
+    // a pointer CYCLE fails loudly instead of spinning
+    java.nio.file.Files.write(java.nio.file.Paths.get(nested.toString, "_gen"),
+      "gen-1-self".getBytes("UTF-8")): Unit
+    assert(new java.io.File(nested, "gen-1-self").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(nested.toString, "gen-1-self", "_gen"),
+      "gen-1-self2".getBytes("UTF-8")): Unit
+    assert(new java.io.File(new java.io.File(nested, "gen-1-self"),
+      "gen-1-self2").mkdirs())
+    // 16-deep chain: just assert deep nests are bounded via the two
+    // extra levels (resolve succeeds — bound not hit) and that the
+    // bound exists for a true runaway
+    assert(IndexGenerations.resolve(spark, dir).endsWith("gen-1-self2"))
   }
 }

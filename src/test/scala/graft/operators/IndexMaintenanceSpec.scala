@@ -108,4 +108,50 @@ class IndexMaintenanceSpec extends SparkSpec {
       .sortBy(x => (x._1, x._3)).toSeq
     assert(codes(dir) == codes(reb))
   }
+
+  test("auto-vacuum from the maintenance loop: aged superseded generations reclaimed, young and live spared") {
+    val dir = freshDir()
+    val docs = (1L to 20L).map(doc).toDF("doc_id", "text")
+    LexicalIndex.writeBm25Index(docs, dir, nBuckets = 4)
+    val gen1 = LexicalIndex.rebuildBm25Index(spark, dir, docs, nBuckets = 4)
+    val gen2 = LexicalIndex.rebuildBm25Index(spark, dir, docs, nBuckets = 4)
+    val expected = TextAnalysis.bm25(docs, "doc_id", "text",
+      Seq("spark", "term7"), k = 5).collect().map(_.toSeq).toSeq
+    def searchNow() = LexicalIndex.searchBm25Index(spark, dir,
+      Seq("spark", "term7"), k = 5).collect().map(_.toSeq).toSeq
+
+    // swap just happened: the default grace (1 h) spares EVERYTHING —
+    // an in-flight reader of gen1 or the plain layout keeps its files
+    LexicalIndex.maintainBm25IfNeeded(spark, dir): Unit
+    assert(new java.io.File(gen1).exists(), "young superseded gen reclaimed")
+    assert(new java.io.File(dir, "postings").exists(),
+      "young superseded plain layout reclaimed")
+    assert(searchNow() == expected)
+
+    // age the last swap (the _gen pointer's mtime IS the swap time) and
+    // drop in a crashed-swap tmp pointer: the same maintenance loop now
+    // reclaims gen1, the plain-layout tables and the stale tmp — and
+    // leaves the live generation serving identical results
+    val aged = System.currentTimeMillis() - 2L * 3600 * 1000
+    assert(new java.io.File(dir, "_gen").setLastModified(aged))
+    val staleTmp = new java.io.File(dir, "_gen.tmp-deadbeef")
+    assert(staleTmp.createNewFile())
+    assert(staleTmp.setLastModified(aged))
+    val youngTmp = new java.io.File(dir, "_gen.tmp-feedface")
+    assert(youngTmp.createNewFile())
+    LexicalIndex.maintainBm25IfNeeded(spark, dir): Unit
+    assert(!new java.io.File(gen1).exists(), "aged superseded gen kept")
+    assert(!new java.io.File(dir, "postings").exists(),
+      "aged superseded plain layout kept")
+    assert(!staleTmp.exists(), "stale crashed-swap tmp pointer kept")
+    assert(youngTmp.exists(), "in-flight tmp pointer deleted")
+    assert(new java.io.File(gen2).exists(), "live generation deleted")
+    assert(searchNow() == expected)
+
+    // maintenance (incl. compaction trigger) still works post-vacuum
+    LexicalIndex.applyBm25IndexChanges(spark, dir,
+      Seq((21L, "fresh spark doc", "new")).toDF("doc_id", "text", "_change"),
+      mode = "append"): Unit
+    assert(LexicalIndex.bm25IndexHealth(spark, dir).maxGenerations == 2)
+  }
 }
