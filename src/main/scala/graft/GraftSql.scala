@@ -41,6 +41,40 @@ object GraftSql {
     graft.sources.Sources.readSnapshot(spark, tableRoot)
       .createOrReplaceTempView(name)
 
+  /** Register the LIVE state of a maintained BM25 index
+    * ([[graft.operators.LexicalIndex]]) for SQL (round 16 — the index
+    * layer joins the pure-SQL proof surface): `<prefix>_postings`
+    * `(doc_id, dl, term, tf, _b)` and `<prefix>_stats`
+    * `(n_docs, tot)`, generation pointer resolved and tombstones
+    * applied at registration (the same snapshot-isolation semantics as
+    * [[registerMergeTable]] — re-register to pick up later applies).
+    * Any lexical scoring is then plain SQL over the index tables,
+    * never a corpus rescan. */
+  def registerBm25Index(spark: SparkSession, prefix: String,
+      indexDir: String): Unit = {
+    graft.operators.LexicalIndex.bm25PostingsLive(spark, indexDir)
+      .createOrReplaceTempView(s"${prefix}_postings")
+    graft.operators.LexicalIndex.bm25StatsLive(spark, indexDir)
+      .createOrReplaceTempView(s"${prefix}_stats")
+  }
+
+  /** Register the LIVE state of a maintained IVF-PQ index
+    * ([[graft.operators.SimilaritySearch]]) for SQL:
+    * `<prefix>_codes` `(_id, codes, _list)`, `<prefix>_centroids`
+    * `(_list, centroid)`, `<prefix>_codebooks`
+    * `(subspace, code, entry)` — same snapshot semantics. The whole
+    * probe-and-ADC search is then expressible as SQL text over these
+    * views (the q_sql_ivfpq_index gate does exactly that). */
+  def registerIvfPqIndex(spark: SparkSession, prefix: String,
+      indexDir: String): Unit = {
+    graft.operators.SimilaritySearch.ivfPqCodesLive(spark, indexDir)
+      .createOrReplaceTempView(s"${prefix}_codes")
+    graft.operators.SimilaritySearch.ivfPqCentroidsLive(spark, indexDir)
+      .createOrReplaceTempView(s"${prefix}_centroids")
+    graft.operators.SimilaritySearch.ivfPqCodebooksLive(spark, indexDir)
+      .createOrReplaceTempView(s"${prefix}_codebooks")
+  }
+
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("gen_gsid",

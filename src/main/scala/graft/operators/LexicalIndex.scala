@@ -401,6 +401,27 @@ object LexicalIndex {
     Sources.indexBatchKeys(spark, s"$dir/forward", "doc_id", fpp = Sources.BatchLookupFpp): Unit
   }
 
+  /** LIVE logical state of the postings table — generation pointer
+    * resolved, tombstone kills applied: `(doc_id, dl, term, tf, _b)`.
+    * This is the SQL read surface ([[graft.GraftSql.registerBm25Index]]
+    * registers it as a view so any lexical scoring is expressible in
+    * pure SQL over the index, never rescanning the corpus). The term
+    * filter should ride the SQL (`WHERE term IN (...)`); bucket-static
+    * pruning stays on the [[searchBm25Index]] path, which plants the
+    * `_b` literals the view cannot know. */
+  def bm25PostingsLive(spark: SparkSession, indexDir: String): DataFrame = {
+    val dir = IndexGenerations.resolve(spark, indexDir)
+    LsmTombstones.filterLive(spark, dir,
+      Sources.readMergePartitioned(spark, s"$dir/postings", "_b"), "doc_id")
+      .select("doc_id", "dl", "term", "tf", "_b")
+  }
+
+  /** The index's delta-maintained corpus stats `(n_docs, tot)`,
+    * generation-resolved — one snapshot row. */
+  def bm25StatsLive(spark: SparkSession, indexDir: String): DataFrame =
+    Sources.readSnapshot(spark,
+      s"${IndexGenerations.resolve(spark, indexDir)}/stats")
+
   /** BM25 top-k over the persisted index: the query terms' buckets
     * are the ONLY postings partitions read (static pruning via the
     * manifest branches), stats is one snapshot row — query cost is

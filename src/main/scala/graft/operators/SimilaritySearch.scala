@@ -931,6 +931,33 @@ object SimilaritySearch {
       dir: String, graceMs: Long = 0L): Int =
     IndexGenerations.vacuum(spark, dir, graceMs)
 
+  /** LIVE logical state of the code table — generation pointer
+    * resolved, tombstone kills applied: `(_id, codes, _list)`. The SQL
+    * read surface ([[graft.GraftSql.registerIvfPqIndex]]); probed-list
+    * static pruning stays on the [[searchIvfPqIndex]] path. */
+  def ivfPqCodesLive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val dir = IndexGenerations.resolve(spark, indexDir)
+    LsmTombstones.filterLive(spark, dir,
+      graft.sources.Sources.readMergePartitioned(spark, s"$dir/codes", "_list"),
+      "_id")
+      .select("_id", "codes", "_list")
+  }
+
+  /** The index's coarse centroids `(_list, centroid)`, generation-
+    * resolved — nLists tiny rows. */
+  def ivfPqCentroidsLive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(
+      s"${IndexGenerations.resolve(spark, indexDir)}/centroids")
+
+  /** The index's PQ codebooks `(subspace, code, entry)`, generation-
+    * resolved — m·k tiny rows. */
+  def ivfPqCodebooksLive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(
+      s"${IndexGenerations.resolve(spark, indexDir)}/codebooks")
+
   // ───────────── per-filter-partition indexes (round 16) ─────────────
 
   /** Cardinality cap for the partitioned-index family: the partition

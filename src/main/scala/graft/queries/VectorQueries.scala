@@ -178,6 +178,40 @@ object VectorQueries {
       s"$p/index"
     })
 
+  private val partIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The PER-FILTER-PARTITION index family (percent-scale filtered
+    * ANN): the same base corpus and change feed as [[cachedIncIndex]],
+    * but the corpus is partitioned on `part = vec_id % 4` with one
+    * IVF-PQ index per value (shared quantizers) and the feed is
+    * ROUTED ([[SimilaritySearch.applyPartitionedIvfPqIndexChanges]]).
+    * With shared quantizers, routed search over a value set is
+    * provably the monolithic filtered search — which is exactly what
+    * the oracle derives. */
+  private def cachedPartIndex(emb: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    partIndexCache.computeIfAbsent(s"$datasetDir@${sourceStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_partidx")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      def withPart(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("part", (col("vec_id") % 4).cast("long"))
+      val high = col("vec_id") >= 8
+      val base = emb.filter(!high || col("vec_id") % 7 =!= 5)
+      SimilaritySearch.writePartitionedIvfPqIndex(withPart(base), p.toString,
+        "part", coarseIds = 0L until 8L, pqIds = 0L until 4L, m = 4): Unit
+      SimilaritySearch.applyPartitionedIvfPqIndexChanges(emb.sparkSession,
+        p.toString, "part", withPart(incFeed(emb))): Unit
+      p.toString
+    })
+
   private val retrainIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -934,6 +968,82 @@ object VectorQueries {
       SimilaritySearch.searchIvfPqIndex(s, dir,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
           allowedIds = Some(emb.filter(col("vec_id") % 3 === 1).select("vec_id")))
+        .orderBy("query_id", "rank")
+    },
+
+    // The maintained VECTOR index driven ENTIRELY through spark.sql
+    // TEXT (VERDICT r15 #7): GraftSql.registerIvfPqIndex exposes the
+    // LIVE code table (generation-resolved, tombstone-filtered) plus
+    // centroids and codebooks as views, and the whole 2-probe ADC
+    // search — centroid probe ranking, candidate scan, per-subspace
+    // ADC lookup, fixed-fold distance sum, top-k — is SQL over them.
+    // The fold order mirrors the codegen kernel exactly
+    // (((d0+d1)+d2)+d3, each d_j a left-fold over its 16 dims), so
+    // the hash matches the DataFrame path bit for bit. Same
+    // post-change-corpus oracle as q_vec_ivfpq_incremental.
+    QueryDef.sql(
+      "q_sql_ivfpq_index",
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedIncIndex(emb, d)
+      graft.GraftSql.registerIvfPqIndex(s, "vidx", dir)
+      emb.createOrReplaceTempView("embeddings")
+      s.sql(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          |           FROM embeddings WHERE vec_id < 5),
+          |qc AS (SELECT q.query_id, c._list,
+          |         aggregate(zip_with(q.qv, c.centroid,
+          |             (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |           CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d
+          |       FROM q CROSS JOIN vidx_centroids c),
+          |probe AS (SELECT query_id, _list FROM (
+          |            SELECT query_id, _list,
+          |              row_number() OVER (PARTITION BY query_id ORDER BY d, _list) AS rn
+          |            FROM qc) WHERE rn <= 2),
+          |cand AS (SELECT p.query_id, c._id AS neighbor_id, c.codes
+          |         FROM probe p JOIN vidx_codes c ON c._list = p._list
+          |         WHERE c._id <> p.query_id),
+          |dj AS (SELECT cand.query_id, cand.neighbor_id, cb.subspace AS j,
+          |         aggregate(zip_with(slice(q.qv, cb.subspace * 16 + 1, 16), cb.entry,
+          |             (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |           CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d
+          |       FROM cand
+          |       JOIN q ON q.query_id = cand.query_id
+          |       JOIN vidx_codebooks cb
+          |         ON cb.code = element_at(cand.codes, cb.subspace + 1)),
+          |adc AS (SELECT query_id, neighbor_id,
+          |          ((coalesce(max(CASE WHEN j = 0 THEN d END), CAST(0.0 AS DOUBLE))
+          |            + coalesce(max(CASE WHEN j = 1 THEN d END), CAST(0.0 AS DOUBLE)))
+          |            + coalesce(max(CASE WHEN j = 2 THEN d END), CAST(0.0 AS DOUBLE)))
+          |            + coalesce(max(CASE WHEN j = 3 THEN d END), CAST(0.0 AS DOUBLE)) AS adc_dist
+          |        FROM dj GROUP BY query_id, neighbor_id),
+          |rk AS (SELECT query_id, neighbor_id, adc_dist,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+          |           AS `rank`
+          |       FROM adc)
+          |SELECT query_id, `rank`, neighbor_id, adc_dist
+          |FROM rk WHERE `rank` <= 5
+          |ORDER BY query_id, `rank`""".stripMargin)
+    },
+
+    // PERCENT-SCALE filtered ANN (VERDICT r15 #3): the allowed set
+    // (vec_id % 4 IN (1, 3) — half the corpus) would never broadcast
+    // at scale, so no id set is materialized at all: the corpus is
+    // partitioned on the filter column with one maintained index per
+    // value (shared quantizers, routed change feed), and the search
+    // fans out to the two matching partition indexes and merges
+    // per-query top-k. The oracle narrows its candidate CTE with the
+    // same predicate — with shared quantizers, routing ≡ filtering,
+    // so a wrong partition split, an unrouted feed row, or a
+    // per-partition quantizer drift all break the hash.
+    QueryDef.sql(
+      "q_vec_ivfpq_partitioned",
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8",
+        " AND a.vec_id % 4 IN (1, 3)")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val root = cachedPartIndex(emb, d)
+      SimilaritySearch.searchPartitionedIvfPqIndex(s, root, "part",
+          Seq(1L, 3L), emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     },
 

@@ -120,7 +120,20 @@ object BenchScale {
     val missing = subset.filterNot(byName.contains)
     require(missing.isEmpty, s"subset names drifted from SparkEntry: $missing")
 
-    val results = subset.map { name =>
+    // DEV-ONLY narrowing for iteration (`SPARK_GRAFT_SCALE_ONLY=a,b`):
+    // the standing artifact is only comparable when produced by the
+    // FULL pinned subset — a narrowed run is for perf work in flight,
+    // never for committing as BENCH_sf10.json.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val chosen = only match {
+      case None => subset
+      case Some(names) =>
+        System.err.println(s"[bench-sf] DEV narrowed run: ${names.size} queries " +
+          "- do NOT commit this artifact as the standing BENCH_sf10.json")
+        subset.filter(names.contains)
+    }
+    val results = chosen.map { name =>
       val q = byName(name)
       val (warm, rows) = runOnce(q)
       System.err.println(f"[bench-sf] $name warm=${warm.wall}%.2fs rows=$rows")
@@ -226,20 +239,23 @@ object BenchScale {
       }
       out.result()
     }
-    val idxWarm = indexPipelineRep() // same warm-up discipline
-    idxWarm.foreach { case (n, (r, _)) =>
-      System.err.println(f"[bench-sf] $n warm=${r.wall}%.2fs") }
-    val idxReps = (1 to reps).map { i =>
-      val rep = indexPipelineRep()
-      rep.foreach { case (n, (r, _)) =>
-        System.err.println(f"[bench-sf] $n rep=$i wall=${r.wall}%.2fs " +
-          f"gc=${r.gc}%.2fs spill_disk=${r.spillMb}MB shuffle_write=${r.shufMb}MB") }
-      rep.toMap
-    }
-    val idxResults = phaseNames.map { n =>
-      val timed = idxReps.map(_(n)._1)
-      val med = timed.map(_.wall).sorted.apply(timed.length / 2)
-      n -> (med, timed, idxReps.head(n)._2)
+    // narrowed dev runs skip the index pipeline too
+    val idxResults = if (only.isDefined) Seq.empty else {
+      val idxWarm = indexPipelineRep() // same warm-up discipline
+      idxWarm.foreach { case (n, (r, _)) =>
+        System.err.println(f"[bench-sf] $n warm=${r.wall}%.2fs") }
+      val idxReps = (1 to reps).map { i =>
+        val rep = indexPipelineRep()
+        rep.foreach { case (n, (r, _)) =>
+          System.err.println(f"[bench-sf] $n rep=$i wall=${r.wall}%.2fs " +
+            f"gc=${r.gc}%.2fs spill_disk=${r.spillMb}MB shuffle_write=${r.shufMb}MB") }
+        rep.toMap
+      }
+      phaseNames.map { n =>
+        val timed = idxReps.map(_(n)._1)
+        val med = timed.map(_.wall).sorted.apply(timed.length / 2)
+        n -> (med, timed, idxReps.head(n)._2)
+      }
     }
 
     val results2 = results ++ idxResults

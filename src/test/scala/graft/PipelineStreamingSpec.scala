@@ -460,6 +460,20 @@ class SourcesSpec extends SparkSpec {
     // it all). Rival same-numbered manifests (lost swap races) stay in
     // the slack band by design, so the invariant is on NUMBERS: every
     // survivor is within live−2, i.e. at most 3 distinct numbers.
+    // One explicit final aging pass first: under the r16 OCC commit
+    // publishers SERIALIZE, so the last swap coincides with the last
+    // publisher finishing and the ager thread dies before it can age
+    // the final swap's predecessor — which the prune then correctly
+    // spares as young (the stalled-publisher contract). The pass ages
+    // only genuinely-rotated manifests, same rule as the ager.
+    locally {
+      val live = liveManifest()
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("manifest-"))
+        .filter(_.getName.stripPrefix("manifest-").takeWhile(_.isDigit).toLong < live - 1)
+        .foreach(f =>
+          f.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000): Unit)
+    }
     Sources.publishMergePartitioned(spark, dir, batch(4.0, Seq(1)), cfg, "p")
     val leftNums = new java.io.File(dir).listFiles().toSeq
       .map(_.getName).filter(_.startsWith("manifest-"))

@@ -255,8 +255,11 @@ class DedupSpec extends SparkSpec {
 
   test("prefix-filtered jaccard join reproduces the plain join exactly") {
     // randomized corpus with heavy shingle overlap so prefixes matter:
-    // docs share a rotating pool of phrases plus per-doc unique tails
-    val rnd = new scala.util.Random(17L)
+    // docs share a rotating pool of phrases plus per-doc unique tails.
+    // Two seeds × three thresholds sweep the r16 positional-filter
+    // boundary (c + min(remaining) == alpha) from both sides.
+    for (seed <- Seq(17L, 43L)) {
+    val rnd = new scala.util.Random(seed)
     val pool = Vector("the quick brown fox", "jumps over the lazy dog",
       "spark query engines", "columnar formats matter", "near the river bank")
     val base = (1L to 60L).map { i =>
@@ -272,9 +275,11 @@ class DedupSpec extends SparkSpec {
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val plain = canon(Dedup.jaccardPairs(corpus, "doc_id", "text", 3, t))
       val pref = canon(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, t))
-      assert(pref == plain, s"threshold $t: prefix-filtered result diverged " +
+      assert(pref == plain, s"seed $seed threshold $t: prefix-filtered " +
+        s"result diverged " +
         s"(missing=${(plain -- pref).take(3)} extra=${(pref -- plain).take(3)})")
       assert(plain.nonEmpty, s"degenerate fixture at t=$t")
+    }
     }
   }
 

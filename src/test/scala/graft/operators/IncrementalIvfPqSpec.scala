@@ -283,6 +283,44 @@ class IncrementalIvfPqSpec extends SparkSpec {
     }
   }
 
+  test("partitioned index routing = monolithic filtered search, bit for bit") {
+    // percent-scale filtered ANN: one index per filter-column value,
+    // shared quantizers. Routing a search to the matching partitions
+    // must equal the monolithic index searched with the partition
+    // membership as allowedIds — including after a ROUTED change feed.
+    val part = (id: Long) => id % 4
+    def withPart(df: DataFrame) =
+      df.withColumn("part", (col("vec_id") % 4).cast("long"))
+    val root = freshDir()
+    SimilaritySearch.writePartitionedIvfPqIndex(withPart(corpus(baseIds)),
+      root, "part", coarse, pqSeeds, m = 4): Unit
+    SimilaritySearch.applyPartitionedIvfPqIndexChanges(spark, root, "part",
+      withPart(changes)): Unit
+    val mono = builtAndApplied()
+    val queries = corpus(Seq(0L, 1L))
+    val values = Seq(1L, 3L) // 50%-selective: NOT a broadcastable id set at scale
+    val routed = SimilaritySearch.searchPartitionedIvfPqIndex(spark, root,
+        "part", values, queries, k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val allowed = finalCorpus.filter(col("vec_id") % 4 === 1 ||
+      col("vec_id") % 4 === 3).select("vec_id")
+    val filtered = SimilaritySearch.searchIvfPqIndex(spark, mono, queries,
+        k = 3, nProbe = 2, allowedIds = Some(allowed))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(routed == filtered && routed.nonEmpty)
+    assert(routed.forall(r => values.contains(part(r(2).asInstanceOf[Long]))))
+
+    // unknown filter values and path-unsafe values refuse loudly
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.searchPartitionedIvfPqIndex(spark, root, "part",
+        Seq(99L), queries, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.searchPartitionedIvfPqIndex(spark, root, "part",
+        Seq("a/b"), queries, k = 3)
+    }
+  }
+
   private implicit class IterWrap[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
