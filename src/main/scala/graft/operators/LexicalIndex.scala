@@ -379,6 +379,11 @@ object LexicalIndex {
     if (!LsmTombstones.exists(spark, dir)) return
     val foldSeq = LsmTombstones.maxLiveSeq(spark, dir)
     def fold(table: String, partCol: String): Unit = {
+      // transactional fold (r16): pin the read basis BEFORE reading, so
+      // an apply that lands between this read and the replace publish
+      // REFUSES the compaction (ConcurrentModificationException - retry
+      // the fold) instead of being silently folded away
+      val basis = Sources.mergeCommittedVersion(spark, s"$dir/$table")
       val raw = Sources.readMergePartitioned(spark, s"$dir/$table", partCol)
       val live = LsmTombstones.filterLive(spark, dir, raw, "doc_id")
         .withColumn("_seq", lit(foldSeq))
@@ -386,7 +391,8 @@ object LexicalIndex {
       val parts = raw.select(partCol).distinct().collect().map(_.get(0)).toSeq
       require(live.limit(1).count() > 0,
         s"compactBm25Index: every $table row is tombstoned — rebuild instead")
-      Sources.publishMergeReplace(spark, s"$dir/$table", live, partCol, parts)
+      Sources.publishMergeReplace(spark, s"$dir/$table", live, partCol, parts,
+        basisVersion = if (basis > 0) Some(basis) else None)
     }
     fold("postings", "_b")
     fold("forward", "_db")

@@ -35,15 +35,19 @@ import org.apache.spark.sql.functions._
   * re-inserted rows then share a generation, which is only ambiguous
   * if both touch the SAME key (last-writer-wins is then undefined;
   * concurrent appliers must feed disjoint keys). The DATA half of an
-  * apply still goes through the merge-table publish path, whose
-  * concurrent-publisher contract is a whole lost update — so index
-  * maintenance as a whole keeps the single-logical-writer discipline
-  * (the checkpointed change-feed consumer); what the segmented kill
-  * set buys is that a crash-retry or accidental overlap can never
-  * silently DROP a retraction. Compaction additionally requires
-  * exclusive maintenance: it whole-partition-replaces the data tables,
-  * so a rival apply racing a compaction is the documented merge-table
-  * lost update, not a tombstone anomaly. */
+  * apply goes through the merge-table publish path, which since r16
+  * commits through the optimistic claim protocol
+  * ([[graft.sources.Sources]] `commitMergeManifest`): overlapping
+  * append publishes REBASE (both batches land — an accidental
+  * double-applier can no longer silently drop a rival's data rows,
+  * matching the kill set's guarantee), and a compaction racing an
+  * apply REFUSES rather than folding the apply away. Index
+  * maintenance still keeps the single-logical-writer posture (the
+  * checkpointed change-feed consumer) for SEMANTIC reasons — shared
+  * seq generations on the same key are undefined, and a refused
+  * compaction must be retried — but the failure mode of an
+  * accidental overlap is now loud-or-merged, never a silent lost
+  * update on either half. */
 private[operators] object LsmTombstones {
 
   private val SegPrefix = "seg-"

@@ -883,6 +883,9 @@ object SimilaritySearch {
     if (!LsmTombstones.exists(spark, dir)) return
     val foldSeq = LsmTombstones.maxLiveSeq(spark, dir)
     val codesDir = s"$dir/codes"
+    // transactional fold (r16): basis pinned before the read — a rival
+    // apply landing mid-fold refuses the compaction, never folds away
+    val basis = graft.sources.Sources.mergeCommittedVersion(spark, codesDir)
     val raw = graft.sources.Sources.readMergePartitioned(spark, codesDir, "_list")
     val live = LsmTombstones.filterLive(spark, dir, raw, "_id")
       .withColumn("_seq", lit(foldSeq))
@@ -890,7 +893,8 @@ object SimilaritySearch {
     require(live.limit(1).count() > 0,
       "compactIvfPqIndex: every row is tombstoned — rebuild the index instead")
     val parts = raw.select("_list").distinct().collect().map(_.get(0)).toSeq // ≤ nLists
-    graft.sources.Sources.publishMergeReplace(spark, codesDir, live, "_list", parts)
+    graft.sources.Sources.publishMergeReplace(spark, codesDir, live, "_list", parts,
+      basisVersion = if (basis > 0) Some(basis) else None)
     LsmTombstones.clear(spark, dir, foldSeq)
     // bloom sidecars on the folded dirs: rewrite-mode discovery's
     // keyed read then dir-skips (see Sources.indexBatchKeys)
