@@ -1093,6 +1093,51 @@ object SimilaritySearch {
     }.toMap
   }
 
+  /** Maintain a [[writePartitionedIvfPqIndex]] FAMILY from a stream:
+    * every micro-batch is routed per filter value
+    * ([[applyPartitionedIvfPqIndexChanges]], append mode) and the
+    * compaction trigger runs on each TOUCHED partition index — plus on
+    * every partition when a batch is empty, so a quiet stream still
+    * compacts an index left over threshold. Same exactly-once
+    * composition as [[ivfPqIndexSink]] (checkpoint + idempotent
+    * append re-apply); the stream must be the family's single logical
+    * writer. Offline per-family rebuilds (a retrain of every
+    * partition, one generation swap each) between micro-batches are
+    * picked up transparently — each partition dir resolves its own
+    * `_gen` pointer per apply. */
+  def partitionedIvfPqIndexSink(changes: DataFrame, rootDir: String,
+      filterCol: String, checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", changeCol: String = "_change",
+      maintain: Option[IndexMaintenance.MaintenancePolicy] =
+        Some(IndexMaintenance.MaintenancePolicy())):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val touched = applyPartitionedIvfPqIndexChanges(spark, rootDir,
+          filterCol, batch, idCol, vecCol, changeCol, mode = "append").keys.toSeq
+        maintain.foreach { p =>
+          val segs =
+            if (touched.nonEmpty) touched
+            else { // quiet batch: sweep every partition index
+              val fs = org.apache.hadoop.fs.FileSystem.get(
+                new java.net.URI(rootDir), spark.sparkContext.hadoopConfiguration)
+              val root = new org.apache.hadoop.fs.Path(rootDir)
+              if (!fs.exists(root)) Seq.empty
+              else fs.listStatus(root).toSeq.collect {
+                case st if st.isDirectory &&
+                    st.getPath.getName.startsWith(s"$filterCol=") =>
+                  st.getPath.getName
+              }
+            }
+          segs.foreach(seg =>
+            maintainIvfPqIfNeeded(spark, s"$rootDir/$seg", p): Unit)
+        }
+      }
+      .start()
+
   /** Maintain the vector index FROM A STREAM — the IVF-PQ twin of
     * [[LexicalIndex.bm25IndexSink]]: every micro-batch of the
     * embedding change feed is one append-mode

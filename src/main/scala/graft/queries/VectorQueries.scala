@@ -212,6 +212,44 @@ object VectorQueries {
       p.toString
     })
 
+  private val partStreamIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The partitioned family maintained FROM A STREAM: same base and
+    * feed as [[cachedPartIndex]], but the routed applies arrive as a
+    * real checkpointed multi-micro-batch StreamingQuery
+    * ([[SimilaritySearch.partitionedIvfPqIndexSink]]). */
+  private def cachedPartStreamIndex(emb: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    partStreamIndexCache.computeIfAbsent(s"$datasetDir@${sourceStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_partstream")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      val s = emb.sparkSession
+      def withPart(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("part", (col("vec_id") % 4).cast("long"))
+      val high = col("vec_id") >= 8
+      val base = emb.filter(!high || col("vec_id") % 7 =!= 5)
+      SimilaritySearch.writePartitionedIvfPqIndex(withPart(base),
+        s"$p/index", "part", coarseIds = 0L until 8L, pqIds = 0L until 4L,
+        m = 4): Unit
+      val feed = withPart(incFeed(emb))
+        .select("vec_id", "embedding", "_change", "part")
+      feed.repartition(3).write.mode("overwrite").parquet(s"$p/feed")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$p/feed")
+      val q = SimilaritySearch.partitionedIvfPqIndexSink(stream, s"$p/index",
+        "part", s"$p/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$p/index"
+    })
+
   private val retrainIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1042,6 +1080,23 @@ object VectorQueries {
         " AND a.vec_id % 4 IN (1, 3)")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val root = cachedPartIndex(emb, d)
+      SimilaritySearch.searchPartitionedIvfPqIndex(s, root, "part",
+          Seq(1L, 3L), emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // The partitioned family maintained FROM A STREAM: identical base,
+    // feed and final logical state as q_vec_ivfpq_partitioned, but the
+    // routed applies arrive as a checkpointed 3-micro-batch
+    // StreamingQuery (partitionedIvfPqIndexSink) — so the same oracle
+    // gates it; a misrouted row, a partition the stream never touched,
+    // or cross-partition tombstone leakage all break the hash.
+    QueryDef.sql(
+      "q_vec_ivfpq_part_stream",
+      ivfPqMaintainedOracle("", "vec_id < 4", "vec_id < 8",
+        " AND a.vec_id % 4 IN (1, 3)")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val root = cachedPartStreamIndex(emb, d)
       SimilaritySearch.searchPartitionedIvfPqIndex(s, root, "part",
           Seq(1L, 3L), emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy("query_id", "rank")

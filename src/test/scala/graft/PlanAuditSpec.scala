@@ -362,4 +362,26 @@ class PlanAuditSpec extends SparkSpec {
     // the pair join runs over 5 sketch rows — no sort-merge machinery
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("ppjoin+ verify: equi-joins + array intersection, no cartesian, no posting re-expansion") {
+    val p = planOf("q_dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the verify stage is a per-pair array intersection (a projection),
+    // not a re-join of the full posting lists followed by a count agg
+    assert(p.contains("array_intersect"), p.take(2000))
+  }
+
+  test("partitioned ANN: every branch keeps static probed-list pruning; merge is a top-k window") {
+    val q = SparkEntry.allDefs.find(_.name == "q_vec_ivfpq_partitioned").get
+    val df = q.fn(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // two partition branches unioned, each scanning only its own
+    // index's probed _list dirs (partition filters on _list)
+    assert(p.contains("Union"), p.take(2000))
+    assert(p.contains("PartitionFilters: [_list"), p.take(3000))
+    // the query side broadcasts into each branch — the corpus-side
+    // codes never fan out
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

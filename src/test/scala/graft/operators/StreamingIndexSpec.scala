@@ -184,4 +184,89 @@ class StreamingIndexSpec extends SparkSpec {
       coarseIds = 0L until 4L, pqIds = 0L until 4L, m = 4)
     assert(searchIvf(s"$root/index") == searchIvf(reb))
   }
+
+  test("an offline retrain BETWEEN micro-batches is picked up by the running sink") {
+    // the scaladoc claim made executable: generations resolve per
+    // micro-batch, so a retrain (atomic _gen swap) landing while the
+    // checkpointed sink is idle between batches routes the NEXT batch
+    // into the new generation — encoded with the NEW quantizers,
+    // tombstoned in the NEW log; the dead generation sees nothing.
+    val baseIds = 0L until 16L
+    val root = Files.createTempDirectory("graft_stream_retrain").toString
+    SimilaritySearch.writeIvfPqIndex(vecs(baseIds), s"$root/index",
+      coarseIds = 0L until 4L, pqIds = 0L until 4L, m = 4)
+    def searchIvf(d: String): Seq[Seq[Any]] =
+      SimilaritySearch.searchIvfPqIndex(spark, d, vecs(Seq(0L, 1L)),
+          k = 4, nProbe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    val feedSchema = vecs(Seq(0L)).withColumn("_change", lit("new")).schema
+    // batch 1 lands pre-retrain; its file is the only one present
+    vecs(Seq(16L, 17L)).withColumn("_change", lit("new"))
+      .coalesce(1).write.parquet(s"$root/feed")
+    val stream = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/feed")
+    val q = SimilaritySearch.ivfPqIndexSink(stream, s"$root/index", s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      // the sink is idle between micro-batches: retrain offline over
+      // the post-batch-1 corpus with DIFFERENT quantizer medoids
+      val post1 = vecs(baseIds ++ Seq(16L, 17L))
+      val gen = SimilaritySearch.retrainIvfPqIndex(spark, s"$root/index",
+        post1, coarseIds = Seq(8L, 9L, 10L, 11L),
+        pqIds = Seq(12L, 13L, 14L, 15L), m = 4)
+      // batch 2 (a kill + an insert) arrives after the swap
+      vecs(Seq(3L)).withColumn("_change", lit("orphaned"))
+        .unionByName(vecs(Seq(18L)).withColumn("_change", lit("new")))
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      q.processAllAvailable()
+      // batch 2 must live in the NEW generation: its tombstone log has
+      // the kill, and the codes carry id 18 encoded with new quantizers
+      assert(!LsmTombstones.isEmpty(spark, gen))
+      // the maintained state equals a fresh build over the final
+      // corpus with the NEW quantizers (frozen-quantizer identity)
+      val reb = Files.createTempDirectory("graft_stream_retrain_reb").toString
+      SimilaritySearch.writeIvfPqIndex(
+        vecs((baseIds ++ Seq(16L, 17L, 18L)).filterNot(_ == 3L)), reb,
+        coarseIds = Seq(8L, 9L, 10L, 11L), pqIds = Seq(12L, 13L, 14L, 15L),
+        m = 4)
+      assert(searchIvf(s"$root/index") == searchIvf(reb))
+      assert(!searchIvf(s"$root/index").exists(_(2) == 3L))
+    } finally q.stop()
+  }
+
+  test("stream-maintained PARTITIONED family equals the batch-routed one") {
+    import org.apache.spark.sql.functions.col
+    def withPart(df: DataFrame) =
+      df.withColumn("part", (col("vec_id") % 2).cast("long"))
+    val baseIds = 0L until 16L
+    val root = Files.createTempDirectory("graft_stream_part").toString
+    SimilaritySearch.writePartitionedIvfPqIndex(withPart(vecs(baseIds)),
+      s"$root/index", "part", coarseIds = 0L until 4L, pqIds = 0L until 4L,
+      m = 4): Unit
+    val feed = withPart(
+      vecs(Seq(16L, 17L)).withColumn("_change", lit("new"))
+        .unionByName(vecs(Seq(5L, 8L)).withColumn("_change", lit("orphaned"))))
+    feed.repartition(2).write.parquet(s"$root/feed")
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/feed")
+    val q = SimilaritySearch.partitionedIvfPqIndexSink(stream, s"$root/index",
+      "part", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // batch-routed twin over the identical feed
+    val batchRoot = Files.createTempDirectory("graft_stream_part_batch").toString
+    SimilaritySearch.writePartitionedIvfPqIndex(withPart(vecs(baseIds)),
+      batchRoot, "part", coarseIds = 0L until 4L, pqIds = 0L until 4L,
+      m = 4): Unit
+    SimilaritySearch.applyPartitionedIvfPqIndexChanges(spark, batchRoot,
+      "part", feed, mode = "append"): Unit
+    def searchPart(d: String): Seq[Seq[Any]] =
+      SimilaritySearch.searchPartitionedIvfPqIndex(spark, d, "part",
+          Seq(0L, 1L), vecs(Seq(0L, 1L)), k = 4, nProbe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(searchPart(s"$root/index") == searchPart(batchRoot))
+    assert(searchPart(s"$root/index").nonEmpty)
+    assert(!searchPart(s"$root/index").exists(r => r(2) == 5L || r(2) == 8L))
+  }
 }
