@@ -438,21 +438,129 @@ object LexicalIndex {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val dir = IndexGenerations.resolve(spark, indexDir)
+    // liveTf: term-bucket pruned, tombstone-filtered (the kill join is
+    // delta-scale and broadcasts; a clean index skips it entirely)
+    val tf = liveTf(spark, indexDir, queryTerms)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = Sources.readSnapshot(spark, s"$dir/stats")
+    TextAnalysis.bm25Rank(tf, dfreq, stats, k, k1, b)
+  }
+
+  // ───────────── per-filter-partition indexes (round 16) ─────────────
+
+  private def partSeg(filterCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    require(v != null, "partitioned index: null filter value — route null " +
+      "rows to an explicit sentinel value first")
+    val s = String.valueOf(v)
+    require(s.nonEmpty && ExternalCatalogUtils.escapePathName(s) == s,
+      s"partitioned index: filter value '$s' does not round-trip Spark's " +
+        "partition-path encoding — use a path-safe filter value")
+    s"$filterCol=$s"
+  }
+
+  /** PERCENT-SCALE filtered lexical search — the BM25 twin of
+    * [[SimilaritySearch.writePartitionedIvfPqIndex]]: one full
+    * standalone BM25 index per value of a low-cardinality filter
+    * column (language, source, license class), so "search within
+    * these slices" becomes pure ROUTING with no materialized id set.
+    *
+    * Unlike the vector family there is no trained state to share —
+    * what makes multi-partition search EXACT is that every BM25
+    * corpus statistic is a SUM over partitions: tf and dl are per-doc
+    * (partition-independent), df_t = Σ_p df_{t,p}, n_docs and total
+    * tokens add. [[searchPartitionedBm25Index]] therefore unions the
+    * selected partitions' live tf rows (each read term-bucket-pruned
+    * from its own index), re-derives df from the union and sums the
+    * per-partition stats rows — bit-identical to one index built over
+    * the filtered corpus (IncrementalBm25Spec pins it). Each partition
+    * dir is a full index root: tombstones, compaction, maintenance,
+    * generations and rebuilds all work per partition unchanged.
+    * Returns the partition segments written. */
+  def writePartitionedBm25Index(docs: DataFrame, rootDir: String,
+      filterCol: String, idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 32): Seq[String] = {
+    val values = docs.select(col(filterCol)).distinct()
+      .limit(SimilaritySearch.MaxIndexPartitions + 1).collect().map(_.get(0))
+    require(values.length <= SimilaritySearch.MaxIndexPartitions,
+      s"writePartitionedBm25Index: > ${SimilaritySearch.MaxIndexPartitions} " +
+        s"distinct '$filterCol' values — not a routing column")
+    values.map { v =>
+      val seg = partSeg(filterCol, v)
+      writeBm25Index(docs.filter(col(filterCol) === lit(v)),
+        s"$rootDir/$seg", idCol, textCol, nBuckets)
+      seg
+    }.toSeq
+  }
+
+  /** Route a document change feed to the partition indexes it touches
+    * (one [[applyBm25IndexChanges]] per distinct filter value in the
+    * delta). Rows must carry their CURRENT partition value; a doc
+    * whose filter value changed is two feed entries — `orphaned`
+    * under the old value, `new` under the new. */
+  def applyPartitionedBm25IndexChanges(spark: SparkSession, rootDir: String,
+      filterCol: String, changes: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", changeCol: String = "_change",
+      mode: String = "rewrite"): Map[String, Bm25Maintenance] = {
+    val values = changes.select(col(filterCol)).distinct()
+      .limit(SimilaritySearch.MaxIndexPartitions + 1).collect().map(_.get(0))
+    require(values.length <= SimilaritySearch.MaxIndexPartitions,
+      s"applyPartitionedBm25IndexChanges: > " +
+        s"${SimilaritySearch.MaxIndexPartitions} distinct '$filterCol' values")
+    values.map { v =>
+      val seg = partSeg(filterCol, v)
+      seg -> applyBm25IndexChanges(spark, s"$rootDir/$seg",
+        changes.filter(col(filterCol) === lit(v)), idCol, textCol, changeCol,
+        mode)
+    }.toMap
+  }
+
+  /** Live tf rows `(doc_id, dl, term, tf)` of ONE index for the given
+    * terms — term-bucket pruned, generation-resolved, tombstone-
+    * filtered. The per-partition read [[searchPartitionedBm25Index]]
+    * unions; also the core of [[searchBm25Index]]. */
+  private def liveTf(spark: SparkSession, indexDir: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val dir = IndexGenerations.resolve(spark, indexDir)
     val nBuckets = readNBuckets(spark, dir)
     import spark.implicits._
-    // bucket ids via the engine's own hash (a driver-side handful)
     val buckets = queryTerms.toDF("term")
       .select(termBucket(nBuckets)).distinct().collect().map(_.getInt(0)).toSeq
-    // append-maintained indexes carry live tombstones between
-    // compactions — the kill join is delta-scale and broadcasts; a
-    // clean index skips it entirely
-    val tf = LsmTombstones.filterLive(spark, dir,
+    LsmTombstones.filterLive(spark, dir,
         Sources.readMergePartitioned(spark, s"$dir/postings", "_b")
           .filter(col("_b").isin(buckets: _*) && col("term").isin(queryTerms: _*)),
         "doc_id")
       .select("doc_id", "dl", "term", "tf")
+  }
+
+  /** BM25 top-k over the UNION of the partitions named by
+    * `filterValues` — exactly the score one index over the filtered
+    * corpus would produce (see [[writePartitionedBm25Index]]): tf rows
+    * union, df re-derived from the union, stats summed, and the SAME
+    * [[TextAnalysis.bm25Rank]] core ranks. A value with no partition
+    * dir fails loudly. */
+  def searchPartitionedBm25Index(spark: SparkSession, rootDir: String,
+      filterCol: String, filterValues: Seq[Any], queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(filterValues.nonEmpty, "searchPartitionedBm25Index: empty filter")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rootDir), spark.sparkContext.hadoopConfiguration)
+    val dirs = filterValues.map { v =>
+      val seg = partSeg(filterCol, v)
+      val d = s"$rootDir/$seg"
+      require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+        s"searchPartitionedBm25Index: no index partition at $d — unknown " +
+          s"'$filterCol' value '$v'")
+      d
+    }
+    val tf = dirs.map(liveTf(spark, _, queryTerms)).reduce(_ unionByName _)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = Sources.readSnapshot(spark, s"$dir/stats")
+    val stats = dirs.map(d => Sources.readSnapshot(spark,
+        s"${IndexGenerations.resolve(spark, d)}/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("tot")).cast("long").as("tot"))
     TextAnalysis.bm25Rank(tf, dfreq, stats, k, k1, b)
   }
 

@@ -65,6 +65,38 @@ object TextQueries {
     nw.unionByName(dl).unionByName(up)
   }
 
+  private val bm25PartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The PER-FILTER-PARTITION BM25 family (percent-scale filtered
+    * lexical search): same base subset and feed as [[cachedBm25Index]],
+    * but the corpus is partitioned on `part = doc_id % 4` with one
+    * index per value and the feed ROUTED
+    * ([[graft.operators.LexicalIndex.applyPartitionedBm25IndexChanges]]).
+    * BM25 stats sum over partitions, so routed multi-partition search
+    * is exactly the filtered-corpus score. */
+  private def cachedBm25PartIndex(docs: org.apache.spark.sql.DataFrame,
+      datasetDir: String): String =
+    bm25PartCache.computeIfAbsent(s"$datasetDir@${docStamp(datasetDir)}", _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25part")
+      sys.addShutdownHook {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val all = Files.walk(p).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+        }
+      }: Unit
+      def withPart(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("part", (col("doc_id") % 4).cast("long"))
+      graft.operators.LexicalIndex.writePartitionedBm25Index(
+        withPart(docs.filter(col("doc_id") % 7 =!= 3)), p.toString, "part",
+        nBuckets = 8): Unit
+      graft.operators.LexicalIndex.applyPartitionedBm25IndexChanges(
+        docs.sparkSession, p.toString, "part", withPart(bm25Feed(docs))): Unit
+      p.toString
+    })
+
   private val bm25LsmCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1156,6 +1188,24 @@ object TextQueries {
       val dir = cachedBm25Index(Tables.documents(s, d), d)
       graft.operators.LexicalIndex.searchBm25Index(s, dir,
           Seq("merge", "spark", "vector"), k = 25)
+        .select("doc_id", "score", "n_terms")
+    },
+
+    // PERCENT-SCALE filtered lexical search (the BM25 twin of
+    // q_vec_ivfpq_partitioned): the 50%-selective predicate
+    // doc_id % 4 IN (1, 3) is served by ROUTING to two partition
+    // indexes and merging — tf rows union, df re-derived, stats
+    // summed — which is exactly BM25 over the filtered corpus (the
+    // statistics are sums over partitions). Routed maintained feed;
+    // the oracle narrows its corpus CTE with the same predicate, so a
+    // misrouted row, an unsummed stat, or a per-partition df leaking
+    // into the idf all break the hash.
+    QueryDef.sql(
+      "q_text_bm25_partitioned",
+      bm25MaintainedOracle("", " AND doc_id % 4 IN (1, 3)")) { (s, d) =>
+      val root = cachedBm25PartIndex(Tables.documents(s, d), d)
+      graft.operators.LexicalIndex.searchPartitionedBm25Index(s, root,
+          "part", Seq(1L, 3L), Seq("merge", "spark", "vector"), k = 25)
         .select("doc_id", "score", "n_terms")
     },
 

@@ -172,4 +172,43 @@ class IncrementalBm25Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown"))
   }
+
+  test("partitioned family: routed search = one index over the filtered corpus, bit for bit") {
+    // BM25 statistics SUM over partitions (df, n_docs, tot; tf/dl are
+    // per-doc), so multi-partition routed search must equal a single
+    // index built over the filtered corpus — including after a ROUTED
+    // change feed, and with different nBuckets per path.
+    def withPart(df: DataFrame) =
+      df.withColumn("part", (col("doc_id") % 2).cast("long"))
+    val root = freshDir()
+    LexicalIndex.writePartitionedBm25Index(withPart(baseDocs), root, "part",
+      nBuckets = 4): Unit
+    LexicalIndex.applyPartitionedBm25IndexChanges(spark, root, "part",
+      withPart(changes)): Unit
+    val terms = Seq("spark", "merge", "vector")
+    def run(values: Seq[Any]) =
+      LexicalIndex.searchPartitionedBm25Index(spark, root, "part", values,
+        terms, k = 10).collect().map(_.toSeq).toSeq
+    // single-slice search ≡ an index over that slice's final corpus
+    for (p <- Seq(0L, 1L)) {
+      val mono = freshDir()
+      LexicalIndex.writeBm25Index(finalDocs.filter(col("doc_id") % 2 === p),
+        mono, nBuckets = 8)
+      assert(run(Seq(p)) ==
+        LexicalIndex.searchBm25Index(spark, mono, terms, k = 10)
+          .collect().map(_.toSeq).toSeq, s"slice $p diverged")
+    }
+    // both slices ≡ the whole final corpus (stats/df summation exact)
+    val whole = freshDir()
+    LexicalIndex.writeBm25Index(finalDocs, whole, nBuckets = 8)
+    assert(run(Seq(0L, 1L)) ==
+      LexicalIndex.searchBm25Index(spark, whole, terms, k = 10)
+        .collect().map(_.toSeq).toSeq)
+    assert(run(Seq(0L, 1L)).nonEmpty)
+    // unknown filter values refuse loudly
+    intercept[IllegalArgumentException] {
+      LexicalIndex.searchPartitionedBm25Index(spark, root, "part", Seq(9L),
+        terms, k = 10)
+    }
+  }
 }
