@@ -137,12 +137,24 @@ private[graft] object IndexGenerations {
     * plain layout (no pointer → nothing is superseded). Returns dirs
     * deleted (tmp files not counted).
     *
-    * `graceMs` is the reader grace period: nothing is deleted until
-    * the LAST swap (the `_gen` pointer's mtime — every superseded
-    * state is at least that old as a candidate) is `graceMs` in the
-    * past, so any reader that resolved before the swap has had
-    * `graceMs` to finish its scan. `0` keeps the legacy eager
-    * behavior (caller asserts no in-flight readers). */
+    * Two classes of gen dir are NEVER deleted regardless of age:
+    * the live generation, and any generation NUMBERED at or above it.
+    * Generation numbers are monotonic ([[next]]), so a gen dir with a
+    * number ≥ the live one is not superseded state — it is an
+    * in-flight rebuild/retrain that has not swapped yet. The sinks'
+    * maintenance ticks call vacuum on every micro-batch while the
+    * scaladocs explicitly allow an offline rebuild to run
+    * concurrently; age alone cannot distinguish a builder that has
+    * been writing for an hour from a reader-abandoned old gen, the
+    * number can.
+    *
+    * `graceMs` is the reader grace period: a superseded candidate is
+    * deleted only when BOTH the last swap (the `_gen` pointer's
+    * mtime) and the candidate's own mtime are `graceMs` in the past —
+    * any reader that resolved before the swap has had `graceMs` to
+    * finish its scan, and a dir whose own mtime is fresh is still
+    * being written by someone. `0` keeps the legacy eager behavior
+    * (caller asserts no in-flight readers). */
   def vacuum(spark: SparkSession, dir: String, graceMs: Long = 0L): Int = {
     val fs = fsOf(spark, dir)
     val ptr = new org.apache.hadoop.fs.Path(dir, PointerName)
@@ -156,15 +168,20 @@ private[graft] object IndexGenerations {
     val live =
       try scala.io.Source.fromInputStream(in0, "UTF-8").mkString.trim
       finally in0.close()
+    def genNum(name: String): Long = {
+      val num = name.drop(GenPrefix.length).takeWhile(_.isDigit)
+      if (num.isEmpty) 0L else num.toLong
+    }
+    val liveNum = genNum(live)
     var deleted = 0
     fs.listStatus(root).toSeq.foreach { st =>
       val name = st.getPath.getName
       val age = now - st.getModificationTime
       if (st.isDirectory && name.startsWith(GenPrefix) && name != live &&
-          swapAge >= graceMs) {
+          genNum(name) < liveNum && swapAge >= graceMs && age >= graceMs) {
         fs.delete(st.getPath, true); deleted += 1
       } else if (st.isDirectory && PlainLayoutDirs.contains(name) &&
-          swapAge >= graceMs) {
+          swapAge >= graceMs && age >= graceMs) {
         fs.delete(st.getPath, true); deleted += 1
       } else if (st.isFile && name.startsWith(s"$PointerName.tmp-") &&
           age >= graceMs) {

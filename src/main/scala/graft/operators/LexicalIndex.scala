@@ -336,17 +336,19 @@ object LexicalIndex {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          applyBm25IndexChanges(batch.sparkSession, dir, batch,
-            idCol, textCol, changeCol, mode = "append"): Unit
+        // no isEmpty pre-probe (an extra Spark job per micro-batch):
+        // applyBm25IndexChanges handles an empty change set — same
+        // per-batch overhead contract as ivfPqIndexSink
+        applyBm25IndexChanges(batch.sparkSession, dir, batch,
+          idCol, textCol, changeCol, mode = "append"): Unit
         // the operational loop, closed: the stream that maintains
         // the index also runs its compaction trigger (a listing
         // probe per batch; a fold only past policy). Safe HERE
         // because the checkpointed query is the index's single
         // logical writer — the one caller who can compact without
         // racing an applier. None = operator schedules compaction
-        // out of band. Outside the empty guard: a quiet stream must
-        // still compact an index left over threshold.
+        // out of band. A quiet stream must still compact an index
+        // left over threshold.
         maintain.foreach(p => maintainBm25IfNeeded(
           batch.sparkSession, dir, p): Unit)
       }

@@ -153,8 +153,18 @@ object Sources {
     // batch dir / manifest mid-write
     val uid = java.util.UUID.randomUUID().toString.take(8)
     // touched partitions: bounded by the incoming batch, never by the
-    // table — a driver-side collect of partition VALUES only
-    val touched = incoming.select(partitionCol).distinct().collect().map(_.get(0))
+    // table — a driver-side collect of partition VALUES only, probed
+    // with a limit first (same guard as publishMergeDeletes) so a
+    // mis-declared high-cardinality partition column refuses loudly
+    // instead of funneling the driver
+    val touchedProbe = incoming.select(partitionCol).distinct()
+      .limit(MaxTouchedPartitions + 1).collect().map(_.get(0))
+    require(touchedProbe.length <= MaxTouchedPartitions,
+      s"publishMergePartitioned: incoming batch touches > " +
+        s"$MaxTouchedPartitions distinct '$partitionCol' values — that is a " +
+        "table rewrite, not a targeted merge; pick a coarser partition " +
+        "column or split the publish")
+    val touched = touchedProbe
     val current = assembleManifest(spark, tableDir, entries)
       .map(_.filter(col(partitionCol).isin(touched: _*)) // pruned scan
         .withColumn(partitionCol,
@@ -176,8 +186,8 @@ object Sources {
     // OCC commit: merged content was derived from `entries`' touched
     // partitions, so a rival commit to any of them refuses (stale
     // snapshot); disjoint rival commits rebase and retry.
-    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
-      entries, written.toSet, rebaseOnOverlap = false, uid) { es =>
+    commitMergeManifestOrReclaim(fs, uri, conf, root, tableDir, partitionCol,
+      entries, written.toSet, rebaseOnOverlap = false, uid, bdir) { es =>
       es.filterNot(e => written.contains(segmentOf(e))) ++
         written.map(s => s"$bdir/$s")
     }
@@ -277,8 +287,8 @@ object Sources {
     // commits — even to the same partitions — are just more segments;
     // always rebase, never refuse (rebaseOnOverlap). Both racing
     // appends' rows land (OccMergeSpec races this).
-    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
-      entries, Set.empty, rebaseOnOverlap = true, uid) { es =>
+    commitMergeManifestOrReclaim(fs, uri, conf, root, tableDir, partitionCol,
+      entries, Set.empty, rebaseOnOverlap = true, uid, bdir) { es =>
       es ++ written.map(s => s"$bdir/$s")
     }
   }
@@ -370,8 +380,8 @@ object Sources {
             "retained — the content read is older than the retention window; " +
             "re-read and retry"))
     }
-    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
-      basisEntries, touchedSegs, rebaseOnOverlap = false, uid) { es =>
+    commitMergeManifestOrReclaim(fs, uri, conf, root, tableDir, partitionCol,
+      basisEntries, touchedSegs, rebaseOnOverlap = false, uid, bdir) { es =>
       val newEntries =
         es.filterNot(e => replacedStr.contains(valueOfSeg(segmentOf(e)))) ++
           written.map(s => s"$bdir/$s")
@@ -503,8 +513,8 @@ object Sources {
     // current content — a rival commit to any of them refuses (a
     // silent stale-snapshot commit would RESURRECT the rival's deleted
     // rows or drop its merged ones). Disjoint rivals rebase.
-    commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
-      entries, dropSegs ++ written, rebaseOnOverlap = false, uid) { es =>
+    commitMergeManifestOrReclaim(fs, uri, conf, root, tableDir, partitionCol,
+      entries, dropSegs ++ written, rebaseOnOverlap = false, uid, bdir) { es =>
       // drop EVERY old entry of a touched partition (including ones the
       // rewrite emptied — merge publishes never empty a partition, so
       // this is the one place entries vanish by value, not by name)
@@ -581,6 +591,28 @@ object Sources {
       deleteQuiet(fs,
         new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$n%012d"),
         recursive = false))
+    // reclaim crashed-claimer litter: aged _claim-* temps (a completed
+    // claim moves its temp away within milliseconds) and aged
+    // claimed-DEAD markers below the protection floor (content never
+    // names a manifest — a legacy crash's corpse; the commit loop
+    // already numbers past them, this just stops the listing growing)
+    fs.listStatus(root).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      lazy val aged = now - st.getModificationTime >= graceMs
+      if (st.isFile && name.startsWith(ClaimTmpPrefix) && aged)
+        deleteQuiet(fs, st.getPath, recursive = false)
+      else if (st.isFile && name.startsWith(CommitPrefix) &&
+          numberOf(name, CommitPrefix) < liveNum - 2 && aged) {
+        val valid =
+          try {
+            val in = fs.open(st.getPath)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                    finally in.close()
+            s.startsWith("manifest-")
+          } catch { case _: java.io.FileNotFoundException => true }
+        if (!valid) deleteQuiet(fs, st.getPath, recursive = false)
+      }
+    }
   }
 
   /** delete() tolerating concurrent-pruner races: on a vanished path
@@ -637,34 +669,51 @@ object Sources {
 
   /** Atomic create-EXCLUSIVE of a small control file — the put-if-absent
     * the optimistic commit serializes on. True iff this caller created
-    * it; false when a rival already owns the name. On HDFS
-    * `create(overwrite = false)` is a single NameNode op;
-    * RawLocalFileSystem emulates it as exists-then-create (a TOCTOU
-    * window two racing publishers fall straight into), so file:// goes
-    * through POSIX O_CREAT|O_EXCL via NIO CREATE_NEW — the same
-    * scheme-dispatch as [[atomicReplace]], flushed out by the same
-    * publisher races. */
+    * it; false when a rival already owns the name.
+    *
+    * The claim's CONTENT must be atomic with the claim itself: a direct
+    * create-then-write crashing between the two leaves an empty marker
+    * that owns its number forever — every later publish re-derives the
+    * same next number, loses the claim to the corpse, and wedges after
+    * its retry budget (a PERMANENT publish wedge, since nothing ever
+    * reclaimed the marker). So the content is written complete to a
+    * sibling `_claim-*` temp first (a name the `commit-*` listings never
+    * match) and the claim is the atomic no-replace move into the final
+    * name: link(2) on file:// (EEXIST from a rival is the lost race;
+    * POSIX rename would silently REPLACE, and NIO's no-replace move is
+    * emulated exists-then-rename — a TOCTOU two racing publishers fall
+    * straight into), HDFS rename elsewhere (single NameNode op, false
+    * when the destination exists). Either way the final name appears
+    * with its full content or not at all. */
   private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, path: org.apache.hadoop.fs.Path,
-      content: String): Boolean =
-    if (Option(uri.getScheme).forall(_ == "file"))
-      try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(path.toUri.getPath),
-          content.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE): Unit
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    else
-      try {
-        val out = fs.create(path, false)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(path) => false
-      }
+      content: String): Boolean = {
+    val tmpName = s"$ClaimTmpPrefix${path.getName}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    if (Option(uri.getScheme).forall(_ == "file")) {
+      val target = java.nio.file.Paths.get(path.toUri.getPath)
+      val tmp = target.resolveSibling(tmpName)
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8")): Unit
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent, tmpName)
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val won =
+        try fs.rename(tmp, path)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!won) deleteQuiet(fs, tmp, recursive = false)
+      won
+    }
+  }
+
+  /** Temp-file prefix for in-flight [[createExclusive]] claims. Deliberately
+    * outside every control-file namespace (`commit-*`, `manifest-*`, `b-*`,
+    * `_current`); a crashed claimer's leftover is reclaimed by
+    * [[pruneMergePartitioned]] once aged. */
+  private val ClaimTmpPrefix = "_claim-"
 
   /** The highest COMMITTED state of a merge table: the manifest named by
     * the largest claimed commit marker, or by the pointer when that is
@@ -677,15 +726,20 @@ object Sources {
   private def latestCommitted(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       partitionCol: String): (Long, Seq[String]) = {
+    // walk DOWN from the largest marker past any with unreadable/invalid
+    // content: a crashed legacy (pre-r17) claimer left content-less
+    // markers, and those numbers are claimed-DEAD (a burned slot, no
+    // manifest) — the newest marker that actually names a manifest is
+    // the committed state
     val markerManifest = commitNames(fs, root)
-      .sortBy(numberOf(_, CommitPrefix)).lastOption.flatMap { c =>
+      .sortBy(numberOf(_, CommitPrefix)).reverseIterator.map { c =>
         try {
           val in = fs.open(new org.apache.hadoop.fs.Path(root, c))
           val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                   finally in.close()
           if (s.startsWith("manifest-")) Some(s) else None
         } catch { case _: java.io.FileNotFoundException => None }
-      }
+      }.collectFirst { case Some(m) => m }
     val ptrManifest = currentPointer(fs, root).filter(_.startsWith("manifest-"))
     (markerManifest.toSeq ++ ptrManifest.toSeq)
       .sortBy(numberOf(_, "manifest-")).lastOption match {
@@ -812,15 +866,21 @@ object Sources {
         s"merge commit on $tableDir lost ${attempts - 1} consecutive claim " +
           "races — pathological publisher contention; back off and retry")
       // DENSE claim numbers — the load-bearing detail. The claim must
-      // be exactly lastCommitted + 1: winning it PROVES no rival
-      // committed between this latestCommitted read and the claim (any
-      // rival would have had to take the same number first). A
+      // be one past the largest EXISTING claim: winning it PROVES no
+      // rival committed between this latestCommitted read and the claim
+      // (every smaller number is already owned, so a rival landing in
+      // between would have had to take this exact number first). A
       // max-over-listings number (the first r16 cut) leaves gaps a
       // rival can commit into without ever contesting our claim —
       // validated-then-stale, the silent lost update in a new coat.
+      // The max is over ALL markers, valid content or not: a crashed
+      // legacy claimer's content-less marker owns its number as a
+      // claimed-dead slot (an aborted commit), and deriving next from
+      // the committed number alone would re-derive the corpse's number
+      // forever — the permanent publish wedge this skips past.
       val (cNum, committed) = latestCommitted(fs, root, partitionCol)
       refuseIfConflicting(committed)
-      val next = cNum + 1
+      val next = math.max(cNum, (commitNumbers(fs, root) :+ 0L).max) + 1
       val mfile = f"manifest-$next%012d-$uid"
       writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
         mkEntries(committed).sorted.mkString("\n"))
@@ -830,10 +890,40 @@ object Sources {
         pruneMergePartitioned(fs, root)
         return
       }
+      // the lost attempt's manifest is claimed by nothing and referenced
+      // by nothing — reclaim it now rather than leaking one file per
+      // lost race (and keeping committedEntriesAt's unique-name
+      // fallback unambiguous)
+      deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, mfile),
+        recursive = false)
       log.info(s"merge commit on $tableDir: claim $next lost to a rival " +
         s"publisher; rebasing (attempt $attempts)")
     }
   }
+
+  /** [[commitMergeManifest]] that reclaims the caller's just-written
+    * batch dir when the commit throws — a stale-snapshot REFUSE
+    * (`ConcurrentModificationException`) or claim-retry exhaustion
+    * (`IllegalStateException`). On those paths no COMMITTED manifest
+    * references the dir (loser-attempt manifests are deleted inside the
+    * commit loop), and [[pruneMergePartitioned]] only reclaims dirs
+    * referenced by deleted manifests — without this a first-attempt
+    * refuse would orphan the full merged batch dir on disk forever. */
+  private def commitMergeManifestOrReclaim(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path, tableDir: String, partitionCol: String,
+      basisEntries: Seq[String], touchedSegs: Set[String],
+      rebaseOnOverlap: Boolean, uid: String, bdir: String)(
+      mkEntries: Seq[String] => Seq[String]): Unit =
+    try commitMergeManifest(fs, uri, conf, root, tableDir, partitionCol,
+      basisEntries, touchedSegs, rebaseOnOverlap, uid)(mkEntries)
+    catch {
+      case e @ (_: java.util.ConcurrentModificationException |
+                _: IllegalStateException) =>
+        deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, bdir),
+          recursive = true)
+        throw e
+    }
 
   /** Read the live state of a [[publishMergePartitioned]] table:
     * resolve the manifest pointer once, then scan exactly the dirs it

@@ -123,6 +123,46 @@ class IndexGenerationsSpec extends SparkSpec {
       "superseded plain-layout codes dir must be reclaimed")
   }
 
+  test("vacuum never deletes an in-flight build: gen dirs numbered at or above the live one survive any age (ADVICE r16)") {
+    val dir = Files.createTempDirectory("graft_gen_inflight").toString
+    SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir,
+      0L until 4L, 0L until 4L, m = 4)
+    val gen1 = SimilaritySearch.retrainIvfPqIndex(spark, dir, corpus(baseIds),
+      0L until 4L, 0L until 4L, m = 4)
+    // an offline rebuild IN FLIGHT: next() allocated its dir (numbered
+    // above the live gen) and the builder is writing into it — the
+    // pointer's swap meanwhile is hours old, which is exactly when the
+    // maintenance tick's auto-vacuum used to delete it mid-write
+    val inflight = IndexGenerations.next(spark, dir)
+    assert(new java.io.File(inflight).mkdirs())
+    val aged = System.currentTimeMillis() - 2L * 3600 * 1000
+    assert(new java.io.File(dir, "_gen").setLastModified(aged))
+    assert(new java.io.File(inflight).setLastModified(aged)) // even aged: number protects it
+    // superseded state (plain layout) is aged and reclaimed; the
+    // in-flight build and the live gen survive
+    Seq("codes", "centroids", "codebooks", "drift", "tombstones")
+      .map(new java.io.File(dir, _)).filter(_.exists())
+      .foreach(f => assert(f.setLastModified(aged)))
+    SimilaritySearch.vacuumIvfPqGenerations(spark, dir,
+      graceMs = 3600L * 1000): Unit
+    assert(new java.io.File(inflight).exists(),
+      "in-flight rebuild dir deleted by vacuum")
+    assert(new java.io.File(gen1).exists(), "live generation deleted")
+    assert(!new java.io.File(dir, "codes").exists(),
+      "aged superseded plain layout kept")
+    // a fresh-mtime superseded gen (someone still writing) also survives
+    // until it ages, even below the live number
+    assert(new java.io.File(inflight).delete()) // build abandoned
+    SimilaritySearch.retrainIvfPqIndex(spark, dir, corpus(baseIds),
+      0L until 4L, 0L until 4L, m = 4): Unit
+    assert(new java.io.File(dir, "_gen").setLastModified(aged))
+    // gen1 is now superseded but its own mtime is fresh → spared
+    assert(SimilaritySearch.vacuumIvfPqGenerations(spark, dir,
+      graceMs = 3600L * 1000) == 0)
+    assert(new java.io.File(gen1).exists(),
+      "fresh-mtime superseded gen deleted inside its own grace")
+  }
+
   test("retrain resets the drift baseline: a feed that tripped the old quantizers is quiet after") {
     val dir = Files.createTempDirectory("graft_gen_drift").toString
     SimilaritySearch.writeIvfPqIndex(corpus(baseIds), dir,

@@ -128,12 +128,18 @@ class IndexMaintenanceSpec extends SparkSpec {
       "young superseded plain layout reclaimed")
     assert(searchNow() == expected)
 
-    // age the last swap (the _gen pointer's mtime IS the swap time) and
-    // drop in a crashed-swap tmp pointer: the same maintenance loop now
-    // reclaims gen1, the plain-layout tables and the stale tmp — and
-    // leaves the live generation serving identical results
+    // age the last swap (the _gen pointer's mtime IS the swap time) AND
+    // the superseded candidates themselves (r17: vacuum requires both —
+    // a fresh-mtime dir is someone's in-flight write), and drop in a
+    // crashed-swap tmp pointer: the same maintenance loop now reclaims
+    // gen1, the plain-layout tables and the stale tmp — and leaves the
+    // live generation serving identical results
     val aged = System.currentTimeMillis() - 2L * 3600 * 1000
     assert(new java.io.File(dir, "_gen").setLastModified(aged))
+    assert(new java.io.File(gen1).setLastModified(aged))
+    Seq("postings", "forward", "doclen", "stats", "meta", "tombstones")
+      .map(new java.io.File(dir, _)).filter(_.exists())
+      .foreach(f => assert(f.setLastModified(aged)))
     val staleTmp = new java.io.File(dir, "_gen.tmp-deadbeef")
     assert(staleTmp.createNewFile())
     assert(staleTmp.setLastModified(aged))
