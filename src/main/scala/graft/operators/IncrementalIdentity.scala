@@ -68,11 +68,16 @@ object IncrementalIdentity {
       consumedVersion: Long,
       registry: IdentityResolver.Registry)
 
-  /** Seed (or forcibly reset) the registry snapshot group. */
-  def publishRegistry(reg: IdentityResolver.Registry, registryRoot: String): Unit =
+  /** Seed (or forcibly reset) the registry snapshot group.
+    * `basisVersion`: the [[Sources.snapshotCommittedVersion]] of the
+    * registry the published state was DERIVED from — with it, a rival
+    * cycle committing in between refuses loudly instead of having this
+    * publish silently replace its fold (see [[resolveCycle]]). */
+  def publishRegistry(reg: IdentityResolver.Registry, registryRoot: String,
+      basisVersion: Option[Long] = None): Unit =
     Sources.publishSnapshotGroup(
       Seq(SubjectsMember -> reg.subjects, LocalIdsMember -> reg.localIds),
-      registryRoot)
+      registryRoot, basisVersion)
 
   /** The live registry snapshot, both members resolved from ONE
     * pointer read (mutually consistent by construction). */
@@ -114,6 +119,16 @@ object IncrementalIdentity {
     Sources.processMergeRowChanges(spark, fragmentsDir, checkpointDir,
         naturalKey, partitionCol) {
       (delta, version) =>
+        // pin the read basis BEFORE reading the registry: two schedulers
+        // double-firing a cycle both fold the same delta into the same
+        // registry state — without the pin the second publish silently
+        // replaces the first's fold (the lost-update class the merge
+        // tables' OCC closed in r16); with it, the loser refuses with
+        // ConcurrentModificationException, its checkpoint does not
+        // advance, and a re-driven cycle re-reads the winner's registry
+        // and converges (usually to a no-op: resolution is match-first
+        // idempotent over an already-folded batch)
+        val basis = Sources.snapshotCommittedVersion(spark, registryRoot)
         val reg = readRegistry(spark, registryRoot)
         val candidates = toCandidates(delta)
         // materialized: resolutions feed links, applyBatch AND the
@@ -123,7 +138,7 @@ object IncrementalIdentity {
           deterministicMint, groupingIterations).localCheckpoint(false)
         val links = IdentityResolver.links(candidates, res, reg.localIds)
         val evolved = IdentityResolver.applyBatch(reg, res, links, asOf)
-        publishRegistry(evolved, registryRoot)
+        publishRegistry(evolved, registryRoot, basisVersion = Some(basis))
         // hand back the PUBLISHED state (re-read, not the lazy plan):
         // the caller's reads must not re-trigger the apply lineage
         Cycle(res, version, readRegistry(spark, registryRoot))

@@ -102,6 +102,86 @@ object IndexMaintenance {
     IndexHealth(indexDir, th, segs, rows, bytes)
   }
 
+  /** Per-partition concurrency for FAMILY operations (the partitioned
+    * index families' routed applies, builds, maintenance sweeps and
+    * health rollups — each touches one disjoint partition-index dir,
+    * so they compose safely). A full-fan-out delta at the partition
+    * cap was previously thousands of SERIAL multi-job applies
+    * (VERDICT r16); a small pool keeps the driver loop off the
+    * critical path without flooding the scheduler. Overridable via
+    * the `graft.index.familyParallelism` system property. */
+  def FamilyApplyParallelism: Int =
+    sys.props.get("graft.index.familyParallelism").map(_.toInt).getOrElse(8)
+
+  /** Run disjoint per-partition tasks on a bounded pool, preserving
+    * input order in the result. Tasks MUST touch disjoint state (the
+    * family contract: one partition-index dir each); Spark job
+    * submission is thread-safe and the scheduler interleaves the
+    * branches' jobs. Fails fast with the first task's own exception
+    * (unwrapped). Serial when the pool or item count is 1 — same
+    * stack traces, no pool overhead. */
+  def inParallel[A, B](items: Seq[A],
+      parallelism: Int = FamilyApplyParallelism)(f: A => B): Seq[B] =
+    if (items.lengthCompare(1) <= 0 || parallelism <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, parallelism))
+      try {
+        val futs = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        futs.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** Partition segments (`filterCol=value` dir names) of a partitioned
+    * index FAMILY root — one listing. */
+  def familySegments(spark: SparkSession, rootDir: String,
+      filterCol: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rootDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$filterCol=") =>
+        st.getPath.getName
+    }.sorted
+  }
+
+  /** Health rollup for a partitioned index FAMILY: per-partition
+    * [[IndexHealth]] keyed by segment, generation-pointer resolved,
+    * gathered on the family pool — the one-call monitoring surface a
+    * 4096-partition family needs (VERDICT r16 #7). LISTING-ONLY by
+    * default: `tombstoneRows` is the (exact, delta-scale) count job
+    * [[health]] runs, which at full fan-out is one Spark job per
+    * partition — pass `countTombstoneRows = true` only when the rollup
+    * feeds a maintenance decision rather than a dashboard; otherwise
+    * rows report -1 (not counted) and every other field (generations,
+    * batch dirs, tombstone segments/bytes) is exact from listings. */
+  def familyHealth(spark: SparkSession, rootDir: String, filterCol: String,
+      tables: Seq[(String, String)],
+      countTombstoneRows: Boolean = false): Seq[(String, IndexHealth)] =
+    inParallel(familySegments(spark, rootDir, filterCol)) { seg =>
+      val live = IndexGenerations.resolve(spark, s"$rootDir/$seg")
+      val th = tables.map { case (t, pc) =>
+        val gens = Sources.mergeGenerations(spark, s"$live/$t", pc)
+        TableHealth(t, gens.size, (gens.values.toSeq :+ 0).max,
+          Sources.mergeBatchDirCount(spark, s"$live/$t", pc))
+      }
+      val (segs, bytes) = LsmTombstones.segmentStats(spark, live)
+      val rows =
+        if (countTombstoneRows)
+          LsmTombstones.read(spark, live).map(_.count()).getOrElse(0L)
+        else -1L
+      seg -> IndexHealth(live, th, segs, rows, bytes)
+    }
+
   /** The threshold trigger: report health, compact via `compact` when
     * any threshold is breached. Returns the pre-maintenance health and
     * whether compaction ran — callers log/ship both. Below threshold

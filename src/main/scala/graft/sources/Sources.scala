@@ -2016,44 +2016,141 @@ object Sources {
     n
   }
 
-  /** Snapshot-table publish, ATOMIC for readers: versioned-directory
-    * layout with a pointer-file swap — the plain-parquet stand-in for
-    * the reference's Postgres transaction boundary
-    * (`table-loader/services/loader.py:213-234`).
+  /** The committed version number of a snapshot table (or snapshot
+    * GROUP) right now — the READ BASIS a transactional caller
+    * snapshots BEFORE reading the content its publish derives from:
+    * passing it back as `basisVersion` makes [[publishSnapshot]] /
+    * [[publishSnapshotGroup]] refuse if any rival committed after this
+    * moment, instead of silently replacing the rival's whole table.
+    * The highest number any publisher has claimed or swapped: claim
+    * markers (valid or crashed — a dead claim still burned its
+    * number), the live pointer, and the version-dir listing (legacy
+    * publishes never claimed). 0 = never published. */
+  def snapshotCommittedVersion(spark: SparkSession, tableRoot: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
+    snapshotCommittedNum(fs, new org.apache.hadoop.fs.Path(tableRoot))
+  }
+
+  private def snapshotCommittedNum(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long = {
+    val ptrNum = currentPointer(fs, root)
+      .filter(_.startsWith("v-")).map(numberOf(_, "v-"))
+    (commitNumbers(fs, root) ++ ptrNum.toSeq ++
+      listVersions(fs, root).map(_._1) :+ 0L).max
+  }
+
+  /** Claim the next snapshot version for this publisher (r17, the
+    * dense-claim OCC protocol [[commitMergeManifest]] built for merge
+    * tables, applied to whole-snapshot publishes): derive
+    * `next = committed + 1` and take `commit-<next>` with an atomic
+    * put-if-absent. Exactly one publisher owns each number, so
+    * publishes SERIALIZE — a raced rival REFUSES loudly
+    * (`ConcurrentModificationException`) instead of degrading to the
+    * pre-r17 whole lost update (last pointer swap silently replaced
+    * the loser's table). Refuse-and-redrive, never rebase: snapshot
+    * content derives from the prior snapshot (the registry fold, the
+    * stats delta, a compaction), so committing a loser on top of a
+    * rival's commit would publish state derived from a stale snapshot
+    * — the caller must re-read and re-derive (the reference serializes
+    * the same way through its per-load Postgres txn,
+    * table-loader/services/loader.py:102).
+    *
+    * Claim-BEFORE-write: the number is owned before the (expensive)
+    * data write starts, so a raced loser fails in milliseconds, and a
+    * crash between claim and write merely burns a number (the marker
+    * names a dir the pointer never swaps to; the next claim numbers
+    * past it — never a wedge, readers never resolve it). */
+  private def claimSnapshotVersion(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, root: org.apache.hadoop.fs.Path, tableRoot: String,
+      basisVersion: Option[Long]): (Long, String, String) = {
+    if (!fs.exists(root)) fs.mkdirs(root): Unit
+    val committed = snapshotCommittedNum(fs, root)
+    basisVersion.foreach { b =>
+      if (committed != b)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot publish on $tableRoot: table moved from version $b " +
+            s"(this publish's read basis) to $committed — a concurrent " +
+            "publisher committed after this content was derived; re-read " +
+            "and re-derive (stale-snapshot write refused, not lost)")
+    }
+    val next = committed + 1
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val vdir = f"v-$next%012d-$uid"
+    if (!createExclusive(fs, uri,
+        new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$next%012d"), vdir))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot publish on $tableRoot: version $next was claimed by a " +
+          "concurrent publisher between this publish's read and its claim; " +
+          "re-read and re-derive (stale-snapshot write refused, not lost)")
+    (next, uid, vdir)
+  }
+
+  /** Pointer-anchored retention for snapshot tables: versions (and
+    * their claim markers) numbered below live−2 go — a reader that
+    * resolved the pointer may still be scanning, two SWAPPED publish
+    * cycles of slack is the retention window, the same
+    * bounded-retention trade a table format's VACUUM makes. Counting
+    * the listing instead would let concurrent publishers'
+    * written-but-unswapped versions consume the slack and delete the
+    * version the pointer still names. An unclaimed/unswapped rival
+    * below the slack was refused loudly (r17) or is legacy litter no
+    * reader ever resolved — deletable. deleteQuiet: a concurrent
+    * pruner may have won the race. Aged claim temps (crashed
+    * claimers) are reclaimed alongside. */
+  private def pruneSnapshotVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, fallbackLive: Long): Unit = {
+    val liveNum = currentPointer(fs, root)
+      .filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(fallbackLive)
+    listVersions(fs, root).collect { case (v, p) if v < liveNum - 2 => p }
+      .foreach(p => deleteQuiet(fs, p, recursive = true))
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith(CommitPrefix) &&
+          numberOf(name, CommitPrefix) < liveNum - 2)
+        deleteQuiet(fs, st.getPath, recursive = false)
+      else if (st.isFile && name.startsWith(ClaimTmpPrefix) &&
+          now - st.getModificationTime >= 10L * 60 * 1000)
+        deleteQuiet(fs, st.getPath, recursive = false)
+    }
+  }
+
+  /** Snapshot-table publish, ATOMIC for readers and SERIALIZED across
+    * publishers: versioned-directory layout with a pointer-file swap,
+    * committed through the dense-claim OCC protocol — the
+    * plain-parquet stand-in for the reference's Postgres transaction
+    * boundary (`table-loader/services/loader.py:213-234`).
     *
     * Layout: `tableRoot/_current` (pointer, contains the live version
-    * dir name) + `tableRoot/v-<stamp>/…parquet`. A publish writes a
-    * NEW version dir, then swaps the pointer with
+    * dir name) + `tableRoot/v-<n>-<uid>/…parquet` + one `commit-<n>`
+    * claim marker per committed version. A publish claims its version
+    * number ([[claimSnapshotVersion]] — a raced rival refuses loudly
+    * with `ConcurrentModificationException`, never a silent lost
+    * update), writes a NEW version dir, then swaps the pointer with
     * `FileContext.rename(OVERWRITE)` (atomic on HDFS and POSIX local
     * FS). Readers resolve the pointer first ([[readSnapshot]]), so
     * they observe either the old or the new version — never a missing
-    * or partially-written table (the old delete-target-then-rename had
-    * exactly that window). Live data is never deleted in-line: only
-    * versions OLDER than the previous one are pruned, so a reader
-    * mid-scan of the prior version keeps its files. Two concurrent
-    * publishers each write distinct version dirs; the last pointer
-    * swap wins whole — lost-update, never corruption (the reference
-    * serializes through Postgres; a snapshot table has no lock to
-    * take).
+    * or partially-written table. Live data is never deleted in-line:
+    * only versions below the two-publish retention window are pruned,
+    * so a reader mid-scan of a prior version keeps its files.
     *
-    * Version stamp is a monotonic counter parsed from existing version
-    * dirs (+1), not a wall-clock read, so publishes stay reproducible
-    * and prune order is total. */
-  def publishSnapshot(df: DataFrame, tableRoot: String): Unit = {
+    * `basisVersion`: the [[snapshotCommittedVersion]] snapshotted
+    * BEFORE reading the content this publish derives from — with it, a
+    * rival commit between that read and this publish refuses instead
+    * of being silently replaced (the transactional
+    * read-derive-publish contract; [[graft.operators.IncrementalIdentity]]
+    * pins its registry fold with exactly this). Without it the basis
+    * defaults to publish-entry time, which still serializes raced
+    * publishers but cannot see a rival that landed before entry. */
+  def publishSnapshot(df: DataFrame, tableRoot: String,
+      basisVersion: Option[Long] = None): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableRoot)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableRoot)
-    val versions = listVersions(fs, root)
-    val next = (versions.map(_._1) :+ 0L).max + 1
-    // per-publisher unique suffix (same scheme as the merge-publish
-    // batch dirs): two concurrent publishers that read the same max
-    // number write DISTINCT dirs instead of overwriting ONE version
-    // dir mid-write — which the pointer may already name — so the
-    // swap loser degrades to a whole lost update, never a torn table.
-    // Legacy un-suffixed v-dirs parse the same (numeric prefix).
-    val uid = java.util.UUID.randomUUID().toString.take(8)
-    val vdir = f"v-$next%012d-$uid"
+    val (next, uid, vdir) =
+      claimSnapshotVersion(fs, uri, root, tableRoot, basisVersion)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir")
     // atomic pointer swap: write a temp pointer, rename OVER the live
     // one. BOTH steps go through FileContext: the FileSystem API on a
@@ -2065,21 +2162,7 @@ object Sources {
     // Forward-only, so a slow rival's late swap cannot regress the
     // pointer below a version a reader has already resolved past.
     swapPointerForward(fs, uri, conf, root, vdir, s"$next-$uid", prefix = "v-")
-    // prune: anchored to the LIVE POINTER like the merge-publish path
-    // — only versions numbered below live−2 go (a reader that
-    // resolved the pointer may still be scanning; two SWAPPED publish
-    // cycles of slack is the retention window, the same
-    // bounded-retention trade a table format's VACUUM makes).
-    // Counting the pre-publish listing instead would let concurrent
-    // publishers' written-but-unswapped versions consume the slack
-    // and delete the version the pointer still names. An unswapped
-    // rival below the slack is a whole lost update no reader ever
-    // resolved — deletable. deleteQuiet: a concurrent pruner may have
-    // won the race.
-    val liveNum = currentPointer(fs, root)
-      .filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(next)
-    versions.collect { case (v, p) if v < liveNum - 2 => p }
-      .foreach(p => deleteQuiet(fs, p, recursive = true))
+    pruneSnapshotVersions(fs, root, next)
   }
 
   /** Resolve a snapshot root to its live data directory: follow the
@@ -2155,29 +2238,29 @@ object Sources {
     * N beside local_ids from N−1, which re-mints duplicate subject
     * rows on the next incremental identity cycle). A crash mid-publish
     * strands an unswapped version dir that the normal pointer-anchored
-    * prune collects later; the live version is untouched. Retention,
-    * rival resolution and prune rules are [[publishSnapshot]]'s
-    * verbatim. */
-  def publishSnapshotGroup(frames: Seq[(String, DataFrame)], tableRoot: String): Unit = {
+    * prune collects later; the live version is untouched. Commit
+    * (dense-claim OCC, raced rivals refuse loudly — the registry
+    * evolution path [[graft.operators.IncrementalIdentity.resolveCycle]]
+    * publishes through here, where a double-fired scheduler used to be
+    * a whole lost registry update), retention, rival resolution and
+    * prune rules are [[publishSnapshot]]'s verbatim, including
+    * `basisVersion`. */
+  def publishSnapshotGroup(frames: Seq[(String, DataFrame)], tableRoot: String,
+      basisVersion: Option[Long] = None): Unit = {
     require(frames.nonEmpty, "publishSnapshotGroup needs at least one member frame")
     val conf = frames.head._2.sparkSession.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableRoot)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableRoot)
-    val versions = listVersions(fs, root)
-    val next = (versions.map(_._1) :+ 0L).max + 1
-    val uid = java.util.UUID.randomUUID().toString.take(8)
-    val vdir = f"v-$next%012d-$uid"
+    val (next, uid, vdir) =
+      claimSnapshotVersion(fs, uri, root, tableRoot, basisVersion)
     frames.foreach { case (member, df) =>
       require(member.nonEmpty && !member.contains("/"),
         s"member name must be a plain dir name, got '$member'")
       df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir/$member")
     }
     swapPointerForward(fs, uri, conf, root, vdir, s"$next-$uid", prefix = "v-")
-    val liveNum = currentPointer(fs, root)
-      .filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(next)
-    versions.collect { case (v, p) if v < liveNum - 2 => p }
-      .foreach(p => deleteQuiet(fs, p, recursive = true))
+    pruneSnapshotVersions(fs, root, next)
   }
 
   /** Read one member frame of the live [[publishSnapshotGroup]]

@@ -103,20 +103,31 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("concurrent snapshot publishers never tear a version dir (distinct uid dirs)") {
-    // Two publishers racing the same next-number must land in DISTINCT
-    // version dirs: before the uid suffix both computed v-<n> and the
-    // second Overwrite deleted the first's files while the pointer
-    // could already name them. Degradation contract: whole lost
-    // updates only — every observable snapshot is one publisher's
-    // complete frame.
+    // Racing publishers SERIALIZE through the r17 dense-claim OCC: a
+    // raced loser refuses loudly (ConcurrentModificationException) and
+    // redrives — never a torn version dir, and (new in r17) never a
+    // silent whole lost update either. Every observable snapshot is one
+    // publisher's complete frame.
     val dir = Files.createTempDirectory("graft_snap_race").toString + "/table"
     Sources.publishSnapshot(Seq.fill(50)(0).toDF("x"), dir)
     @volatile var failure: Option[String] = None
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
     val publishers = (1 to 3).map { k =>
       new Thread(() => {
         try {
-          for (i <- 1 to 4 if failure.isEmpty)
-            Sources.publishSnapshot(Seq.fill(50)(k * 10 + i).toDF("x"), dir)
+          for (i <- 1 to 4 if failure.isEmpty) {
+            var done = false
+            while (!done && failure.isEmpty)
+              try {
+                Sources.publishSnapshot(Seq.fill(50)(k * 10 + i).toDF("x"), dir)
+                done = true
+              } catch {
+                // the loud refuse path: re-derive (content is
+                // independent here) and redrive
+                case _: java.util.ConcurrentModificationException =>
+                  refusals.incrementAndGet(): Unit
+              }
+          }
         } catch {
           case e: Throwable => failure = Some(s"publisher $k died: ${e.getMessage}")
         }
@@ -140,9 +151,16 @@ class SourcesSpec extends SparkSpec {
     stop = true
     reader.join(30000)
     assert(failure.isEmpty, failure.getOrElse(""))
-    // end state: complete, single-version table from some publisher
+    // end state: complete, single-version table from some publisher,
+    // and every publisher landed all 4 of its frames (12 publishes + 1
+    // seed = committed version ≥ 13; with silent lost updates the
+    // committed number would still advance, but a refused-and-redriven
+    // publisher would have hung or dropped frames — the loop above
+    // completing proves each refusal was loud and redrivable)
     val fin = Sources.readSnapshot(spark, dir).collect()
     assert(fin.length == 50 && fin.map(_.getInt(0)).distinct.length == 1)
+    assert(Sources.snapshotCommittedVersion(spark, dir) >= 13L)
+    info(s"observed ${refusals.get()} loud claim refusals across the race")
   }
 
   test("partitioned MERGE publish rewrites only touched partitions") {
