@@ -5,19 +5,26 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): run every declared query against
   * `SPARK_GRAFT_SF_DIR`, print one JSON line of per-query seconds.
   *
-  * Falsifiability discipline (round 12): this sandbox has a proven
-  * ±50% host-noise envelope on identical code, so single-run numbers
-  * cannot distinguish a real 1.5× regression from drift. Every query
-  * therefore gets ONE untimed warm-up run (JIT + page cache + codegen
-  * primed) followed by MEDIAN-OF-5 timed runs when its warm-up took
-  * ≥1 s (median-of-3 below that — sub-second queries are dominated by
-  * fixed overhead and 3 reps bound them fine). The full per-query
-  * MEDIAN map, a per-query spread table, and a ratio table against
-  * the previous round's BENCH_r{N-1}.json are all printed and
-  * persisted under target/, so a genuine regression is readable from
-  * artifacts alone. A wall-clock budget (default 1500 s, env
-  * `SPARK_GRAFT_BENCH_BUDGET_SEC`) degrades rep counts LOUDLY rather
-  * than risking a driver timeout.
+  * Falsifiability discipline (round 12, tightened round 17): this
+  * sandbox has a proven ±50% host-noise envelope on identical code, so
+  * single-run numbers cannot distinguish a real 1.5× regression from
+  * drift. Every query gets ONE untimed warm-up run (JIT + page cache +
+  * codegen primed) followed by timed reps: MEDIAN-OF-7 when the
+  * warm-up took <2 s (the sub-2 s class is where fixed overhead and
+  * host hiccups dominate — the r16 artifact's entire 1.07× "regression"
+  * lived there), median-of-5 above. If the trimmed spread (max−min
+  * over the samples MINUS the single worst outlier, over the median)
+  * still exceeds 0.25 on a short query, up to 4 extra reps are added
+  * before the median is taken — a spread-triggered re-rep, so one GC
+  * pause cannot own a 3-sample median. The spread statistic itself is
+  * outlier-trimmed at ≥5 reps (raw min/max stay in the spread table);
+  * a genuinely contended host still reports a big spread honestly.
+  * The full per-query MEDIAN map, the per-query spread table, and a
+  * ratio table against the previous round's BENCH_r{N-1}.json are all
+  * printed and persisted under target/, so a genuine regression is
+  * readable from artifacts alone. A wall-clock budget (default 1500 s,
+  * env `SPARK_GRAFT_BENCH_BUDGET_SEC`) degrades rep counts LOUDLY
+  * rather than risking a driver timeout.
   */
 object Bench {
 
@@ -165,21 +172,51 @@ object Bench {
     }
 
     var degraded = 0
+    def median(v: Seq[Double]): Double =
+      if (v.exists(_ < 0)) -1.0 else v.sorted.apply(v.length / 2)
+    /** Noise spread of a sample set: (max−min)/median, TRIMMED of the
+      * worst ~12% of samples once there are ≥5 reps (1 outlier at 5-8
+      * reps, 2 at 9-16 — the spread-triggered re-reps earn a second
+      * drop) — one GC pause or page-cache cold read should not
+      * dominate the statistic; sustained contention still reports big
+      * honestly (the trim is bounded). */
+    def relSpread(v: Seq[Double]): Double = {
+      val m = median(v)
+      if (m <= 0.05) 0.0
+      else {
+        val drop = if (v.length >= 5) 1 + (v.length - 1) / 8 else 0
+        val t = v.sorted.dropRight(drop)
+        (t.max - t.min) / m
+      }
+    }
     /** warm-up run (never billed) + adaptive timed reps → all timed
-      * samples. Budget pressure drops reps, never the warm-up+1. */
+      * samples. Sub-2 s queries get 7 reps (the host-noise class — see
+      * the object scaladoc) plus up to 4 spread-triggered extras;
+      * longer queries get 5. Budget pressure drops reps, never the
+      * warm-up+1. */
     def timeQuery(q: graft.queries.QueryDef): Seq[Double] = {
       val warm = timeOnce(q)
       if (warm < 0) return Seq(-1.0)
-      val want = if (warm >= 1.0) 5 else 3
+      val want = if (warm >= 2.0) 5 else 7
       val n =
         if (elapsedSec > budgetSec) { degraded += 1; 1 }
         else if (elapsedSec > 0.8 * budgetSec) { degraded += 1; math.min(want, 2) }
         else want
-      val times = (1 to n).map(_ => timeOnce(q))
-      if (times.exists(_ < 0)) Seq(-1.0) else times
+      var times = (1 to n).map(_ => timeOnce(q)).toSeq
+      if (times.exists(_ < 0)) return Seq(-1.0)
+      // spread-triggered re-rep (short queries only: a long noisy query
+      // would cost more than the precision buys): keep sampling until
+      // the trimmed spread drops under 0.25 or the extras run out
+      var extra = 0
+      while (median(times) < 3.0 && relSpread(times) > 0.25 && extra < 4 &&
+          elapsedSec < 0.9 * budgetSec) {
+        val t = timeOnce(q)
+        if (t < 0) return Seq(-1.0)
+        times :+= t
+        extra += 1
+      }
+      times
     }
-    def median(v: Seq[Double]): Double =
-      if (v.exists(_ < 0)) -1.0 else v.sorted.apply(v.length / 2)
 
     val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
     val samples: Seq[(String, Seq[Double])] = defs.map(q => q.name -> timeQuery(q))
@@ -208,7 +245,7 @@ object Bench {
     // queries): the falsifiability record — a real regression shows a
     // moved median with small spread; drift shows spread swallowing it
     val spreadJson = samples.sortBy(_._1).map { case (k, v) =>
-      s""""$k":{"median":${f2(median(v))},"min":${f2(v.min)},"max":${f2(v.max)},"reps":${v.length}}"""
+      s""""$k":{"median":${f2(median(v))},"min":${f2(v.min)},"max":${f2(v.max)},"reps":${v.length},"spread_rel":${f2(relSpread(v))}}"""
     }.mkString("{", ",", "}")
     val spreadLine = s"""{"metric":"spread","warmup":1,"queries":$spreadJson}"""
     println(spreadLine)
@@ -278,13 +315,13 @@ object Bench {
 
     // final line = compact headline subset (median values), guaranteed
     // inside the driver's tail window (see `headline` scaladoc).
-    // spread_max_rel = worst (max-min)/median across headline rows — a
-    // one-number contention indicator.
+    // spread_max_rel = worst TRIMMED (max-min)/median across headline
+    // rows (one outlier dropped at ≥5 reps — raw min/max stay in
+    // bench_spread.json) — a one-number contention indicator.
     val hset = headline.toSet
     val headlineMedians = medians.filter { case (k, _) => hset(k) }
     val spreadMaxRel = samples.collect {
-      case (k, v) if hset(k) && v.forall(_ >= 0) && median(v) > 0.05 =>
-        (v.max - v.min) / median(v)
+      case (k, v) if hset(k) && v.forall(_ >= 0) => relSpread(v)
     }.foldLeft(0.0)(math.max)
     // self-describing fidelity: ACTUAL rep-count range over successful
     // queries (sub-second queries get 3, ≥1 s get 5, budget pressure

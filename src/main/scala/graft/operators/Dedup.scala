@@ -945,7 +945,31 @@ object Dedup {
           .agg(count(lit(1)).as("_bsz")), maxBucket, "embedding_lsh")
         probedM.join(sizes, Seq("_bucket")).drop("_bsz")
       }
-    val joined = capped.as("x").join(capped.as("y"),
+    // Canonical-bucket pair emission (r17 — kills the suite's last sf10
+    // spiller): a pair co-occurring in k surviving buckets used to be
+    // emitted k times and folded by a pair-set DISTINCT — a pair-scale
+    // shuffle whose hash aggregate was the one remaining spill (1.06 GB
+    // at sf10). Instead each id's SURVIVING (post-cap) bucket set is
+    // rebuilt once (an id-cardinality groupBy, nProbe rows/id in, one
+    // out), rides the join sides as nProbe longs, and a pair is kept
+    // ONLY in the smallest shared bucket — emitted exactly once, so the
+    // distinct (and its shuffle) disappears while the pair SET is
+    // identical by construction (the intersection is the set of
+    // surviving buckets both ids share; every emitted pair shares at
+    // least the joined bucket). nProbe=1 needs none of this: one bucket
+    // per id means one emission per pair already.
+    val canonOn = nProbe > 1
+    val sides =
+      if (!canonOn) capped
+      else {
+        val aggs = Seq(collect_set(col("_bucket")).as("_bs")) ++ (if (pruneOn)
+          Seq(first(col("_pref")).as("_pref"), first(col("_norm")).as("_norm"),
+            first(col("_tnorm")).as("_tnorm")) else Seq.empty)
+        capped.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+          .select(Seq(col("_id"), col("_bs"),
+            explode(col("_bs")).as("_bucket")) ++ carry.drop(1): _*)
+      }
+    val joined = sides.as("x").join(sides.as("y"),
       col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
     val kept =
       if (!pruneOn) joined
@@ -953,9 +977,11 @@ object Dedup {
         VectorKernels.dotCol(col("x._pref"), col("y._pref")) +
           col("x._tnorm") * col("y._tnorm") >=
           col("x._norm") * col("y._norm") * lit(threshold) - lit(1e-9))
-    val cands = kept
-      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
-      .distinct()
+    val canon =
+      if (!canonOn) kept
+      else kept.filter(col("x._bucket") ===
+        array_min(array_intersect(col("x._bs"), col("y._bs"))))
+    val cands = canon.select(col("x._id").as("id_a"), col("y._id").as("id_b"))
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     cands.join(va, "id_a").join(vb, "id_b")
