@@ -104,7 +104,14 @@ private[graft] object IndexGenerations {
   }
 
   /** Atomically point the index at a fully-built generation dir
-    * (must be a direct child of `dir`, as [[next]] returns). */
+    * (must be a direct child of `dir`, as [[next]] returns).
+    * FORWARD-ONLY by generation number (r17): rebuilds are documented
+    * single-writer, but two overlapping rebuilds are exactly the
+    * mistake that discipline invites — if a slow builder's swap landed
+    * after a newer generation's, the pointer would REGRESS and readers
+    * would silently serve the older rebuild while the newer one (its
+    * number ≥ live) sat unvacuumable forever. The stale swap refuses
+    * loudly instead: the slow builder's output is the one that lost. */
   def swap(spark: SparkSession, dir: String, genDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val gen = new org.apache.hadoop.fs.Path(genDir)
@@ -112,10 +119,28 @@ private[graft] object IndexGenerations {
         gen.getParent.toUri.getPath == root.toUri.getPath &&
         gen.getName.startsWith(GenPrefix),
       s"generation $genDir is not a direct gen-* child of $dir")
-    require(fsOf(spark, genDir).exists(gen),
+    val fs = fsOf(spark, dir)
+    require(fs.exists(gen),
       s"generation $genDir does not exist — build it before swapping")
+    def num(name: String): Long = {
+      val d = name.drop(GenPrefix.length).takeWhile(_.isDigit)
+      if (d.isEmpty) 0L else d.toLong
+    }
+    val ptr = new org.apache.hadoop.fs.Path(root, PointerName)
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val live =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (live.startsWith(GenPrefix) && num(live) > num(gen.getName))
+        throw new java.util.ConcurrentModificationException(
+          s"index generation swap on $dir: the pointer already names $live " +
+            s"(newer than ${gen.getName}) — a rival rebuild finished first; " +
+            "this build is stale, rebuild from the current corpus instead " +
+            "of regressing readers to it")
+    }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    graft.sources.Sources.atomicReplace(fsOf(spark, dir),
+    graft.sources.Sources.atomicReplace(fs,
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration,
       root, PointerName, gen.getName, stamp)
   }

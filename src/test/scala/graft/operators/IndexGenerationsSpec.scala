@@ -258,6 +258,23 @@ class IndexGenerationsSpec extends SparkSpec {
     // vacuum without a pointer is a no-op
     val plain = Files.createTempDirectory("graft_gen_plain").toString
     assert(IndexGenerations.vacuum(spark, plain) == 0)
+
+    // forward-only swap (r17): a slow rival rebuild whose swap lands
+    // after a newer generation's refuses loudly instead of REGRESSING
+    // readers to the older rebuild
+    val dir2 = Files.createTempDirectory("graft_gen_fwd").toString
+    val slow = IndexGenerations.next(spark, dir2) // gen-1, built slowly
+    new java.io.File(slow).mkdirs()
+    val fast = IndexGenerations.next(spark, dir2) // gen-2, finishes first
+    new java.io.File(fast).mkdirs()
+    IndexGenerations.swap(spark, dir2, fast)
+    intercept[java.util.ConcurrentModificationException] {
+      IndexGenerations.swap(spark, dir2, slow)
+    }
+    assert(IndexGenerations.resolve(spark, dir2) == fast)
+    // re-swapping the live generation itself stays legal (idempotent)
+    IndexGenerations.swap(spark, dir2, fast)
+    assert(IndexGenerations.resolve(spark, dir2) == fast)
   }
 
   test("nested generations: root readers resolve recursively; gen-dir rebuilds are refused (ADVICE r15)") {
