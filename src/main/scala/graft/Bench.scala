@@ -12,13 +12,13 @@ import org.apache.spark.sql.SparkSession
   * codegen primed) followed by timed reps: MEDIAN-OF-7 when the
   * warm-up took <2 s (the sub-2 s class is where fixed overhead and
   * host hiccups dominate — the r16 artifact's entire 1.07× "regression"
-  * lived there), median-of-5 above. If the trimmed spread (max−min
-  * over the samples MINUS the single worst outlier, over the median)
-  * still exceeds 0.25 on a short query, up to 4 extra reps are added
-  * before the median is taken — a spread-triggered re-rep, so one GC
-  * pause cannot own a 3-sample median. The spread statistic itself is
-  * outlier-trimmed at ≥5 reps (raw min/max stay in the spread table);
-  * a genuinely contended host still reports a big spread honestly.
+  * lived there), median-of-5 above. If the spread (INTERQUARTILE range
+  * over the median — the statistic that tracks median stability, which
+  * is what the ratio table consumes; raw min/max stay in the spread
+  * table) still exceeds 0.25 on a short query, up to 4 extra reps are
+  * added before the median is taken — a spread-triggered re-rep, so
+  * one GC pause cannot own a 3-sample median. A genuinely contended
+  * host widens the quartiles and still reports a big spread honestly.
   * The full per-query MEDIAN map, the per-query spread table, and a
   * ratio table against the previous round's BENCH_r{N-1}.json are all
   * printed and persisted under target/, so a genuine regression is
@@ -174,19 +174,22 @@ object Bench {
     var degraded = 0
     def median(v: Seq[Double]): Double =
       if (v.exists(_ < 0)) -1.0 else v.sorted.apply(v.length / 2)
-    /** Noise spread of a sample set: (max−min)/median, TRIMMED of the
-      * worst ~12% of samples once there are ≥5 reps (1 outlier at 5-8
-      * reps, 2 at 9-16 — the spread-triggered re-reps earn a second
-      * drop) — one GC pause or page-cache cold read should not
-      * dominate the statistic; sustained contention still reports big
-      * honestly (the trim is bounded). */
+    /** Noise spread of a sample set: INTERQUARTILE range over the
+      * median — the stability of the MEDIAN is what the round-over-
+      * round ratio table consumes, and the middle half of the samples
+      * is what determines it; range-based spread let a single GC pause
+      * or cold page-cache read (80-100 ms, i.e. 30-50% of a sub-0.3 s
+      * query) own the statistic no matter how many reps agreed
+      * (measured: r16's 0.61 came from exactly that). Raw min/max stay
+      * in bench_spread.json, so extreme-tail behavior is still
+      * readable; sustained contention widens the quartiles and reports
+      * big honestly. */
     def relSpread(v: Seq[Double]): Double = {
       val m = median(v)
       if (m <= 0.05) 0.0
       else {
-        val drop = if (v.length >= 5) 1 + (v.length - 1) / 8 else 0
-        val t = v.sorted.dropRight(drop)
-        (t.max - t.min) / m
+        val s = v.sorted
+        (s(3 * (s.length - 1) / 4) - s((s.length - 1) / 4)) / m
       }
     }
     /** warm-up run (never billed) + adaptive timed reps → all timed
@@ -315,13 +318,16 @@ object Bench {
 
     // final line = compact headline subset (median values), guaranteed
     // inside the driver's tail window (see `headline` scaladoc).
-    // spread_max_rel = worst TRIMMED (max-min)/median across headline
-    // rows (one outlier dropped at ≥5 reps — raw min/max stay in
+    // spread_max_rel = worst IQR/median across headline rows whose
+    // median clears the 0.5 s regression-flag floor (a query the ratio
+    // table would never flag cannot cry wolf through the spread number
+    // either; per-query spread_rel for ALL rows is in
     // bench_spread.json) — a one-number contention indicator.
     val hset = headline.toSet
     val headlineMedians = medians.filter { case (k, _) => hset(k) }
     val spreadMaxRel = samples.collect {
-      case (k, v) if hset(k) && v.forall(_ >= 0) => relSpread(v)
+      case (k, v) if hset(k) && v.forall(_ >= 0) && median(v) > 0.5 =>
+        relSpread(v)
     }.foldLeft(0.0)(math.max)
     // self-describing fidelity: ACTUAL rep-count range over successful
     // queries (sub-second queries get 3, ≥1 s get 5, budget pressure

@@ -113,31 +113,53 @@ object IndexMaintenance {
   def FamilyApplyParallelism: Int =
     sys.props.get("graft.index.familyParallelism").map(_.toInt).getOrElse(8)
 
-  /** Run disjoint per-partition tasks on a bounded pool, preserving
-    * input order in the result. Tasks MUST touch disjoint state (the
-    * family contract: one partition-index dir each); Spark job
-    * submission is thread-safe and the scheduler interleaves the
-    * branches' jobs. Fails fast with the first task's own exception
-    * (unwrapped). Serial when the pool or item count is 1 — same
-    * stack traces, no pool overhead. */
+  /** Shared daemon pool behind [[inParallel]]: a cached executor, so
+    * the partitioned streaming sinks (one family call per micro-batch)
+    * reuse threads instead of building and tearing down a fixed pool
+    * per batch. Only `parallelism` workers are ever submitted per
+    * call, so the pool's live thread count is bounded by the busiest
+    * concurrent callers, never by item count. */
+  private lazy val familyPool =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-family-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+
+  /** Run disjoint per-partition tasks on a bounded worker set
+    * (work-stealing over a shared index counter), preserving input
+    * order in the result. Tasks MUST touch disjoint state (the family
+    * contract: one partition-index dir each); Spark job submission is
+    * thread-safe and the scheduler interleaves the branches' jobs.
+    * Fails fast: on the first task failure no further items start,
+    * in-flight items finish, and the first exception is rethrown
+    * unwrapped. Serial when the pool or item count is 1 — same stack
+    * traces, no pool overhead. */
   def inParallel[A, B](items: Seq[A],
-      parallelism: Int = FamilyApplyParallelism)(f: A => B): Seq[B] =
-    if (items.lengthCompare(1) <= 0 || parallelism <= 1) items.map(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(items.size, parallelism))
-      try {
-        val futs = items.map(a => pool.submit(
-          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-        futs.map { fut =>
-          try fut.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+      parallelism: Int = FamilyApplyParallelism)(f: A => B): Seq[B] = {
+    if (items.lengthCompare(1) <= 0 || parallelism <= 1) return items.map(f)
+    val idx = items.toIndexedSeq
+    val results = new Array[Any](idx.size)
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val workers = (1 to math.min(idx.size, parallelism)).map(_ =>
+      familyPool.submit(new Runnable {
+        def run(): Unit = {
+          var i = next.getAndIncrement()
+          while (i < idx.size && failure.get() == null) {
+            try results(i) = f(idx(i))
+            catch { case t: Throwable => failure.compareAndSet(null, t): Unit }
+            i = next.getAndIncrement()
           }
         }
-      } finally pool.shutdown()
-    }
+      }))
+    workers.foreach(_.get())
+    if (failure.get() != null) throw failure.get()
+    results.toSeq.asInstanceOf[Seq[B]]
+  }
 
   /** Partition segments (`filterCol=value` dir names) of a partitioned
     * index FAMILY root — one listing. */
