@@ -866,26 +866,41 @@ object Sources {
         s"merge commit on $tableDir lost ${attempts - 1} consecutive claim " +
           "races — pathological publisher contention; back off and retry")
       // DENSE claim numbers — the load-bearing detail. The claim must
-      // be one past the largest EXISTING claim: winning it PROVES no
-      // rival committed between this latestCommitted read and the claim
-      // (every smaller number is already owned, so a rival landing in
-      // between would have had to take this exact number first). A
-      // max-over-listings number (the first r16 cut) leaves gaps a
-      // rival can commit into without ever contesting our claim —
-      // validated-then-stale, the silent lost update in a new coat.
-      // The max is over ALL markers, valid content or not: a crashed
-      // legacy claimer's content-less marker owns its number as a
-      // claimed-dead slot (an aborted commit), and deriving next from
-      // the committed number alone would re-derive the corpse's number
-      // forever — the permanent publish wedge this skips past.
+      // be EXACTLY lastCommitted + 1: winning it PROVES no rival
+      // committed between this latestCommitted read and the claim (any
+      // rival would have had to take the same number first). Numbering
+      // past anything by a listing max — the first r16 cut, and
+      // briefly an r17 corpse-skipping variant — leaves a gap a rival
+      // can commit into without ever contesting our claim: its fresh
+      // VALID marker lands between our latestCommitted read and the
+      // listing, we claim past it uncontested, and the later
+      // forward-guarded pointer swap silently drops whichever publish
+      // holds the smaller number (OccMergeSpec's same-partition race
+      // caught exactly this as "succeeded but silently lost").
+      //
+      // A crashed claimer's content-less marker at next would instead
+      // wedge this loop forever (its number is owned by a corpse). r17
+      // claims are content-ATOMIC (createExclusive links the full
+      // content into place), so an existing marker with invalid
+      // content can never be a rival mid-write — it is provably dead,
+      // and the fix that preserves density is to RECLAIM the corpse
+      // and contest its number, not to number past it.
       val (cNum, committed) = latestCommitted(fs, root, partitionCol)
       refuseIfConflicting(committed)
-      val next = math.max(cNum, (commitNumbers(fs, root) :+ 0L).max) + 1
+      val next = cNum + 1
+      val markerPath = new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$next%012d")
+      val corpse =
+        try {
+          val in = fs.open(markerPath)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+          !s.startsWith("manifest-")
+        } catch { case _: java.io.FileNotFoundException => false }
+      if (corpse) deleteQuiet(fs, markerPath, recursive = false)
       val mfile = f"manifest-$next%012d-$uid"
       writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
         mkEntries(committed).sorted.mkString("\n"))
-      if (createExclusive(fs, uri,
-          new org.apache.hadoop.fs.Path(root, f"$CommitPrefix$next%012d"), mfile)) {
+      if (createExclusive(fs, uri, markerPath, mfile)) {
         swapPointerForward(fs, uri, conf, root, mfile, s"$next-$uid-1")
         pruneMergePartitioned(fs, root)
         return
