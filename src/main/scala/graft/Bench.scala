@@ -24,7 +24,15 @@ import org.apache.spark.sql.SparkSession
   * printed and persisted under target/, so a genuine regression is
   * readable from artifacts alone. A wall-clock budget (default 1500 s,
   * env `SPARK_GRAFT_BENCH_BUDGET_SEC`) degrades rep counts LOUDLY
-  * rather than risking a driver timeout.
+  * rather than risking a driver timeout — and it is allocated
+  * LEVEL-BY-LEVEL across all queries (r18): every query gets its
+  * warm-up + rep 1, then every query its rep 2, and so on, with
+  * spread extras last, so pressure shaves the top rep levels
+  * uniformly instead of starving whichever queries happen to run
+  * late (BENCH_r17 degraded 43/44 queries to 2 upper-median reps that
+  * way — a 1.24× phantom regression). Even-length medians are the
+  * mean of the two middles, and sub-4-sample spreads fall back to
+  * range/median instead of a degenerate 0 IQR.
   */
 object Bench {
 
@@ -171,9 +179,17 @@ object Bench {
       if (err.isDefined) -1.0 else dt
     }
 
-    var degraded = 0
+    // even-length medians take the MEAN of the two middles (r18): the
+    // upper middle meant a 2-rep degraded query reported its WORSE rep,
+    // systematically inflating round-over-round sums exactly when the
+    // budget was tightest (VERDICT r17 #1)
     def median(v: Seq[Double]): Double =
-      if (v.exists(_ < 0)) -1.0 else v.sorted.apply(v.length / 2)
+      if (v.isEmpty || v.exists(_ < 0)) -1.0
+      else {
+        val s = v.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
     /** Noise spread of a sample set: INTERQUARTILE range over the
       * median — the stability of the MEDIAN is what the round-over-
       * round ratio table consumes, and the middle half of the samples
@@ -189,40 +205,59 @@ object Bench {
       if (m <= 0.05) 0.0
       else {
         val s = v.sorted
-        (s(3 * (s.length - 1) / 4) - s((s.length - 1) / 4)) / m
+        // under 4 samples Q1 and Q3 collapse onto the same index and
+        // IQR degenerates to 0 — exactly when reps are least
+        // trustworthy the spread read as perfectly stable (ADVICE r17).
+        // Small samples fall back to the honest full range.
+        if (s.length < 4) (s.last - s.head) / m
+        else (s(3 * (s.length - 1) / 4) - s((s.length - 1) / 4)) / m
       }
     }
-    /** warm-up run (never billed) + adaptive timed reps → all timed
-      * samples. Sub-2 s queries get 7 reps (the host-noise class — see
-      * the object scaladoc) plus up to 4 spread-triggered extras;
-      * longer queries get 5. Budget pressure drops reps, never the
-      * warm-up+1. */
-    def timeQuery(q: graft.queries.QueryDef): Seq[Double] = {
-      val warm = timeOnce(q)
-      if (warm < 0) return Seq(-1.0)
-      val want = if (warm >= 2.0) 5 else 7
-      val n =
-        if (elapsedSec > budgetSec) { degraded += 1; 1 }
-        else if (elapsedSec > 0.8 * budgetSec) { degraded += 1; math.min(want, 2) }
-        else want
-      var times = (1 to n).map(_ => timeOnce(q)).toSeq
-      if (times.exists(_ < 0)) return Seq(-1.0)
-      // spread-triggered re-rep (short queries only: a long noisy query
-      // would cost more than the precision buys): keep sampling until
-      // the trimmed spread drops under 0.25 or the extras run out
-      var extra = 0
-      while (median(times) < 3.0 && relSpread(times) > 0.25 && extra < 4 &&
-          elapsedSec < 0.9 * budgetSec) {
+    /** Budget allocation is LEVEL-BY-LEVEL round-robin across ALL
+      * queries (r18, VERDICT r17 #1): the old per-query loop gave
+      * early queries their full 7 reps + spread extras and then
+      * starved everything after the 0.8×budget mark down to 2 reps
+      * (BENCH_r17: 43/44 degraded). Now pass 1 gives EVERY query its
+      * warm-up + first rep, then rep level 2 for every query, then
+      * level 3, … up to its want (5 for ≥2 s queries, 7 below — the
+      * host-noise class), so budget pressure shaves the HIGHEST rep
+      * levels uniformly instead of whole late queries. Spread-
+      * triggered extras (short noisy queries, up to 4) run only after
+      * every query has its base reps, also round-robin. */
+    final class QState(val q: graft.queries.QueryDef) {
+      var times: Vector[Double] = Vector.empty
+      var want = 0
+      var failed = false
+      def rep(): Unit = {
         val t = timeOnce(q)
-        if (t < 0) return Seq(-1.0)
-        times :+= t
-        extra += 1
+        if (t < 0) failed = true else times :+= t
       }
-      times
     }
-
     val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
-    val samples: Seq[(String, Seq[Double])] = defs.map(q => q.name -> timeQuery(q))
+    val states = defs.map(new QState(_))
+    // pass 1: warm-up (never billed) + first timed rep, unconditionally
+    states.foreach { s =>
+      val warm = timeOnce(s.q)
+      if (warm < 0) s.failed = true
+      else { s.want = if (warm >= 2.0) 5 else 7; s.rep() }
+    }
+    // pass 2: base reps, level by level — every query reaches level L
+    // before any query starts level L+1
+    val maxWant = states.map(_.want).foldLeft(0)(math.max)
+    for (level <- 2 to maxWant; s <- states
+         if !s.failed && s.want >= level && s.times.length < level &&
+           elapsedSec < 0.8 * budgetSec)
+      s.rep()
+    // pass 3: spread-triggered extras (short queries only: a long
+    // noisy query would cost more than the precision buys), re-judged
+    // each round so stabilized queries stop drawing
+    for (round <- 1 to 4; s <- states
+         if !s.failed && s.times.nonEmpty && median(s.times) < 3.0 &&
+           relSpread(s.times) > 0.25 && elapsedSec < 0.9 * budgetSec)
+      s.rep()
+    val degraded = states.count(s => !s.failed && s.times.length < s.want)
+    val samples: Seq[(String, Seq[Double])] = states.map(s =>
+      s.q.name -> (if (s.failed || s.times.isEmpty) Seq(-1.0) else s.times))
     if (degraded > 0)
       System.err.println(s"[bench] budget ${budgetSec}s pressure: rep count degraded " +
         s"for $degraded queries (raise SPARK_GRAFT_BENCH_BUDGET_SEC for full medians)")
@@ -330,10 +365,11 @@ object Bench {
         relSpread(v)
     }.foldLeft(0.0)(math.max)
     // self-describing fidelity: ACTUAL rep-count range over successful
-    // queries (sub-second queries get 3, ≥1 s get 5, budget pressure
-    // degrades to 1-2) + how many queries were degraded — the artifact
-    // must not claim 5 reps it didn't run (per-query counts are in
-    // bench_spread.json)
+    // queries (want = 5 for ≥2 s queries, 7 below; budget pressure
+    // shaves the highest rep LEVELS uniformly across all queries —
+    // never whole late queries) + how many queries ended under their
+    // want — the artifact must not claim reps it didn't run
+    // (per-query counts are in bench_spread.json)
     val repCounts = samples.collect { case (_, v) if v.forall(_ >= 0) => v.length }
     val (repsMin, repsMax) =
       if (repCounts.isEmpty) (0, 0) else (repCounts.min, repCounts.max)

@@ -69,15 +69,16 @@ object IncrementalIdentity {
       registry: IdentityResolver.Registry)
 
   /** Seed (or forcibly reset) the registry snapshot group.
-    * `basisVersion`: the [[Sources.snapshotCommittedVersion]] of the
-    * registry the published state was DERIVED from — with it, a rival
-    * cycle committing in between refuses loudly instead of having this
-    * publish silently replace its fold (see [[resolveCycle]]). */
+    * `basis`: the [[Sources.snapshotReadBasis]] of the registry the
+    * published state was DERIVED from — with it, a rival cycle
+    * committing OR swapping in between refuses loudly instead of
+    * having this publish silently replace its fold (see
+    * [[resolveCycle]]). */
   def publishRegistry(reg: IdentityResolver.Registry, registryRoot: String,
-      basisVersion: Option[Long] = None): Unit =
+      basis: Option[Sources.SnapshotBasis] = None): Unit =
     Sources.publishSnapshotGroup(
       Seq(SubjectsMember -> reg.subjects, LocalIdsMember -> reg.localIds),
-      registryRoot, basisVersion)
+      registryRoot, basis)
 
   /** The live registry snapshot, both members resolved from ONE
     * pointer read (mutually consistent by construction). */
@@ -127,8 +128,11 @@ object IncrementalIdentity {
         // ConcurrentModificationException, its checkpoint does not
         // advance, and a re-driven cycle re-reads the winner's registry
         // and converges (usually to a no-op: resolution is match-first
-        // idempotent over an already-folded batch)
-        val basis = Sources.snapshotCommittedVersion(spark, registryRoot)
+        // idempotent over an already-folded batch). The basis pins both
+        // the claim count AND the pointer version readRegistry resolves
+        // — a rival mid-publish (claimed, unswapped) that lands during
+        // this cycle refuses it either way (Sources.snapshotReadBasis).
+        val basis = Sources.snapshotReadBasis(spark, registryRoot)
         val reg = readRegistry(spark, registryRoot)
         val candidates = toCandidates(delta)
         // materialized: resolutions feed links, applyBatch AND the
@@ -138,7 +142,7 @@ object IncrementalIdentity {
           deterministicMint, groupingIterations).localCheckpoint(false)
         val links = IdentityResolver.links(candidates, res, reg.localIds)
         val evolved = IdentityResolver.applyBatch(reg, res, links, asOf)
-        publishRegistry(evolved, registryRoot, basisVersion = Some(basis))
+        publishRegistry(evolved, registryRoot, basis = Some(basis))
         // hand back the PUBLISHED state (re-read, not the lazy plan):
         // the caller's reads must not re-trigger the apply lineage
         Cycle(res, version, readRegistry(spark, registryRoot))

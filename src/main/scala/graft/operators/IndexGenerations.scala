@@ -42,16 +42,71 @@ private[graft] object IndexGenerations {
 
   private val PointerName = "_gen"
   private val GenPrefix = "gen-"
+  /** Dense swap-claim markers (r18): `genswap-<k>` files whose content
+    * is a generation dir name. The AUTHORITATIVE pointer is the claim
+    * set, resolved by highest GENERATION number among claim contents
+    * (generation numbers are monotonic via [[next]]); `_gen` remains a
+    * best-effort mirror for legacy layouts, hand-crafted nests, and
+    * vacuum's swap-age stamp. */
+  private val SwapPrefix = "genswap-"
 
   private def fsOf(spark: SparkSession, d: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
 
-  /** The live generation dir: `<dir>/<pointee>` when the `_gen`
-    * pointer exists, else `dir` itself (plain / pre-generation
+  private def genNumOf(name: String): Long = {
+    val d = name.drop(GenPrefix.length).takeWhile(_.isDigit)
+    if (d.isEmpty) 0L else d.toLong
+  }
+
+  /** Swap-claim markers under `root`: (slot k, generation name),
+    * invalid contents dropped. One listing. */
+  private def swapClaims(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.startsWith(SwapPrefix) =>
+        val k = st.getPath.getName.drop(SwapPrefix.length).takeWhile(_.isDigit)
+        val content =
+          try {
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        (if (k.isEmpty) 0L else k.toLong, content)
+    }.filter { case (_, g) =>
+      g.startsWith(GenPrefix) && !g.contains("/") && !g.contains("..")
+    }
+
+  /** ONE level of pointer resolution: the gen name the claim set (by
+    * highest generation number — claim ORDER is irrelevant, so a stale
+    * claim landing late can never shadow a newer generation) or, with
+    * no claims, the `_gen` file names. None = plain layout. */
+  private def pointeeOf(fs: org.apache.hadoop.fs.FileSystem,
+      cur: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(cur)
+    val claims = swapClaims(fs, root)
+    if (claims.nonEmpty) Some(claims.maxBy { case (k, g) => (genNumOf(g), k) }._2)
+    else {
+      val p = new org.apache.hadoop.fs.Path(root, PointerName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+          s"index generation pointer $p names an invalid generation '$name'")
+        Some(name)
+      }
+    }
+  }
+
+  /** The live generation dir: the pointee (swap-claim set, else `_gen`
+    * pointer) when present, else `dir` itself (plain / pre-generation
     * layout). Resolution is RECURSIVE: if a caller mistakenly rebuilt
     * against a generation dir instead of the logical root (creating a
-    * nested `_gen` inside a `gen-*` dir), readers addressing the root
+    * nested pointer inside a `gen-*` dir), readers addressing the root
     * still converge
     * on the newest data instead of silently serving the stale middle
     * generation. Bounded so a pointer cycle (hand-edited control
@@ -61,20 +116,16 @@ private[graft] object IndexGenerations {
     var cur = dir
     var hops = 0
     while (hops < 16) {
-      val p = new org.apache.hadoop.fs.Path(cur, PointerName)
-      if (!fs.exists(p)) return cur
-      val in = fs.open(p)
-      val name =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
-        s"index generation pointer $p names an invalid generation '$name'")
-      val gen = new org.apache.hadoop.fs.Path(cur, name)
-      require(fs.exists(gen),
-        s"index generation pointer $p names $name, which does not exist — " +
-          "vacuumed too eagerly?")
-      cur = gen.toString
-      hops += 1
+      pointeeOf(fs, cur) match {
+        case None => return cur
+        case Some(name) =>
+          val gen = new org.apache.hadoop.fs.Path(cur, name)
+          require(fs.exists(gen),
+            s"index generation pointer under $cur names $name, which does " +
+              "not exist — vacuumed too eagerly?")
+          cur = gen.toString
+          hops += 1
+      }
     }
     throw new IllegalStateException(
       s"index generation pointers under $dir nest deeper than 16 levels — " +
@@ -105,13 +156,29 @@ private[graft] object IndexGenerations {
 
   /** Atomically point the index at a fully-built generation dir
     * (must be a direct child of `dir`, as [[next]] returns).
-    * FORWARD-ONLY by generation number (r17): rebuilds are documented
-    * single-writer, but two overlapping rebuilds are exactly the
-    * mistake that discipline invites — if a slow builder's swap landed
-    * after a newer generation's, the pointer would REGRESS and readers
-    * would silently serve the older rebuild while the newer one (its
-    * number ≥ live) sat unvacuumable forever. The stale swap refuses
-    * loudly instead: the slow builder's output is the one that lost. */
+    *
+    * A STALE SWAP GENUINELY CANNOT LAND (r18 — the r17 read-then-
+    * rename forward check left the check-to-rename window, so two
+    * truly concurrent swaps could still regress the pointer). The
+    * swap is now a dense-claim commit, the same createExclusive
+    * primitive the merge tables serialize on:
+    *
+    *  1. refuse-if-stale pre-check: the resolved live generation is
+    *     already newer → `ConcurrentModificationException`;
+    *  2. claim the next `genswap-<k>` slot (atomic put-if-absent,
+    *     content = the generation name; a lost slot just retries);
+    *  3. verify: re-resolve — if the claim set now names a NEWER
+    *     generation, a rival landed concurrently and this build is
+    *     stale: refuse loudly (the claim stays, but it is INERT — see
+    *     below).
+    *
+    * Readers resolve the claim set by highest GENERATION number, not
+    * by slot or rename order, so even a stale claim that lands in the
+    * verify window (its owner crashing mid-swap) can never shadow a
+    *     newer generation — regression is impossible by construction,
+    * not merely unlikely. The `_gen` file remains as a best-effort
+    * mirror: legacy readers, hand-crafted nested layouts, and
+    * [[vacuum]]'s swap-age stamp. */
   def swap(spark: SparkSession, dir: String, genDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val gen = new org.apache.hadoop.fs.Path(genDir)
@@ -122,27 +189,51 @@ private[graft] object IndexGenerations {
     val fs = fsOf(spark, dir)
     require(fs.exists(gen),
       s"generation $genDir does not exist — build it before swapping")
-    def num(name: String): Long = {
-      val d = name.drop(GenPrefix.length).takeWhile(_.isDigit)
-      if (d.isEmpty) 0L else d.toLong
+    val uri = new java.net.URI(dir)
+    val myNum = genNumOf(gen.getName)
+    def newestClaimed(): Option[String] = {
+      val claims = swapClaims(fs, root)
+      if (claims.isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(root, PointerName)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close())
+        }
+      } else Some(claims.maxBy { case (k, g) => (genNumOf(g), k) }._2)
     }
-    val ptr = new org.apache.hadoop.fs.Path(root, PointerName)
-    if (fs.exists(ptr)) {
-      val in = fs.open(ptr)
-      val live =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (live.startsWith(GenPrefix) && num(live) > num(gen.getName))
+    def refuseIfStale(): Unit = newestClaimed().foreach { live =>
+      if (live.startsWith(GenPrefix) && genNumOf(live) > myNum)
         throw new java.util.ConcurrentModificationException(
           s"index generation swap on $dir: the pointer already names $live " +
             s"(newer than ${gen.getName}) — a rival rebuild finished first; " +
             "this build is stale, rebuild from the current corpus instead " +
             "of regressing readers to it")
     }
+    refuseIfStale()
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"index generation swap on $dir lost ${attempts - 1} consecutive " +
+          "slot claims — pathological swap contention; back off and retry")
+      val k = (swapClaims(fs, root).map(_._1) :+ 0L).max + 1
+      claimed = graft.sources.Sources.createExclusiveClaim(fs, uri,
+        new org.apache.hadoop.fs.Path(root, f"$SwapPrefix$k%012d"),
+        gen.getName)
+      if (!claimed) refuseIfStale()
+    }
+    // post-claim verify: a rival landing between the pre-check and the
+    // claim is visible now; my inert claim stays but is never resolved
+    refuseIfStale()
+    // legacy mirror + vacuum's swap-age stamp (best-effort: readers do
+    // not depend on it once a claim exists)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    graft.sources.Sources.atomicReplace(fs,
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration,
-      root, PointerName, gen.getName, stamp)
+    graft.sources.Sources.atomicReplace(fs, uri,
+      spark.sparkContext.hadoopConfiguration, root, PointerName,
+      gen.getName, stamp)
   }
 
   /** Root-level table dirs a plain (pre-generation) index layout may
@@ -182,28 +273,27 @@ private[graft] object IndexGenerations {
     * (caller asserts no in-flight readers). */
   def vacuum(spark: SparkSession, dir: String, graceMs: Long = 0L): Int = {
     val fs = fsOf(spark, dir)
-    val ptr = new org.apache.hadoop.fs.Path(dir, PointerName)
-    if (!fs.exists(ptr)) return 0
-    val now = System.currentTimeMillis()
-    val swapAge = now - fs.getFileStatus(ptr).getModificationTime
     val root = new org.apache.hadoop.fs.Path(dir)
     // resolve ONE level here, not recursively: a nested generation's
     // children belong to that generation's own vacuum pass.
-    val in0 = fs.open(ptr)
-    val live =
-      try scala.io.Source.fromInputStream(in0, "UTF-8").mkString.trim
-      finally in0.close()
-    def genNum(name: String): Long = {
-      val num = name.drop(GenPrefix.length).takeWhile(_.isDigit)
-      if (num.isEmpty) 0L else num.toLong
-    }
-    val liveNum = genNum(live)
+    val live = pointeeOf(fs, root.toString).getOrElse { return 0 }
+    val ptr = new org.apache.hadoop.fs.Path(dir, PointerName)
+    val now = System.currentTimeMillis()
+    // swap-age stamp: the mirror's mtime; with claims but no mirror
+    // (a swap crashed between its claim and the mirror write) fall
+    // back to the newest claim marker's mtime
+    val swapAge = now - (
+      if (fs.exists(ptr)) fs.getFileStatus(ptr).getModificationTime
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(SwapPrefix))
+        .map(_.getModificationTime).foldLeft(0L)(math.max))
+    val liveNum = genNumOf(live)
     var deleted = 0
     fs.listStatus(root).toSeq.foreach { st =>
       val name = st.getPath.getName
       val age = now - st.getModificationTime
       if (st.isDirectory && name.startsWith(GenPrefix) && name != live &&
-          genNum(name) < liveNum && swapAge >= graceMs && age >= graceMs) {
+          genNumOf(name) < liveNum && swapAge >= graceMs && age >= graceMs) {
         fs.delete(st.getPath, true); deleted += 1
       } else if (st.isDirectory && PlainLayoutDirs.contains(name) &&
           swapAge >= graceMs && age >= graceMs) {
@@ -213,6 +303,18 @@ private[graft] object IndexGenerations {
         // a completed swap renames its tmp away within milliseconds;
         // one still here past the grace period is a crashed swap's
         fs.delete(st.getPath, false): Unit
+      } else if (st.isFile && name.startsWith(SwapPrefix) && age >= graceMs) {
+        // superseded swap claims: any claim naming a generation older
+        // than live is inert (resolution is by max gen number) — only
+        // marker litter. The live generation's claim(s) stay.
+        val content =
+          try {
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        if (!content.startsWith(GenPrefix) || genNumOf(content) < liveNum)
+          fs.delete(st.getPath, false): Unit
       }
     }
     deleted

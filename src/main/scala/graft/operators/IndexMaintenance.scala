@@ -180,16 +180,20 @@ object IndexMaintenance {
     * [[IndexHealth]] keyed by segment, generation-pointer resolved,
     * gathered on the family pool — the one-call monitoring surface a
     * 4096-partition family needs (VERDICT r16 #7). LISTING-ONLY by
-    * default: `tombstoneRows` is the (exact, delta-scale) count job
-    * [[health]] runs, which at full fan-out is one Spark job per
-    * partition — pass `countTombstoneRows = true` only when the rollup
-    * feeds a maintenance decision rather than a dashboard; otherwise
-    * rows report -1 (not counted) and every other field (generations,
-    * batch dirs, tombstone segments/bytes) is exact from listings. */
+    * default: with `countTombstoneRows = true` the exact per-partition
+    * tombstone row counts run as ONE Spark job (r18, VERDICT r17 #4) —
+    * every partition's live tombstone segments are unioned under a
+    * segment tag and counted in a single aggregation, instead of one
+    * count job per partition (4096 jobs at the family cap, each paying
+    * full job-submission overhead for a delta-scale scan). Pass it
+    * only when the rollup feeds a maintenance decision rather than a
+    * dashboard; otherwise rows report -1 (not counted) and every other
+    * field (generations, batch dirs, tombstone segments/bytes) is
+    * exact from listings. */
   def familyHealth(spark: SparkSession, rootDir: String, filterCol: String,
       tables: Seq[(String, String)],
-      countTombstoneRows: Boolean = false): Seq[(String, IndexHealth)] =
-    inParallel(familySegments(spark, rootDir, filterCol)) { seg =>
+      countTombstoneRows: Boolean = false): Seq[(String, IndexHealth)] = {
+    val base = inParallel(familySegments(spark, rootDir, filterCol)) { seg =>
       val live = IndexGenerations.resolve(spark, s"$rootDir/$seg")
       val th = tables.map { case (t, pc) =>
         val gens = Sources.mergeGenerations(spark, s"$live/$t", pc)
@@ -197,12 +201,34 @@ object IndexMaintenance {
           Sources.mergeBatchDirCount(spark, s"$live/$t", pc))
       }
       val (segs, bytes) = LsmTombstones.segmentStats(spark, live)
+      (seg, live, th, segs, bytes)
+    }
+    val rowsBySeg: Map[String, Long] =
+      if (!countTombstoneRows) Map.empty
+      else {
+        // ONE scan over every partition's segment dirs, rows tagged by
+        // the family segment component of their file path — a
+        // per-partition read would pay per-read schema/footer/listing
+        // jobs, re-introducing O(partitions) jobs through the back door
+        val paths = base.flatMap { case (_, live, _, _, _) =>
+          LsmTombstones.segmentPaths(spark, live)
+        }
+        if (paths.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+          val segRe = "/(" + java.util.regex.Pattern.quote(filterCol) + "=[^/]*)/"
+          spark.read.parquet(paths: _*)
+            .select(regexp_extract(input_file_name(), segRe, 1).as("_family_seg"))
+            .groupBy("_family_seg").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+      }
+    base.map { case (seg, live, th, segs, bytes) =>
       val rows =
-        if (countTombstoneRows)
-          LsmTombstones.read(spark, live).map(_.count()).getOrElse(0L)
-        else -1L
+        if (countTombstoneRows) rowsBySeg.getOrElse(seg, 0L) else -1L
       seg -> IndexHealth(live, th, segs, rows, bytes)
     }
+  }
 
   /** The threshold trigger: report health, compact via `compact` when
     * any threshold is breached. Returns the pre-maintenance health and

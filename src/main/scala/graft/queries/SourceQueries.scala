@@ -17,6 +17,52 @@ object SourceQueries {
   private def scratch(sfDir: String, tag: String): String =
     s"/root/repo/target/roundtrip/${new java.io.File(sfDir).getName}_$tag"
 
+  /** `q_merge_keyed_lookup`'s BUILD phase — seed write + MERGE publish
+    * + key-bloom sidecar build — split out (r18, VERDICT r17 #7) so
+    * the scale ledger can time it separately from the lookup: the gate
+    * row rebuilds the table every rep, so its sf10 wall and shuffle
+    * are publish cost, not lookup cost. Returns the table dir. */
+  private[graft] def keyedLookupBuild(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val cfg = graft.types.TableConfig("orders", Seq("o_orderkey"), Seq("o_orderdate"))
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+    val current = base.filter(col("o_orderkey") % 7 =!= 0)
+    val incoming = base
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 4 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 11 === 0, concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+    val dir = scratch(d, "pmergek")
+    current.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("p").parquet(dir)
+    Sources.publishMergePartitioned(s, dir, incoming, cfg, "p")
+    Sources.indexBatchKeys(s, dir, "o_orderkey")
+    dir
+  }
+
+  /** `q_merge_keyed_lookup`'s LOOKUP phase over a [[keyedLookupBuild]]
+    * table: the bloom-sidecar-pruned keyed read alone. */
+  private[graft] def keyedLookupRead(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+    // keys as a FRAME: the read picks point-lookup (sidecar-pruned)
+    // vs bulk (bloom semi-join) itself via a BOUNDED probe — no
+    // data-proportional collect anywhere in the harness
+    val keys = base.filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+    Sources.readMergePartitionedKeyedFrame(s, dir, "p", "o_orderkey", keys)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
+        "o_orderdate", "p")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1 CSV scan + S9/S11 CSV sink: orders -> CSV -> read (explicit
@@ -257,33 +303,7 @@ object SourceQueries {
         |  FROM cur WHERE o_orderkey % 4 = 0) AS u
         |WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val cfg = graft.types.TableConfig("orders", Seq("o_orderkey"), Seq("o_orderdate"))
-      val base = Tables.orders(s, d)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate")
-        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
-      val current = base.filter(col("o_orderkey") % 7 =!= 0)
-      val incoming = base
-        .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 4 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderpriority",
-          when(col("o_orderkey") % 11 === 0, concat(lit("X-"), col("o_orderpriority")))
-            .otherwise(col("o_orderpriority")))
-        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
-      val dir = scratch(d, "pmergek")
-      current.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("p").parquet(dir)
-      Sources.publishMergePartitioned(s, dir, incoming, cfg, "p")
-      Sources.indexBatchKeys(s, dir, "o_orderkey")
-      // keys as a FRAME: the read picks point-lookup (sidecar-pruned)
-      // vs bulk (bloom semi-join) itself via a BOUNDED probe — no
-      // data-proportional collect anywhere in the harness
-      val keys = base.filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
-      Sources.readMergePartitionedKeyedFrame(s, dir, "p", "o_orderkey", keys)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
-          "o_orderdate", "p")
-        .orderBy("o_orderkey")
+      keyedLookupRead(s, d, keyedLookupBuild(s, d))
     },
 
     // Merge-table compaction under the gate: replay the

@@ -709,11 +709,84 @@ object Sources {
     }
   }
 
+  /** [[createExclusive]] for claim protocols outside this file (the
+    * index generation swap's dense slots,
+    * [[graft.operators.IndexGenerations.swap]]). */
+  private[graft] def createExclusiveClaim(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, path: org.apache.hadoop.fs.Path,
+      content: String): Boolean = createExclusive(fs, uri, path, content)
+
   /** Temp-file prefix for in-flight [[createExclusive]] claims. Deliberately
     * outside every control-file namespace (`commit-*`, `manifest-*`, `b-*`,
     * `_current`); a crashed claimer's leftover is reclaimed by
     * [[pruneMergePartitioned]] once aged. */
   private val ClaimTmpPrefix = "_claim-"
+
+  /** Deterministic tombstone a reclaimed corpse marker is renamed to —
+    * see [[reclaimCorpseMarker]]. PERMANENT by design: its existence is
+    * what makes a second reclaim of the same number impossible. */
+  private val CorpseTombPrefix = "_corpse-"
+
+  /** Exclusive reclaim of a content-less/garbage `commit-<n>` marker (a
+    * pre-content-atomic crash corpse) — ADVICE r17 #2. The blind
+    * read-then-delete it replaces was a TOCTOU on a shared name:
+    * publisher A reads the corpse, pauses (GC, scheduler); rival B
+    * reads the same corpse, deletes it, wins the number with a VALID
+    * marker and swaps; A resumes and its delete destroys B's committed
+    * marker, A re-claims the number and commits a manifest rebased on
+    * the pre-B state — B's batch silently dropped (the forward-only
+    * pointer guard does not block an equal-numbered swap). The
+    * read-to-delete window is unbounded, so "unlikely" is not an
+    * argument.
+    *
+    * The delete is therefore an atomic no-replace RENAME to the
+    * deterministic tombstone `_corpse-<n>`:
+    *  - exactly one renamer of a single source inode wins; the loser
+    *    sees the source vanish (or the tombstone already present) and
+    *    simply re-contests the number through the normal claim;
+    *  - the tombstone is PERMANENT: a second reclaim of number n fails
+    *    on dest-exists, so once n transitions corpse→valid nothing can
+    *    ever rename the valid marker away — the exact hole the blind
+    *    delete had. Corpses cannot re-form post-r17 ([[createExclusive]]
+    *    links full content atomically), so the litter bound is one
+    *    ~40-byte tombstone per LEGACY corpse, ever;
+    *  - a crash after the rename leaves the number open (marker gone)
+    *    for any publisher to contest normally — never a wedge.
+    * Belt-and-braces: if the renamed content turns out VALID (a state
+    * the tombstone discipline makes unreachable), it is restored via
+    * the same atomic put-if-absent; a failed restore throws loudly —
+    * never a silently dropped committed manifest. */
+  private[sources] def reclaimCorpseMarker(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, root: org.apache.hadoop.fs.Path,
+      markerPath: org.apache.hadoop.fs.Path, next: Long): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(root, f"$CorpseTombPrefix$next%012d")
+    val won =
+      if (Option(uri.getScheme).forall(_ == "file"))
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(markerPath.toUri.getPath),
+            java.nio.file.Paths.get(tomb.toUri.getPath)): Unit
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.NoSuchFileException => false
+        }
+      else
+        try fs.rename(markerPath, tomb)
+        catch {
+          case _: java.io.FileNotFoundException => false
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+    if (won) {
+      val content = readControlQuiet(fs, tomb)
+      if (content.startsWith("manifest-") &&
+          !createExclusive(fs, uri, markerPath, content))
+        throw new IllegalStateException(
+          s"corpse reclaim on $markerPath renamed a marker that turned " +
+            s"VALID and could not restore it ($content) — refusing loudly " +
+            "rather than dropping a committed manifest reference")
+    }
+  }
 
   /** The highest COMMITTED state of a merge table: the manifest named by
     * the largest claimed commit marker, or by the pointer when that is
@@ -896,7 +969,7 @@ object Sources {
                   finally in.close()
           !s.startsWith("manifest-")
         } catch { case _: java.io.FileNotFoundException => false }
-      if (corpse) deleteQuiet(fs, markerPath, recursive = false)
+      if (corpse) reclaimCorpseMarker(fs, uri, root, markerPath, next)
       val mfile = f"manifest-$next%012d-$uid"
       writeRaw(uri, conf, new org.apache.hadoop.fs.Path(root, mfile),
         mkEntries(committed).sorted.mkString("\n"))
@@ -2032,20 +2105,75 @@ object Sources {
   }
 
   /** The committed version number of a snapshot table (or snapshot
-    * GROUP) right now — the READ BASIS a transactional caller
-    * snapshots BEFORE reading the content its publish derives from:
-    * passing it back as `basisVersion` makes [[publishSnapshot]] /
-    * [[publishSnapshotGroup]] refuse if any rival committed after this
-    * moment, instead of silently replacing the rival's whole table.
-    * The highest number any publisher has claimed or swapped: claim
-    * markers (valid or crashed — a dead claim still burned its
-    * number), the live pointer, and the version-dir listing (legacy
-    * publishes never claimed). 0 = never published. */
+    * GROUP) right now: the highest number any publisher has claimed or
+    * swapped — claim markers (valid or crashed — a dead claim still
+    * burned its number), the live pointer, and the version-dir listing
+    * (legacy publishes never claimed). 0 = never published.
+    *
+    * NOT sufficient as a transactional read basis on its own: a rival
+    * that has CLAIMED but not yet SWAPPED counts here while the
+    * content a reader resolves (the pointer) is still the prior
+    * version — a basis carrying only this number would pass the
+    * commit check after the rival's swap and silently replace its
+    * fold (ADVICE r17). Use [[snapshotReadBasis]], which also pins the
+    * pointer version the content reads actually resolved. */
   def snapshotCommittedVersion(spark: SparkSession, tableRoot: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
     snapshotCommittedNum(fs, new org.apache.hadoop.fs.Path(tableRoot))
   }
+
+  /** The transactional READ BASIS of a snapshot table (or GROUP): take
+    * it BEFORE reading the content a publish derives from, pass it
+    * back as `basis` to [[publishSnapshot]] / [[publishSnapshotGroup]].
+    * Two numbers, because claims and visibility move separately:
+    *
+    *  - `committed` ([[snapshotCommittedVersion]]): the highest number
+    *    any publisher has CLAIMED. A rival claiming after this moment
+    *    makes the publish refuse (it may commit content this publish
+    *    never saw).
+    *  - `pointer`: the version the `_current` pointer RESOLVES right
+    *    now — the version [[readSnapshot]] / [[readSnapshotGroupAll]]
+    *    actually serve. A rival that claimed BEFORE this basis (so
+    *    `committed` already counts it) but swaps its content live
+    *    AFTER the content read leaves `committed` unchanged — only the
+    *    pointer records that the content this publish derived from is
+    *    no longer the live state (the claim-to-swap window, ADVICE
+    *    r17: the whole data write sits between a rival's claim and its
+    *    swap).
+    *
+    * A publish refuses unless BOTH still match at claim time. */
+  def snapshotReadBasis(spark: SparkSession, tableRoot: String): SnapshotBasis = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableRoot), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    SnapshotBasis(snapshotCommittedNum(fs, root), snapshotPointerNum(fs, root))
+  }
+
+  /** See [[snapshotReadBasis]]. */
+  final case class SnapshotBasis(committed: Long, pointer: Long)
+
+  /** Liveness grace for snapshot-publish claims (shared by the
+    * in-flight-rival refusal in [[claimSnapshotVersion]] and the
+    * crashed-publisher litter reclaim in [[pruneSnapshotVersions]]): a
+    * valid claim above the live pointer is IN-FLIGHT (its owner is
+    * between claim and swap — the data write) until its freshest
+    * evidence (marker or version-dir mtime) is this old, after which
+    * it is declared dead: its number may be passed, its litter
+    * reclaimed. MUST exceed the longest expected publish write (the
+    * same contract a table format's VACUUM retention has with job
+    * duration) — a publisher still writing past the grace is treated
+    * as crashed, and its late swap refuses loudly rather than landing
+    * ([[swapSnapshotOrRefuse]]). Default 30 min; operators of
+    * long-write deployments raise `graft.snapshot.graceMs`. */
+  private[sources] def snapshotGraceMs: Long =
+    sys.props.get("graft.snapshot.graceMs").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
+  private def snapshotPointerNum(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long =
+    currentPointer(fs, root)
+      .filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(0L)
 
   private def snapshotCommittedNum(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Long = {
@@ -2074,20 +2202,72 @@ object Sources {
     * Claim-BEFORE-write: the number is owned before the (expensive)
     * data write starts, so a raced loser fails in milliseconds, and a
     * crash between claim and write merely burns a number (the marker
-    * names a dir the pointer never swaps to; the next claim numbers
-    * past it — never a wedge, readers never resolve it). */
+    * names a dir the pointer never swaps to; readers never resolve
+    * it). A burned number is passed once its claim ages past
+    * [[snapshotGraceMs]] — never a wedge.
+    *
+    * Three refusal rules (r18 — the first alone left the claim-to-swap
+    * window open, ADVICE r17):
+    *  1. `committed != basis.committed`: a rival CLAIMED since the
+    *     basis read — it may commit content this publish never saw.
+    *  2. `pointer != basis.pointer`: a rival that claimed BEFORE the
+    *     basis read (so rule 1 cannot see it) SWAPPED its content live
+    *     after this publish read the prior version — the content this
+    *     publish derived from is no longer the live state.
+    *  3. a VALID claim above the live pointer younger than
+    *     [[snapshotGraceMs]] exists: its owner is mid-write. Claiming
+    *     past it would let this publish (derived from the pre-rival
+    *     pointer) swap OVER the rival's fold when the rival lands
+    *     during this publish's own data write — the one interleaving
+    *     rules 1-2 cannot order, because both checks pass before
+    *     either swap exists. Applies with or without a basis. Once the
+    *     claim ages past the grace its owner is declared dead: the
+    *     number is passed, and the zombie's own late swap refuses
+    *     ([[swapSnapshotOrRefuse]]). */
   private def claimSnapshotVersion(fs: org.apache.hadoop.fs.FileSystem,
       uri: java.net.URI, root: org.apache.hadoop.fs.Path, tableRoot: String,
-      basisVersion: Option[Long]): (Long, String, String) = {
+      basis: Option[SnapshotBasis]): (Long, String, String) = {
     if (!fs.exists(root)) fs.mkdirs(root): Unit
     val committed = snapshotCommittedNum(fs, root)
-    basisVersion.foreach { b =>
-      if (committed != b)
+    val ptrNum = snapshotPointerNum(fs, root)
+    basis.foreach { b =>
+      if (committed != b.committed)
         throw new java.util.ConcurrentModificationException(
-          s"snapshot publish on $tableRoot: table moved from version $b " +
-            s"(this publish's read basis) to $committed — a concurrent " +
-            "publisher committed after this content was derived; re-read " +
-            "and re-derive (stale-snapshot write refused, not lost)")
+          s"snapshot publish on $tableRoot: table moved from version " +
+            s"${b.committed} (this publish's read basis) to $committed — a " +
+            "concurrent publisher committed after this content was derived; " +
+            "re-read and re-derive (stale-snapshot write refused, not lost)")
+      if (ptrNum != b.pointer)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot publish on $tableRoot: the live pointer moved from " +
+            s"version ${b.pointer} (the version this publish's content reads " +
+            s"resolved) to $ptrNum — a rival that had already claimed before " +
+            "the basis read swapped its content live afterwards (the " +
+            "claim-to-swap window); this publish derives from a version " +
+            "that is no longer live; re-read and re-derive")
+    }
+    val (inFlight, dead) = snapshotClaimsAbovePointer(fs, root, ptrNum)
+    inFlight.headOption.foreach { case (n, age) =>
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot publish on $tableRoot: version $n is claimed by an " +
+          s"in-flight rival publisher (claim age ${age / 1000}s < grace " +
+          s"${snapshotGraceMs / 1000}s) that has not swapped yet; claiming " +
+          "past it would silently replace its fold when it lands — retry " +
+          "after its swap (then re-read and re-derive) or after it ages out")
+    }
+    // dead claims above the pointer (aged past the grace, or
+    // content-less): their numbers stay burned — the markers are tiny
+    // and the below-live retention collects them once the pointer
+    // passes (re-opening a number would hand it to a fresh claimer
+    // while a slower-than-grace zombie still holds an equal-numbered
+    // swap) — but their never-swapped version DIRS are reclaimed NOW,
+    // while they are still provably never-live (above the pointer):
+    // once the pointer numbers past them they would squat in the
+    // time-travel retention window as partial garbage
+    // (VERDICT r17 #3: crash-loop litter is bounded to one small
+    // marker per crash, reclaimed as live advances).
+    dead.foreach { vd =>
+      deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, vd), recursive = true)
     }
     val next = committed + 1
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -2101,6 +2281,87 @@ object Sources {
     (next, uid, vdir)
   }
 
+  /** Classify claims above the live pointer: IN-FLIGHT (valid content,
+    * liveness evidence younger than [[snapshotGraceMs]] — a publisher
+    * presumed mid-write between claim and swap) vs DEAD (aged past the
+    * grace, or content-less from a pre-content-atomic crash). Liveness
+    * evidence is the freshest of the marker mtime and its named
+    * version dir's mtime (a long data write keeps touching the dir).
+    * Returns (in-flight (version, ageMs) ascending, dead claims'
+    * named version-dir names). Normally both EMPTY — a swapped
+    * publish's marker sits at or below the pointer — so the content
+    * reads here cost nothing on the happy path. */
+  private def snapshotClaimsAbovePointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      ptrNum: Long): (Seq[(Long, Long)], Seq[String]) = {
+    val now = System.currentTimeMillis()
+    val grace = snapshotGraceMs
+    if (!fs.exists(root)) return (Seq.empty, Seq.empty)
+    val inFlight = Seq.newBuilder[(Long, Long)]
+    val dead = Seq.newBuilder[String]
+    fs.listStatus(root).toSeq.foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(CommitPrefix) &&
+          numberOf(st.getPath.getName, CommitPrefix) > ptrNum) {
+        val content = readControlQuiet(fs, st.getPath)
+        if (content.startsWith("v-")) {
+          val vdirMt =
+            try fs.getFileStatus(new org.apache.hadoop.fs.Path(root, content))
+              .getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L }
+          val age = now - math.max(st.getModificationTime, vdirMt)
+          if (age < grace)
+            inFlight += ((numberOf(st.getPath.getName, CommitPrefix), age))
+          else dead += content
+        }
+      }
+    }
+    (inFlight.result().sortBy(_._1), dead.result())
+  }
+
+  private def readControlQuiet(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** The snapshot publish's pointer swap, refused loudly when the
+    * publish has been OVERTAKEN (r18 rule 4, the zombie-writer guard):
+    * a publisher whose data write outlived [[snapshotGraceMs]] was
+    * declared dead — rivals may have claimed past it
+    * ([[claimSnapshotVersion]] rule 3's age-out) or the litter reclaim
+    * may have re-opened its number. Landing its swap anyway would
+    * silently replace the rival's fold (higher number still unswapped)
+    * or point readers at a reclaimed dir (equal number, different
+    * uid). Refusing instead keeps the invariant that NO snapshot
+    * publish is ever silently lost: the zombie gets the same
+    * `ConcurrentModificationException` redrive contract as a raced
+    * claim, and its data dir is reclaimed inline. Within the grace the
+    * check never fires — rule 3 kept rivals from claiming past a live
+    * writer. */
+  private[sources] def swapSnapshotOrRefuse(fs: org.apache.hadoop.fs.FileSystem,
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path, tableRoot: String, vdir: String,
+      myNum: Long, uid: String): Unit = {
+    val committed = snapshotCommittedNum(fs, root)
+    val ptr = currentPointer(fs, root)
+    val ptrNum = ptr.filter(_.startsWith("v-")).map(numberOf(_, "v-")).getOrElse(0L)
+    if (committed > myNum || ptrNum > myNum ||
+        (ptrNum == myNum && ptr.exists(_ != vdir))) {
+      deleteQuiet(fs, new org.apache.hadoop.fs.Path(root, vdir), recursive = true)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot publish on $tableRoot: version $myNum was overtaken " +
+          s"before its swap (committed=$committed, pointer=$ptrNum) — this " +
+          s"publisher's write outlived the ${snapshotGraceMs / 1000}s " +
+          "liveness grace and was declared dead (raise " +
+          "graft.snapshot.graceMs above the longest publish write); the " +
+          "swap is refused and the data dir reclaimed — re-read and " +
+          "re-derive (never a silent replace)")
+    }
+    swapPointerForward(fs, uri, conf, root, vdir, s"$myNum-$uid", prefix = "v-")
+  }
+
   /** Pointer-anchored retention for snapshot tables: versions (and
     * their claim markers) numbered below live−2 go — a reader that
     * resolved the pointer may still be scanning, two SWAPPED publish
@@ -2112,7 +2373,22 @@ object Sources {
     * below the slack was refused loudly (r17) or is legacy litter no
     * reader ever resolved — deletable. deleteQuiet: a concurrent
     * pruner may have won the race. Aged claim temps (crashed
-    * claimers) are reclaimed alongside. */
+    * claimers) are reclaimed alongside.
+    *
+    * ABOVE live (r18, VERDICT r17 #3): a crashed publisher strands one
+    * claim marker and possibly one never-swapped version dir past the
+    * pointer, which retention below live never reaches. The DIR — the
+    * expensive half — is reclaimed by [[claimSnapshotVersion]] the
+    * moment the claim is classified dead (aged past
+    * [[snapshotGraceMs]] or content-less), while it is still provably
+    * never-live; the marker stays as a burned number (tiny; re-opening
+    * it would hand the number to a fresh claimer while a
+    * slower-than-grace zombie still holds an equal-numbered swap) and
+    * is collected by the below-live rule once the pointer numbers
+    * past it. Here, as belt-and-braces, aged version dirs above live
+    * that NO claim references (a refused swap whose inline reclaim
+    * crashed, manual litter) are swept too; anything younger than the
+    * grace may be an in-flight write and is never touched. */
   private def pruneSnapshotVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, fallbackLive: Long): Unit = {
     val liveNum = currentPointer(fs, root)
@@ -2120,14 +2396,27 @@ object Sources {
     listVersions(fs, root).collect { case (v, p) if v < liveNum - 2 => p }
       .foreach(p => deleteQuiet(fs, p, recursive = true))
     val now = System.currentTimeMillis()
-    fs.listStatus(root).toSeq.foreach { st =>
+    val grace = snapshotGraceMs
+    val sts = fs.listStatus(root).toSeq
+    val claimed = scala.collection.mutable.Set.empty[String]
+    sts.foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.startsWith(CommitPrefix) &&
           numberOf(name, CommitPrefix) < liveNum - 2)
         deleteQuiet(fs, st.getPath, recursive = false)
+      else if (st.isFile && name.startsWith(CommitPrefix) &&
+          numberOf(name, CommitPrefix) > liveNum)
+        claimed += readControlQuiet(fs, st.getPath)
       else if (st.isFile && name.startsWith(ClaimTmpPrefix) &&
           now - st.getModificationTime >= 10L * 60 * 1000)
         deleteQuiet(fs, st.getPath, recursive = false)
+    }
+    sts.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v-") &&
+          numberOf(name, "v-") > liveNum && !claimed.contains(name) &&
+          now - st.getModificationTime >= grace)
+        deleteQuiet(fs, st.getPath, recursive = true)
     }
   }
 
@@ -2150,22 +2439,22 @@ object Sources {
     * only versions below the two-publish retention window are pruned,
     * so a reader mid-scan of a prior version keeps its files.
     *
-    * `basisVersion`: the [[snapshotCommittedVersion]] snapshotted
-    * BEFORE reading the content this publish derives from — with it, a
-    * rival commit between that read and this publish refuses instead
-    * of being silently replaced (the transactional
-    * read-derive-publish contract; [[graft.operators.IncrementalIdentity]]
-    * pins its registry fold with exactly this). Without it the basis
-    * defaults to publish-entry time, which still serializes raced
-    * publishers but cannot see a rival that landed before entry. */
+    * `basis`: the [[snapshotReadBasis]] taken BEFORE reading the
+    * content this publish derives from — with it, a rival commit OR
+    * swap between that read and this publish refuses instead of being
+    * silently replaced (the transactional read-derive-publish
+    * contract; [[graft.operators.IncrementalIdentity]] pins its
+    * registry fold with exactly this). Without it the basis defaults
+    * to publish-entry time, which still serializes raced publishers
+    * but cannot see a rival that landed before entry. */
   def publishSnapshot(df: DataFrame, tableRoot: String,
-      basisVersion: Option[Long] = None): Unit = {
+      basis: Option[SnapshotBasis] = None): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableRoot)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val (next, uid, vdir) =
-      claimSnapshotVersion(fs, uri, root, tableRoot, basisVersion)
+      claimSnapshotVersion(fs, uri, root, tableRoot, basis)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir")
     // atomic pointer swap: write a temp pointer, rename OVER the live
     // one. BOTH steps go through FileContext: the FileSystem API on a
@@ -2174,9 +2463,9 @@ object Sources {
     // reader then validates the new pointer against the stale sidecar
     // and fails with a checksum error. FileContext writes raw (no
     // sidecar); any sidecar left by an older writer is dropped first.
-    // Forward-only, so a slow rival's late swap cannot regress the
-    // pointer below a version a reader has already resolved past.
-    swapPointerForward(fs, uri, conf, root, vdir, s"$next-$uid", prefix = "v-")
+    // Forward-only, and refused outright when this publish was
+    // overtaken while writing (swapSnapshotOrRefuse).
+    swapSnapshotOrRefuse(fs, uri, conf, root, tableRoot, vdir, next, uid)
     pruneSnapshotVersions(fs, root, next)
   }
 
@@ -2259,22 +2548,22 @@ object Sources {
     * publishes through here, where a double-fired scheduler used to be
     * a whole lost registry update), retention, rival resolution and
     * prune rules are [[publishSnapshot]]'s verbatim, including
-    * `basisVersion`. */
+    * `basis`. */
   def publishSnapshotGroup(frames: Seq[(String, DataFrame)], tableRoot: String,
-      basisVersion: Option[Long] = None): Unit = {
+      basis: Option[SnapshotBasis] = None): Unit = {
     require(frames.nonEmpty, "publishSnapshotGroup needs at least one member frame")
     val conf = frames.head._2.sparkSession.sparkContext.hadoopConfiguration
     val uri = new java.net.URI(tableRoot)
     val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val (next, uid, vdir) =
-      claimSnapshotVersion(fs, uri, root, tableRoot, basisVersion)
+      claimSnapshotVersion(fs, uri, root, tableRoot, basis)
     frames.foreach { case (member, df) =>
       require(member.nonEmpty && !member.contains("/"),
         s"member name must be a plain dir name, got '$member'")
       df.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$vdir/$member")
     }
-    swapPointerForward(fs, uri, conf, root, vdir, s"$next-$uid", prefix = "v-")
+    swapSnapshotOrRefuse(fs, uri, conf, root, tableRoot, vdir, next, uid)
     pruneSnapshotVersions(fs, root, next)
   }
 

@@ -258,7 +258,40 @@ object BenchScale {
       }
     }
 
-    val results2 = results ++ idxResults
+    // ---- keyed-lookup phase split (r18: VERDICT r17 #7) ----
+    // the q_merge_keyed_lookup gate row rebuilds the merge table every
+    // rep (seed write + MERGE publish + key-bloom sidecars dominate at
+    // sf10 — the 899 MB shuffle is the publish); these rows give the
+    // point-lookup claim ("opens only dirs whose bloom may contain a
+    // key") its own number: build per rep, time the keyed read alone.
+    val keyedPhases = Seq("x_keyed_lookup_build", "x_keyed_lookup_read")
+    val keyedResults = if (only.isDefined) Seq.empty else {
+      def keyedRep(): Seq[(String, (Rep, Long))] = {
+        var dir = ""
+        val b = measure {
+          dir = graft.queries.SourceQueries.keyedLookupBuild(spark, sfDir); 1L }
+        val r = measure {
+          graft.queries.SourceQueries.keyedLookupRead(spark, sfDir, dir).count() }
+        Seq("x_keyed_lookup_build" -> b, "x_keyed_lookup_read" -> r)
+      }
+      val warm = keyedRep()
+      warm.foreach { case (n, (r, _)) =>
+        System.err.println(f"[bench-sf] $n warm=${r.wall}%.2fs") }
+      val kReps = (1 to reps).map { i =>
+        val rr = keyedRep()
+        rr.foreach { case (n, (r, _)) =>
+          System.err.println(f"[bench-sf] $n rep=$i wall=${r.wall}%.2fs " +
+            f"gc=${r.gc}%.2fs spill_disk=${r.spillMb}MB shuffle_write=${r.shufMb}MB") }
+        rr.toMap
+      }
+      keyedPhases.map { n =>
+        val timed = kReps.map(_(n)._1)
+        val med = timed.map(_.wall).sorted.apply(timed.length / 2)
+        n -> (med, timed, kReps.head(n)._2)
+      }
+    }
+
+    val results2 = results ++ idxResults ++ keyedResults
     val total = results2.map(_._2._1).sum
     val qJson = results2.map { case (name, (med, timed, rows)) =>
       s""""$name":{"median":${f2(med)},"rows":$rows""" +

@@ -9,15 +9,22 @@ import org.apache.spark.sql.functions._
   * driver loop) vs the default pool — the SCALING.md evidence that the
   * routed applies now overlap.
   *
-  * Usage: `runMain graft.tools.ProfileFamilyApply [sfDir] [nParts]`
-  * (defaults sf0.01, 12 partitions). Builds the family once per
-  * setting in a fresh temp dir, times one routed apply whose delta
-  * touches every partition, prints one summary line per setting. */
+  * Usage:
+  * `runMain graft.tools.ProfileFamilyApply [sfDir] [nParts] [parCsv]`
+  * (defaults sf0.01, 12 partitions, "1,<default>"). Builds the family
+  * once per setting in a fresh temp dir, times one routed apply whose
+  * delta touches every partition, prints one summary line per
+  * setting. `parCsv` bounds the matrix at high partition counts — the
+  * serial arm at 256 partitions is ~13 min of pure fixed overhead,
+  * which is the point already proven at 12. */
 object ProfileFamilyApply {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val nParts = if (args.length > 1) args(1).toInt else 12
+    val pars: Seq[Int] =
+      if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
+      else Seq(1, graft.operators.IndexMaintenance.FamilyApplyParallelism)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -33,7 +40,7 @@ object ProfileFamilyApply {
     println(s"[family-probe] corpus=${docs.count()} docs, " +
       s"delta=${delta.count()} rows over $nParts partitions")
 
-    for (par <- Seq(1, graft.operators.IndexMaintenance.FamilyApplyParallelism)) {
+    for (par <- pars) {
       System.setProperty("graft.index.familyParallelism", par.toString)
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_famprobe_$par").toString + "/fam"

@@ -235,13 +235,23 @@ class IncrementalIdentitySpec extends SparkSpec {
       }
     })
     reader.start()
-    // two publisher threads, interleaved tagged versions
+    // two publisher threads, interleaved tagged versions; r18 fully
+    // serializes snapshot publishes (an in-flight rival's claim
+    // refuses loudly instead of racing swaps), so each publish runs
+    // the documented refuse-and-redrive loop
     val pubs = (1 to 2).map(p => new Thread(() => {
       (1 to 6).foreach { i =>
         val tag = s"p$p-v$i"
-        Sources.publishSnapshotGroup(
-          Seq("a" -> Seq((i, tag)).toDF("k", "tag"),
-            "b" -> Seq((i, tag)).toDF("k", "tag")), root)
+        var done = false
+        while (!done)
+          try {
+            Sources.publishSnapshotGroup(
+              Seq("a" -> Seq((i, tag)).toDF("k", "tag"),
+                "b" -> Seq((i, tag)).toDF("k", "tag")), root)
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
       }
     }))
     pubs.foreach(_.start()); pubs.foreach(_.join())

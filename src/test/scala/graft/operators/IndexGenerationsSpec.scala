@@ -277,6 +277,39 @@ class IndexGenerationsSpec extends SparkSpec {
     assert(IndexGenerations.resolve(spark, dir2) == fast)
   }
 
+  test("a stale swap claim landing late can never shadow a newer generation (ADVICE r17: dense-claim swap)") {
+    val dir = Files.createTempDirectory("graft_gen_cas").toString
+    val slow = IndexGenerations.next(spark, dir) // gen-1, built slowly
+    assert(new java.io.File(slow).mkdirs())
+    val fast = IndexGenerations.next(spark, dir) // gen-2, finishes first
+    assert(new java.io.File(fast).mkdirs())
+    IndexGenerations.swap(spark, dir, fast)
+    // the r17 hole: the slow builder passed its forward check BEFORE
+    // fast's swap landed, then renamed after it — with the rename
+    // pointer that REGRESSED readers to gen-1. Simulate the same
+    // interleaving against the claim set: the stale claim lands raw
+    // (no pre-check, as if the builder paused mid-swap), even with a
+    // HIGHER slot number than the winner's.
+    val slowName = new java.io.File(slow).getName
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, f"genswap-${99L}%012d"),
+      slowName.getBytes("UTF-8")): Unit
+    // resolution is by generation number, not slot/rename order: the
+    // stale claim is inert
+    assert(IndexGenerations.resolve(spark, dir) == fast,
+      "stale swap claim shadowed the newer generation")
+    // and a stale swap through the API refuses loudly as before
+    intercept[java.util.ConcurrentModificationException] {
+      IndexGenerations.swap(spark, dir, slow)
+    }
+    // vacuum sweeps the inert claim (and the superseded gen dir), the
+    // live generation's claim survives
+    IndexGenerations.vacuum(spark, dir): Unit
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains(f"genswap-${99L}%012d"), s"inert claim kept: $names")
+    assert(IndexGenerations.resolve(spark, dir) == fast)
+  }
+
   test("nested generations: root readers resolve recursively; gen-dir rebuilds are refused (ADVICE r15)") {
     val dir = Files.createTempDirectory("graft_gen_nest").toString
     val gen1 = IndexGenerations.next(spark, dir)

@@ -247,4 +247,46 @@ class OccMergeSpec extends SparkSpec {
       assert(present.contains(("seed", 1, "s")) && present.contains(("seed2", 1, "t")))
     }
   }
+
+  test("corpse reclaim is exclusive: a paused rival's resumed reclaim cannot destroy the winner's valid marker (ADVICE r17 #2)") {
+    val dir = freshDir()
+    Sources.publishMergePartitioned(spark, dir,
+      Seq(("seed", 1, "s")).toDF("k", "p", "v"), cfg, "p"): Unit
+    val committed = Sources.mergeCommittedVersion(spark, dir)
+    val n = committed + 1
+    // a legacy corpse at lastCommitted+1: publisher A reads it as a
+    // corpse, then pauses indefinitely (GC) before its delete
+    Files.write(java.nio.file.Paths.get(dir, f"commit-$n%012d"),
+      Array.emptyByteArray): Unit
+    // rival B publishes meanwhile: reclaims the corpse (rename to the
+    // permanent tombstone), wins number n with a VALID marker, swaps
+    Sources.publishMergeAppend(spark, dir,
+      Seq(("bwin", 1, "b")).toDF("k", "p", "v"), "p")
+    assert(Sources.mergeCommittedVersion(spark, dir) == n,
+      "B did not win the reclaimed number")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val marker = new org.apache.hadoop.fs.Path(root, f"commit-$n%012d")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, f"_corpse-$n%012d")),
+      "reclaim left no tombstone")
+    def markerContent(): String = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val valid = markerContent()
+    assert(valid.startsWith("manifest-"))
+    // A resumes: pre-r18 its blind deleteQuiet destroyed B's valid
+    // marker here, A re-claimed n and silently dropped B's batch. The
+    // tombstoned reclaim loses on dest-exists and touches nothing.
+    Sources.reclaimCorpseMarker(fs, uri, root, marker, n)
+    assert(markerContent() == valid, "resumed reclaim touched the valid marker")
+    assert(rowsOf(dir) == Set(("seed", 1, "s"), ("bwin", 1, "b")))
+    // and the table stays fully publishable afterwards
+    Sources.publishMergeAppend(spark, dir,
+      Seq(("after", 2, "c")).toDF("k", "p", "v"), "p")
+    assert(rowsOf(dir).contains(("after", 2, "c")))
+  }
 }

@@ -34,13 +34,13 @@ class OccSnapshotSpec extends SparkSpec {
       val gate = new java.util.concurrent.CountDownLatch(1)
       // both threads snapshot the SAME basis before the gate — the
       // transactional read-derive-publish shape a registry fold has
-      val basis = Sources.snapshotCommittedVersion(spark, dir)
+      val basis = Sources.snapshotReadBasis(spark, dir)
       val threads = Seq(1, 2).map { k =>
         new Thread(() => {
           try {
             gate.await()
             Sources.publishSnapshot(Seq(k).toDF("x"), dir,
-              basisVersion = Some(basis))
+              basis = Some(basis))
           } catch {
             case _: java.util.ConcurrentModificationException =>
               refused.add(k): Unit
@@ -61,7 +61,7 @@ class OccSnapshotSpec extends SparkSpec {
       // the refuse is redrivable: re-read the basis, re-derive, publish
       val loser = refused.peek()
       Sources.publishSnapshot(Seq(loser * 100).toDF("x"), dir,
-        basisVersion = Some(Sources.snapshotCommittedVersion(spark, dir)))
+        basis = Some(Sources.snapshotReadBasis(spark, dir)))
       assert(Sources.readSnapshot(spark, dir).collect()
         .map(_.getInt(0)).toSeq == Seq(loser * 100))
     }
@@ -70,11 +70,11 @@ class OccSnapshotSpec extends SparkSpec {
   test("a stale basis refuses even with no claim contention (rival landed before entry)") {
     val dir = freshDir()
     Sources.publishSnapshot(Seq(1, 2).toDF("x"), dir)
-    val basis = Sources.snapshotCommittedVersion(spark, dir)
+    val basis = Sources.snapshotReadBasis(spark, dir)
     // a rival commits AFTER this publish derived its content
     Sources.publishSnapshot(Seq(3).toDF("x"), dir)
     intercept[java.util.ConcurrentModificationException] {
-      Sources.publishSnapshot(Seq(99).toDF("x"), dir, basisVersion = Some(basis))
+      Sources.publishSnapshot(Seq(99).toDF("x"), dir, basis = Some(basis))
     }
     // the rival's table is intact — refused, not lost
     assert(Sources.readSnapshot(spark, dir).collect()
@@ -82,11 +82,11 @@ class OccSnapshotSpec extends SparkSpec {
     // group publishes carry the identical contract
     val gdir = freshDir()
     Sources.publishSnapshotGroup(Seq("a" -> Seq(1).toDF("x")), gdir)
-    val gBasis = Sources.snapshotCommittedVersion(spark, gdir)
+    val gBasis = Sources.snapshotReadBasis(spark, gdir)
     Sources.publishSnapshotGroup(Seq("a" -> Seq(2).toDF("x")), gdir)
     intercept[java.util.ConcurrentModificationException] {
       Sources.publishSnapshotGroup(Seq("a" -> Seq(9).toDF("x")), gdir,
-        basisVersion = Some(gBasis))
+        basis = Some(gBasis))
     }
     assert(Sources.readSnapshotGroup(spark, gdir, "a").collect()
       .map(_.getInt(0)).toSeq == Seq(2))
@@ -213,5 +213,126 @@ class OccSnapshotSpec extends SparkSpec {
     assert(redriveB.isDefined, "loser's checkpoint advanced despite the refusal")
     assert(rows(regRoot2) == expected2,
       "redriven cycle was not an idempotent re-apply")
+  }
+
+  // ────────────────────── r18: the claim-to-swap window ──────────────────────
+
+  private def hadoopBits(dir: String) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(dir)
+    (org.apache.hadoop.fs.FileSystem.get(uri, conf), uri, conf,
+      new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** Simulate a rival publisher's claim exactly as claimSnapshotVersion
+    * leaves it: a content-atomic `commit-<n>` marker naming a fully
+    * written (but UNSWAPPED) version dir. */
+  private def rivalClaim(dir: String, n: Long, uid: String, value: Int): String = {
+    import spark.implicits._
+    val vdir = f"v-$n%012d-$uid"
+    Seq(value).toDF("x").write.parquet(s"$dir/$vdir")
+    Files.write(java.nio.file.Paths.get(dir, f"commit-$n%012d"),
+      vdir.getBytes("UTF-8")): Unit
+    vdir
+  }
+
+  test("ADVICE r17: a rival's swap landing inside the basis's claim-to-swap window refuses (pointer pin)") {
+    val dir = freshDir()
+    Sources.publishSnapshot(Seq(1).toDF("x"), dir)
+    // rival A claims version 2 (claim-before-write) and finishes its
+    // data write, but has NOT swapped yet
+    val vdirA = rivalClaim(dir, 2L, "rivala", 222)
+    // B takes its read basis now: committed already counts A's claim
+    // (2), but the pointer — the version B's content reads resolve —
+    // is still 1
+    val basis = Sources.snapshotReadBasis(spark, dir)
+    assert(basis.committed == 2L && basis.pointer == 1L,
+      s"test setup drifted: $basis")
+    assert(Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).toSeq
+      == Seq(1), "B's content read must still resolve version 1")
+    // A swaps its fold live — inside B's claim-to-swap window
+    val (fs, uri, conf, root) = hadoopBits(dir)
+    Sources.swapSnapshotOrRefuse(fs, uri, conf, root, dir, vdirA, 2L, "rivala")
+    // pre-r18 this passed (committed == basis == 2), claimed 3 and
+    // silently replaced A's fold with content derived from version 1
+    intercept[java.util.ConcurrentModificationException] {
+      Sources.publishSnapshot(Seq(99).toDF("x"), dir, basis = Some(basis))
+    }
+    assert(Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).toSeq
+      == Seq(222), "rival A's fold was lost")
+    // the refusal is redrivable with a fresh basis over A's fold
+    Sources.publishSnapshot(Seq(300).toDF("x"), dir,
+      basis = Some(Sources.snapshotReadBasis(spark, dir)))
+    assert(Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).toSeq
+      == Seq(300))
+  }
+
+  test("an in-flight rival claim blocks ALL publishes until swap or age-out; the aged-out zombie's swap refuses") {
+    val dir = freshDir()
+    Sources.publishSnapshot(Seq(1).toDF("x"), dir)
+    // rival A is mid-publish: claimed version 2, still writing
+    val vdirA = rivalClaim(dir, 2L, "inflight", 222)
+    // no publisher — pinned or not — may claim past a live in-flight
+    // rival: claiming 3 would let this publish (derived from version
+    // 1) swap over A's fold when A lands mid-write
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Sources.publishSnapshot(Seq(99).toDF("x"), dir)
+    }
+    assert(e.getMessage.contains("in-flight"), e.getMessage)
+    // A ages past the liveness grace → declared dead: publishes
+    // proceed (numbering past), and the prune reclaims A's litter
+    sys.props("graft.snapshot.graceMs") = "0"
+    try {
+      Sources.publishSnapshot(Seq(3).toDF("x"), dir)
+      assert(Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).toSeq
+        == Seq(3))
+      val (fs, uri, conf, root) = hadoopBits(dir)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, vdirA)),
+        "dead claimer's version dir was not reclaimed")
+      // the zombie writer (actually alive, just slower than the grace)
+      // now tries to land its swap: it must refuse loudly — its number
+      // was declared dead and its dir reclaimed; swapping would point
+      // readers at a deleted dir or replace the rival's fold
+      intercept[java.util.ConcurrentModificationException] {
+        Sources.swapSnapshotOrRefuse(fs, uri, conf, root, dir, vdirA, 2L,
+          "inflight")
+      }
+      assert(Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).toSeq
+        == Seq(3), "zombie swap landed")
+    } finally sys.props.remove("graft.snapshot.graceMs"): Unit
+  }
+
+  test("crash-loop litter above live is bounded: aged claims + dirs are reclaimed by later publishes (VERDICT r17 #3)") {
+    val dir = freshDir()
+    Sources.publishSnapshot(Seq(1).toDF("x"), dir)
+    // three crashed publish attempts: each claimed, wrote (some of)
+    // its version dir, and died before the swap
+    val crashDirs = (2L to 4L).map(n => rivalClaim(dir, n, s"crash$n", n.toInt))
+    val (fs, _, _, root) = hadoopBits(dir)
+    def names(): Set[String] =
+      fs.listStatus(root).toSeq.map(_.getPath.getName).toSet
+    // fresh litter is NEVER touched (it may be an in-flight write):
+    // within the grace a publish refuses rather than reclaims
+    intercept[java.util.ConcurrentModificationException] {
+      Sources.publishSnapshot(Seq(9).toDF("x"), dir)
+    }
+    assert(crashDirs.forall(names()), "fresh litter was touched")
+    sys.props("graft.snapshot.graceMs") = "0"
+    try {
+      // aged out → the next successful publish reclaims every crashed
+      // version DIR at claim time (the expensive half, reclaimed while
+      // provably never-live)
+      Sources.publishSnapshot(Seq(10).toDF("x"), dir)
+      assert(crashDirs.forall(d => !names().contains(d)),
+        s"crashed version dirs survived: ${names()}")
+      // the burned markers are tiny and die as the pointer passes them
+      // (below-live retention) — two more publishes collect all three
+      Sources.publishSnapshot(Seq(11).toDF("x"), dir)
+      Sources.publishSnapshot(Seq(12).toDF("x"), dir)
+      assert((2L to 4L).forall(n => !names().contains(f"commit-$n%012d")),
+        s"burned crash markers survived: ${names()}")
+      assert(Sources.readSnapshot(spark, dir).collect().map(_.getInt(0)).toSeq
+        == Seq(12))
+    } finally sys.props.remove("graft.snapshot.graceMs"): Unit
   }
 }
