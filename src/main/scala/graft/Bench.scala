@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
   * sandbox has a proven ±50% host-noise envelope on identical code, so
   * single-run numbers cannot distinguish a real 1.5× regression from
   * drift. Every query gets ONE untimed warm-up run (JIT + page cache +
-  * codegen primed) followed by timed reps: MEDIAN-OF-7 when the
-  * warm-up took <2 s (the sub-2 s class is where fixed overhead and
-  * host hiccups dominate — the r16 artifact's entire 1.07× "regression"
-  * lived there), median-of-5 above. If the spread (INTERQUARTILE range
+  * codegen primed) followed by timed reps: MEDIAN-OF-5 for every row
+  * the ratio table can flag (warm ≥ 0.5 s — the flag rule's own
+  * floor), median-of-3 below it (an unflaggable row cannot cry wolf,
+  * and its reps are better spent on the flaggable band — r18; the
+  * r17 7-rep sub-2 s policy starved the tail of the suite instead).
+  * If the spread (INTERQUARTILE range
   * over the median — the statistic that tracks median stability, which
   * is what the ratio table consumes; raw min/max stay in the spread
   * table) still exceeds 0.25 on a short query, up to 4 extra reps are
@@ -219,8 +221,8 @@ object Bench {
       * starved everything after the 0.8×budget mark down to 2 reps
       * (BENCH_r17: 43/44 degraded). Now pass 1 gives EVERY query its
       * warm-up + first rep, then rep level 2 for every query, then
-      * level 3, … up to its want (5 for ≥2 s queries, 7 below — the
-      * host-noise class), so budget pressure shaves the HIGHEST rep
+      * level 3, … up to its want (5 for flaggable rows, 3 below the
+      * 0.5 s flag floor), so budget pressure shaves the HIGHEST rep
       * levels uniformly instead of whole late queries. Spread-
       * triggered extras (short noisy queries, up to 4) run only after
       * every query has its base reps, also round-robin. */
@@ -235,18 +237,27 @@ object Bench {
     }
     val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
     val states = defs.map(new QState(_))
-    // pass 1: warm-up (never billed) + first timed rep, unconditionally
+    // pass 1: warm-up (never billed) + first timed rep, unconditionally.
+    // want is tiered by FLAGGABILITY (r18): reps buy median stability,
+    // and stability only matters where the ratio table can flag a
+    // regression (its floor is median > 0.5 s) — so sub-0.5 s rows get
+    // 3 reps (their spread still prints; extras can top them up) and
+    // every flaggable row gets 5, which the default budget can afford
+    // across all ~226 queries (7-for-all starved the tail instead)
     states.foreach { s =>
       val warm = timeOnce(s.q)
       if (warm < 0) s.failed = true
-      else { s.want = if (warm >= 2.0) 5 else 7; s.rep() }
+      else { s.want = if (warm < 0.5) 3 else 5; s.rep() }
     }
     // pass 2: base reps, level by level — every query reaches level L
-    // before any query starts level L+1
+    // before any query starts level L+1. The gate sits at 0.85×budget
+    // (pre-r18 it was 0.8×, sized for a whole query's remaining reps;
+    // under level-by-level the overshoot risk is ONE rep of one query,
+    // so the headroom goes to the tail of the last level instead)
     val maxWant = states.map(_.want).foldLeft(0)(math.max)
     for (level <- 2 to maxWant; s <- states
          if !s.failed && s.want >= level && s.times.length < level &&
-           elapsedSec < 0.8 * budgetSec)
+           elapsedSec < 0.85 * budgetSec)
       s.rep()
     // pass 3: spread-triggered extras (short queries only: a long
     // noisy query would cost more than the precision buys), re-judged
@@ -365,11 +376,11 @@ object Bench {
         relSpread(v)
     }.foldLeft(0.0)(math.max)
     // self-describing fidelity: ACTUAL rep-count range over successful
-    // queries (want = 5 for ≥2 s queries, 7 below; budget pressure
-    // shaves the highest rep LEVELS uniformly across all queries —
-    // never whole late queries) + how many queries ended under their
-    // want — the artifact must not claim reps it didn't run
-    // (per-query counts are in bench_spread.json)
+    // queries (want = 5 for flaggable rows, 3 under the 0.5 s flag
+    // floor; budget pressure shaves the highest rep LEVELS uniformly
+    // across all queries — never whole late queries) + how many
+    // queries ended under their want — the artifact must not claim
+    // reps it didn't run (per-query counts are in bench_spread.json)
     val repCounts = samples.collect { case (_, v) if v.forall(_ >= 0) => v.length }
     val (repsMin, repsMax) =
       if (repCounts.isEmpty) (0, 0) else (repCounts.min, repCounts.max)
