@@ -154,7 +154,24 @@ object IdentityResolver {
     // hot-key probe + salted fallback described on the overload
     val probeSide = cand.select(
       col("request_id"), col("center_id").as("_req_center"), col("_nid"))
-    val useSalted = skewSaltThreshold > 0 && {
+    // Probe only when the batch COULD hold a hot key (r18, guide §1):
+    // the hottest identifier's count is bounded by the batch row
+    // count, and the row count is bounded by the optimizer's
+    // sizeInBytes estimate (every row occupies ≥ 1 byte in any size
+    // accounting Catalyst produces). A batch whose estimated bytes sit
+    // below the threshold therefore cannot reach it, and the probe —
+    // a full aggregation pass over the batch — is a wasted job. The
+    // bound is read from the CALLER's frame (pre-checkpoint: a lazy
+    // localCheckpoint plans as LogicalRDD, whose unknown stats default
+    // to Long.Max and would force the probe back on). Estimation
+    // failure degrades to probing, never to skipping; a pathological
+    // under-estimate (ultra-RLE parquet) merely skips the salt — the
+    // join output is identical either way and AQE skew-split stays on.
+    val mayHoldHotKey =
+      (try candidates.queryExecution.optimizedPlan.stats.sizeInBytes
+       catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }) >=
+        BigInt(skewSaltThreshold)
+    val useSalted = skewSaltThreshold > 0 && mayHoldHotKey && {
       val hottest = cand.groupBy("_nid").agg(count(lit(1)).as("c"))
         .agg(max("c")).first()
       !hottest.isNullAt(0) && hottest.getLong(0) >= skewSaltThreshold
