@@ -56,6 +56,17 @@ object GraftSession {
       // 2048 holds the whole workload: zero recompiles on re-run.
       // Cost is a few MB of classes per JVM — negligible on executors.
       .config("spark.sql.codegen.cache.maxEntries", "2048")
+      // ObjectHashAggregate (every TypedImperativeAggregate: top-k,
+      // MG, KMV, KLL, histogram) falls back to SORT-based aggregation
+      // after only 128 distinct keys per task by default — the sort
+      // path serializes every group buffer and resorts the input, a
+      // pure loss for the small per-group state these aggregates keep
+      // (a k-row heap, a counter map, a sketch ladder: hundreds of
+      // bytes). 256k keys/task ≈ tens of MB of buffer state, well
+      // inside task memory at any scale; beyond it the designed sort
+      // fallback still engages. Measured at sf0.1: q_topk_per_key
+      // aggregate stage ~1.25x faster warm (r18, guide §5).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {

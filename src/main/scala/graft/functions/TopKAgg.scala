@@ -102,8 +102,13 @@ case class TopKRows(
     // dequeueAll returns worst-first; reverse for best-first output
     new GenericArrayData(buf.clone().dequeueAll.reverse.toArray[Any])
 
+  // one projection per operator instance, not one per serialized group
+  // buffer: create() walks the codegen cache every call, and sort-based
+  // fallback serializes EVERY group (r18)
+  @transient private lazy val serializeProj = UnsafeProjection.create(structType)
+
   override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
+    val proj = serializeProj
     val out = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(out)
     d.writeInt(buf.size)

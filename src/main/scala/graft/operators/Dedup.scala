@@ -242,18 +242,40 @@ object Dedup {
       threshold: Double): DataFrame = {
     val allSh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val dfreq = allSh.groupBy("shingle").agg(count(lit(1)).as("_df"))
-    // Per-doc shingle ARRAY in the global (df asc, shingle asc) total
-    // order — built once, serving both stages (r16, VERDICT r15 #2):
-    // candidate generation slices the prefix WITH POSITIONS off it,
-    // and verification intersects two arrays per surviving pair in a
+    // DENSE-RANK the shingle vocabulary in the global (df asc, shingle
+    // asc) total order (r18, guide §2.3 "shuffle keys and metadata
+    // instead of payloads"): every downstream structure — the per-doc
+    // sorted arrays, the prefix posting lists, the candidate equi-join
+    // key, the verify intersection — carries an 8-byte LONG instead of
+    // a word n-gram string. Rank order ≡ (df, shingle) order and the
+    // mapping is injective (a distributed sort + zipWithIndex, never a
+    // hash), so prefix semantics, the PPJoin+ positional filter and
+    // exactness are untouched; only bytes-on-the-wire and compare cost
+    // change. The rank build costs one bounded sort of the DISTINCT
+    // vocabulary — tiny next to the posting-list join it shrinks (the
+    // suite's largest shuffle at sf10).
+    val spark = df.sparkSession
+    val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rankTable = spark.createDataFrame(
+      dfreq.select(col("shingle")).sort(col("_df"), col("shingle"))
+        .rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), i) },
+      rankSchema)
+    // Per-doc shingle-RANK array in the global total order — built
+    // once, serving both stages (r16, VERDICT r15 #2): candidate
+    // generation slices the prefix WITH POSITIONS off it, and
+    // verification intersects two long-arrays per surviving pair in a
     // pipelined projection. The pre-r16 verify re-joined the full
     // posting lists per candidate (expand to |A| rows per pair, a
     // second (id, shingle) shuffle, a count groupBy) — 12.2 GB of
     // spill per rep at sf10, the suite's heaviest query.
-    val docArr = allSh.join(dfreq, "shingle")
+    val docArr = allSh.join(rankTable, "shingle")
       .groupBy("_id")
-      .agg(sort_array(collect_list(struct(col("_df"), col("shingle"))))
-        .as("_sarr"))
+      .agg(sort_array(collect_list(col("_rank"))).as("_sarr"))
       .withColumn("_n", size(col("_sarr")).cast("long"))
       .withColumn("_plen",
         (col("_n") -
@@ -263,7 +285,7 @@ object Dedup {
     val pref = docArr.select(col("_id"), col("_n"),
         posexplode(slice(col("_sarr"), lit(1), col("_plen"))))
       .select(col("_id"), col("_n"), col("pos").as("_pos"),
-        col("col").getField("shingle").as("shingle"))
+        col("col").as("shingle"))
     // PPJoin LENGTH FILTER: J(A,B) ≥ t forces t·max(|A|,|B|) ≤
     // min(|A|,|B|) (intersection ≤ min, union ≥ max) — size-
     // incompatible candidates die pre-aggregation; slack rounds
@@ -294,18 +316,17 @@ object Dedup {
         least(col("_na") - 1 - col("_mpa"), col("_nb") - 1 - col("_mpb")))
         .cast("double") >= alpha)
       .select("id_a", "id_b")
-    // verify: exact intersection of the two full (distinct) shingle
+    // verify: exact intersection of the two full (distinct) rank
     // arrays — one array-bearing shuffle per candidate pair, no
-    // posting-list re-expansion
+    // posting-list re-expansion; ranks are injective for shingles so
+    // the intersection count is the shingle intersection count
     cand
       .join(docArr.select(col("_id").as("id_a"), col("_sarr").as("_arrA"),
         col("_n").as("n_a")), "id_a")
       .join(docArr.select(col("_id").as("id_b"), col("_sarr").as("_arrB"),
         col("_n").as("n_b")), "id_b")
       .withColumn("n_common",
-        size(array_intersect(
-          transform(col("_arrA"), x => x.getField("shingle")),
-          transform(col("_arrB"), x => x.getField("shingle")))).cast("long"))
+        size(array_intersect(col("_arrA"), col("_arrB"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

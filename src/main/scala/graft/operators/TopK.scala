@@ -22,8 +22,15 @@ object TopK {
       col(scoreCol).cast("double").as("_score") +:
         col(tieCol).cast("long").as("_tie") +:
         payloadCols.map(col): _*)
-    df.groupBy(keys.map(col): _*)
-      .agg(TopKRows.topK(s, k).as("_topk"))
+    // project the ranked struct BEFORE the aggregate: ObjectHashAggregate
+    // is outside whole-stage codegen, so a computed child would be
+    // re-evaluated INTERPRETED per row inside update(); as a plain
+    // projected attribute it is built once in the codegen'd scan stage
+    // and update() reads a bound reference (r18, guide §4 — measured
+    // ~25% off the aggregate stage at sf0.1)
+    df.select(keys.map(col) :+ s.as("_ranked"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(TopKRows.topK(col("_ranked"), k).as("_topk"))
       .select(keys.map(col) :+ posexplode(col("_topk")).as(Seq("_pos", "_row")): _*)
       .select(keys.map(col) ++ Seq(
         (col("_pos") + 1).cast("int").as("rank"),

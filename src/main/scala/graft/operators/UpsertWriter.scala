@@ -31,14 +31,12 @@ object UpsertWriter {
       audit: DataFrame,       // exploded per-field audit rows (U6)
       preview: DataFrame)     // single-row counts (U7 dry-run)
 
-  private def norm(df: DataFrame, name: String): Column = {
-    val c = df(name)
-    df.schema(name).dataType match {
+  private def normTyped(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
       case StringType => when(c === "", lit(null)).otherwise(c)
       case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
       case _ => c
     }
-  }
 
   def merge(
       current: DataFrame,
@@ -62,19 +60,26 @@ object UpsertWriter {
     // guard rather than silently mis-merge
     require(!key.exists(c => c == "_present_in" || c == "_present_ex"),
       "key columns _present_in/_present_ex collide with merge working columns")
+    // the normalized comparison copies (""/NaN → null) are DERIVED
+    // per-column values: compute them AFTER the join from the raw
+    // prefixed columns instead of shuffling a second copy of every
+    // updatable column through the full-outer exchange (r18, guide
+    // §2.3 — the pre-r18 shape carried each updatable column TWICE per
+    // side, doubling the merge's shuffle width; at sf10 the merge
+    // publish is the dominant shuffle of the whole storage family)
     val inc = incoming.select(
       key.map(incoming(_)) ++ Seq(lit(true).as("_present_in")) ++
-        incCols.filterNot(key.contains).map(c => incoming(c).as(s"_in_$c")) ++
-        updatable.map(c => norm(incoming, c).as(s"_inn_$c")): _*)
+        incCols.filterNot(key.contains).map(c => incoming(c).as(s"_in_$c")): _*)
     val cur = current.select(
       key.map(current(_)) ++ Seq(lit(true).as("_present_ex")) ++
-        curCols.filterNot(key.contains).map(c => current(c).as(s"_ex_$c")) ++
-        updatable.map(c => norm(current, c).as(s"_exn_$c")): _*)
+        curCols.filterNot(key.contains).map(c => current(c).as(s"_ex_$c")): _*)
 
     val j = inc.join(cur, key, "full_outer")
 
+    def inn(c: String): Column = normTyped(col(s"_in_$c"), incoming.schema(c).dataType)
+    def exn(c: String): Column = normTyped(col(s"_ex_$c"), current.schema(c).dataType)
     val diffs: Seq[(String, Column)] =
-      updatable.map(c => c -> !(col(s"_inn_$c") <=> col(s"_exn_$c")))
+      updatable.map(c => c -> !(inn(c) <=> exn(c)))
     val anyDiff = if (diffs.isEmpty) lit(false) else diffs.map(_._2).reduce(_ || _)
 
     val status = when(col("_present_ex").isNull, lit("insert"))
@@ -105,8 +110,8 @@ object UpsertWriter {
     // U6: audit — one exploded row per changed field
     val changeEntries = array(diffs.map { case (c, d) =>
       when(d, struct(lit(c).as("field"),
-        col(s"_exn_$c").cast("string").as("old_value"),
-        col(s"_inn_$c").cast("string").as("new_value")))
+        exn(c).cast("string").as("old_value"),
+        inn(c).cast("string").as("new_value")))
     }: _*)
     val audit = withStatus.filter(col("_status") === "update")
       .select(

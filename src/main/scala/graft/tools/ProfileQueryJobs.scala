@@ -17,8 +17,13 @@ import graft.{GraftSession, SparkEntry, Tables}
 object ProfileQueryJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.configure(
-      SparkSession.builder().master("local[32]"), 32).getOrCreate()
+    // same dev-only A/B hook as TimeQueries: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    val b0 = GraftSession.configure(
+      SparkSession.builder().master("local[32]"), 32)
+    val b = sys.env.get("SPARK_GRAFT_EXTRA_CONF").map(_.split(";").toSeq).getOrElse(Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+      .foldLeft(b0) { case (bb, (k, v)) => bb.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new AtomicInteger(0)
