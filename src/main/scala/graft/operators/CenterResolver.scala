@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Coercions, Similarity}
@@ -58,21 +57,46 @@ object CenterResolver {
       lower(col("name")).as("_lname"),
       Coercions.normalizeName(col("name")).as("_nname"))
 
-    // 2) exact: normalized-or-lower input vs lower(center name)
-    val exact = withAlias.join(broadcast(cent),
-        Coercions.normalizeName(col("_eff")) === col("_lname") ||
-          lower(col("_eff")) === col("_lname"), "left")
-      .groupBy("_iid", "_iname", "_eff")
-      .agg(min(col("center_id")).as("_exact_id"))
+    // 2) exact: normalized-or-lower input vs lower(center name).
+    //    Input-side keys are computed ONCE per row (the pre-r18 OR-
+    //    condition join planned a nested loop that re-ran the regex
+    //    normalization per (input × center) pair), and the OR splits
+    //    into two broadcast HASH probes — min over the union of both
+    //    match sets is the same minimum (r18, guide §3.1). The frame
+    //    is lazily checkpointed: it feeds the fuzzy need-side AND the
+    //    final join, and would otherwise compute twice.
+    val withKeys = withAlias
+      .withColumn("_neff", Coercions.normalizeName(col("_eff")))
+      .withColumn("_leff", lower(col("_eff")))
+    val exact = withKeys
+      .join(broadcast(cent.select(col("_lname").as("_k1"), col("center_id").as("_id1"))),
+        col("_neff") === col("_k1"), "left")
+      .join(broadcast(cent.select(col("_lname").as("_k2"), col("center_id").as("_id2"))),
+        col("_leff") === col("_k2"), "left")
+      .groupBy("_iid", "_iname", "_eff", "_neff")
+      .agg(min(least(col("_id1"), col("_id2"))).as("_exact_id"))
+      .localCheckpoint(false)
 
-    // 3) fuzzy argmax over the broadcast dimension for unresolved rows
-    val need = exact.filter(col("_exact_id").isNull).select("_iid", "_eff")
-    val w = Window.partitionBy("_iid").orderBy(col("_score").desc, col("center_id").asc)
+    // 3) fuzzy argmax over the broadcast dimension for unresolved rows.
+    //    Threshold filter BEFORE the argmax (identical winner: if the
+    //    global max clears the threshold it survives the filter; if
+    //    not, both forms emit nothing) and the argmax as a partial-
+    //    aggregated max(struct) instead of a row_number window — the
+    //    shuffle carries at most one pre-reduced row per input per map
+    //    partition instead of every (input × center) scored row (r18,
+    //    guide §2.3 "aggregate before you shuffle"). Tie order (score
+    //    desc, center_id asc) is preserved lexicographically by
+    //    max(struct(score, -center_id)). The input's normalized name
+    //    rides in from `withKeys` — the pre-r18 plan re-ran the regex
+    //    normalization per scored pair.
+    val need = exact.filter(col("_exact_id").isNull).select("_iid", "_neff")
     val fuzzy = need.crossJoin(broadcast(cent))
-      .withColumn("_score", scorer(Coercions.normalizeName(col("_eff")), col("_nname")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("_score") >= threshold)
-      .select(col("_iid"), col("center_id").as("_fuzzy_id"))
+      .withColumn("_score", scorer(col("_neff"), col("_nname")))
+      .filter(col("_score") >= threshold)
+      .groupBy("_iid")
+      .agg(max(struct(col("_score"), (-col("center_id")).as("_negid"))).as("_best"))
+      .select(col("_iid"), (-col("_best._negid")).cast(
+        centers.schema("center_id").dataType).as("_fuzzy_id"))
 
     exact.join(fuzzy, Seq("_iid"), "left")
       .select(

@@ -67,11 +67,17 @@ object Pipelines {
     // pipeline (BENCH r4→r5 regression), and its row-format cost grows
     // with column count, which at 100 TB is pure waste for an
     // engine-internal correlation key that no oracle ever recomputes.
+    // The key is a STRUCT of the two longs (r18, guide §2.3 narrower
+    // types): the pre-r18 form concatenated them into a ~40-byte
+    // string, which then rode every resolve/join/groupBy exchange as
+    // the request key — 16 bytes and no per-row string building buys
+    // the same 128-bit collision safety (the key is engine-internal:
+    // no oracle recomputes it, every consumer treats it opaquely).
     val allCols = m.df.columns.map(col).toSeq
     val withRow = m.df.withColumn("_row_id",
-      concat_ws("-",
-        xxhash64(lit(s"$batchId:a") +: allCols: _*).cast("string"),
-        xxhash64(lit(s"$batchId:b") +: allCols: _*).cast("string")))
+      struct(
+        xxhash64(lit(s"$batchId:a") +: allCols: _*).as("a"),
+        xxhash64(lit(s"$batchId:b") +: allCols: _*).as("b")))
     val centerCol = mapping.centerIdField
       .map(c => coalesce(col(c).cast("int"), lit(mapping.defaultCenterId)))
       .getOrElse(lit(mapping.defaultCenterId))

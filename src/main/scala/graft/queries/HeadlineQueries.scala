@@ -59,14 +59,30 @@ object HeadlineQueries {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, d),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
+      // Join ORDER is chosen by what the optimizer cannot see (r18,
+      // guide §3 — no CBO stats, Catalyst keeps the written order):
+      // the region filter keeps 1/5 of nations, so suppliers shrink
+      // 5x BEFORE touching the fact tables; lineitem joins the
+      // filtered suppliers first (5x fewer surviving lineitem rows
+      // into every later exchange), then orders, then customer — the
+      // same inner-join tree re-rooted, conjuncts preserved, result
+      // set identical (and the revenue SUM is exact DECIMAL, so
+      // reassociation cannot move a bit).
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(revenue.as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -86,13 +102,24 @@ object HeadlineQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 50""".stripMargin) { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+      // Aggregate BEFORE attaching customer attributes (r18, guide
+      // §2.3 "aggregate before you shuffle" + §3.3): the pre-r18 plan
+      // dragged c_name strings through the orders x lineitem bulk and
+      // aggregated last; now revenue folds to <=1 row per customer on
+      // the fact side first, and the (unique-keyed) customer join
+      // attaches names to the aggregated rows — identical groups and
+      // sums (c_name/n_name are functionally dependent on c_custkey,
+      // and the revenue SUM is exact DECIMAL, so the fold order cannot
+      // move a bit).
+      val perCust = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("o_custkey")
         .agg(revenue.as("revenue"))
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(50)

@@ -613,7 +613,7 @@ class ValidatePipelineSpec extends SparkSpec {
     // correlation keys are identical for any layout of the same input
     // (cluster task retries / split changes cannot shift ids).
     val rows = (1 to 40).map(i => (s"IBDGC%03d".format(i % 7), s"BS-$i", "Blood"))
-    def run(parts: Int): (Set[Seq[Any]], Set[String]) = {
+    def run(parts: Int): (Set[Seq[Any]], Set[Seq[Any]]) = {
       val raw = rows.toDF("consortium_id", "sample_id", "sample_type")
         .repartition(parts)
       val r = Pipelines.validate(spark, raw, mapping,
@@ -621,15 +621,17 @@ class ValidatePipelineSpec extends SparkSpec {
         registry, "batch_inv")
       val collected = r.resolutions.collect()
       (collected.map(_.toSeq).toSet,
-        collected.map(_.getAs[String]("request_id")).toSet)
+        collected.map(_.getAs[org.apache.spark.sql.Row]("request_id"))
+          .map(_.toSeq).toSet)
     }
     val (rowsA, idsA) = run(1)
     val (rowsB, idsB) = run(17)
     assert(rowsA == rowsB && rowsA.nonEmpty)
     assert(idsA == idsB)
-    // and the ids themselves are reproducible content-hash strings
-    // (two domain-separated xxhash64 words), not counters
-    assert(idsA.forall(_.matches("-?\\d+--?\\d+")))
+    // and the ids themselves are reproducible content-hash pairs (two
+    // domain-separated xxhash64 words in a 16-byte struct — r18
+    // narrowed the old "<a>-<b>" string key), not counters
+    assert(idsA.forall(id => id.length == 2 && id.forall(_.isInstanceOf[Long])))
   }
 
   test("validator pipeline fails fast on missing required column") {
