@@ -99,39 +99,25 @@ object Dedup {
     * underestimate for pairs that only share hot shingles — at scale
     * that is the right trade (hot shingles carry no signal), but it
     * diverges from the exact oracle, so it is opt-in. */
-  /** Injective long encoding of a shingle table (r18, guide §2.3
-    * "shuffle keys and metadata instead of payloads"): the DISTINCT
-    * vocabulary is rank-numbered by a distributed sort + zipWithIndex
-    * (never a hash — a collision would silently change an exact
-    * count), and each (_id, shingle) row becomes (_id, rank) with the
-    * SAME column name so posting-list shapes downstream are unchanged.
-    * Every subsequent self-join/verify exchange then carries an 8-byte
-    * long where it carried a word n-gram string. */
-  private def rankEncodeShingles(sh: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val spark = sh.sparkSession
-    val schema = StructType(Seq(
-      StructField("shingle", StringType, nullable = false),
-      StructField("_rank", LongType, nullable = false)))
-    val vocab = spark.createDataFrame(
-      sh.select("shingle").distinct().sort("shingle").rdd.zipWithIndex()
-        .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i) },
-      schema)
-    sh.join(vocab, "shingle").select(col("_id"), col("_rank").as("shingle"))
-  }
-
+  // NOTE (r18, negative result worth keeping): rank-encoding the
+  // shingle column (distinct vocabulary sort + zipWithIndex + mapping
+  // join, as jaccardPairsPrefix does) was MEASURED on this family at
+  // sf10 and REGRESSED shuffle write 11-47% (ngram 2318 → 3397 MB,
+  // containment 2516 → 3668, minhash verify 3822 → 4232 / 1924 →
+  // 2731): the posting self-join reuses one exchange for its two
+  // sides, so the encode's full-table mapping join + near-unique-
+  // vocabulary string sort cost MORE than the one string shuffle it
+  // replaced. The prefix variant keeps the encoding because its df
+  // ordering already paid the by-shingle shuffle and its per-doc
+  // ARRAYS amortize it (7545 → 3355 MB, 0.44×). Measure, don't assume
+  // (guide §1.1).
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxPostingList: Int = 0): DataFrame = {
-    // lazy localCheckpoint: the rank-encoded shingle scan feeds three
-    // consumers (sizes, a, b); the first stage to touch it
-    // materializes the blocks (per-partition block locks make racing
-    // scans wait, not recompute) and the plan is truncated — no
-    // separate count job. Encoding before the checkpoint means the
-    // cached blocks hold longs, and the posting self-join below — the
-    // operator's dominant exchange at corpus scale — never shuffles a
-    // string (r18; measured 2318 MB → ~half at sf10 on the prefix
-    // variant's identical join shape).
-    val allSh = rankEncodeShingles(shingles(df, idCol, textCol, n))
+    // lazy localCheckpoint: the shingle scan feeds three consumers
+    // (sizes, a, b); the first stage to touch it materializes the
+    // blocks (per-partition block locks make racing scans wait, not
+    // recompute) and the plan is truncated — no separate count job
+    val allSh = shingles(df, idCol, textCol, n)
       .localCheckpoint(false)
     val sh =
       if (maxPostingList <= 0) allSh
@@ -168,9 +154,8 @@ object Dedup {
     * `(id_inner, id_outer, n_common, n_inner, n_outer, containment)`. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxPostingList: Int = 0): DataFrame = {
-    // rank-encoded like jaccardPairs (r18): the posting self-join
-    // below shuffles longs, not n-gram strings
-    val allSh = rankEncodeShingles(shingles(df, idCol, textCol, n))
+    // string shingles by MEASUREMENT — see the jaccardPairs note (r18)
+    val allSh = shingles(df, idCol, textCol, n)
       .localCheckpoint(false)
     val sh =
       if (maxPostingList <= 0) allSh
@@ -687,10 +672,7 @@ object Dedup {
     * intersection without ever materializing all-pairs. */
   def verifyPairs(df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // rank-encoded (r18): the candidate-expansion join below shuffles
-    // one row per (pair, left shingle) — longs, not n-gram strings
-    val sh = rankEncodeShingles(shingles(df, idCol, textCol, n))
-      .localCheckpoint(false)
+    val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     val inter = candidates
       .join(sh.select(col("_id").as("id_a"), col("shingle")), "id_a")
@@ -710,15 +692,10 @@ object Dedup {
     * (same contract as [[verifyPairs]] but shares the shingle scan). */
   private def verifyAgainstShingles(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    // rank-encode HERE, not in the caller: the signature path hashes
-    // the shingle STRING (semantic — md5/xxhash of the bytes), so the
-    // shared shingle table stays strings and only the verify join —
-    // whose expansion rows are the byte-heavy exchange — goes long
-    val shR = rankEncodeShingles(sh).localCheckpoint(false)
-    val sizes = shR.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     val inter = candidates
-      .join(shR.select(col("_id").as("id_a"), col("shingle")), "id_a")
-      .join(shR.select(col("_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(sh.select(col("_id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")), "id_a")
